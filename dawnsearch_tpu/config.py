@@ -1,0 +1,88 @@
+"""Layered config: TOML file + DAWNSEARCH_* env-var overrides.
+
+Rebuild of the reference config system (/root/reference/src/config.rs:23-88):
+same 10 core flags and layering semantics (file then env, env wins,
+config.rs:46-49), plus a TPU engine section the reference has no
+equivalent for (batching, index capacity, quantization, mesh shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tomllib
+from typing import Any
+
+ENV_PREFIX = "DAWNSEARCH_"
+
+
+@dataclasses.dataclass
+class Config:
+    # --- reference flags (config.rs:54-71, DawnSearch.toml.example) ---
+    index_cc: bool = False
+    web: bool = False
+    web_listen_address: str = "0.0.0.0:8080"
+    udp: bool = False
+    udp_listen_address: str = "0.0.0.0:7231"
+    accept_insert: bool = False
+    upnp: bool = False
+    trackers: list[str] = dataclasses.field(default_factory=list)
+    data_dir: str = "data"
+    debug: int = 0
+
+    # --- TPU engine section (new) ---
+    model_dir: str | None = None  # safetensors + vocab for all-MiniLM-L6-v2
+    embed_batch_size: int = 64  # cross-request batching cap
+    embed_max_wait_ms: float = 5.0  # batcher flush deadline
+    seq_buckets: tuple[int, ...] = (16, 32, 64, 128, 256)
+    index_capacity: int = 1_000_000  # page cap (search_provider.rs:164-166)
+    index_dtype: str = "i8"  # "f32" | "bf16" | "i8"
+    index_kind: str = "flat"  # "flat" | "ivf"
+    ivf_ncentroids: int = 256
+    ivf_nprobe: int = 16
+    mesh_shards: int = 1  # device-parallel index shards
+    search_k: int = 20  # results per query (search_provider.rs:214)
+    search_deadline_ms: float = 200.0  # P2P collection deadline (udp_service.rs:301)
+
+    @classmethod
+    def load(cls, path: str | None = "DawnSearch.toml", env: dict | None = None) -> "Config":
+        """File (if present) then DAWNSEARCH_* env overrides (config.rs:42-73)."""
+        raw: dict[str, Any] = {}
+        if path and os.path.exists(path):
+            with open(path, "rb") as f:
+                raw.update(tomllib.load(f))
+        env = dict(os.environ if env is None else env)
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        for key, val in env.items():
+            if not key.startswith(ENV_PREFIX):
+                continue
+            name = key[len(ENV_PREFIX):].lower()
+            if name in fields:
+                raw[name] = _coerce(val, fields[name].type)
+        known = {k: v for k, v in raw.items() if k in fields}
+        cfg = cls(**known)
+        if isinstance(cfg.seq_buckets, list):
+            cfg.seq_buckets = tuple(cfg.seq_buckets)
+        return cfg
+
+    def summary(self) -> str:
+        """Printable flag summary (reference config.rs:75-88)."""
+        lines = [f"[Config] {f.name} = {getattr(self, f.name)!r}"
+                 for f in dataclasses.fields(self)]
+        return "\n".join(lines)
+
+
+def _coerce(val: str, typ: Any) -> Any:
+    t = str(typ)
+    if "bool" in t:
+        return val.strip().lower() in ("1", "true", "yes", "on")
+    if "int" in t and "tuple" not in t and "list" not in t:
+        return int(val)
+    if "float" in t:
+        return float(val)
+    if "list" in t or "tuple" in t:
+        items = [x.strip() for x in val.split(",") if x.strip()]
+        if "int" in t:
+            return tuple(int(x) for x in items)
+        return items
+    return val

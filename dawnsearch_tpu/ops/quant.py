@@ -1,0 +1,115 @@
+"""Quantization: i8 storage (device), i24 wire codec, i16 (host).
+
+Rebuild of the reference's scalar quantizers (/root/reference/src/search/vector.rs):
+- i24 wire format (vector.rs:48-87): 3 bytes/dim little-endian, value
+  mapped [-1,1] -> [0, 0x7FFFFF]; 1152 B for a 384-d embedding. Kept
+  *wire-compatible* so a rebuilt node could interoperate with reference
+  peers. (The reference's sign-extension branch at vector.rs:64-66 is
+  dead code: encoded values are always non-negative.)
+- i16 (vector.rs:30-46): round(x * 32767).
+- i8 is the *storage* quantizer for the TPU index (the memory-parity
+  story vs USearch's quantized modes, per BASELINE.json): symmetric
+  per-vector scale, int8 codes on device, f32 scale per row. Scoring
+  happens as int8 matmul with f32 accumulation + scale correction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dawnsearch_tpu.ops.vector import EM_LEN, MAX_VECTOR_DELTA
+
+I24_MAX = 0x7FFFFF
+
+
+# ---------------------------------------------------------------------------
+# i24 wire codec (host-side, numpy — this is a network serialization format)
+# ---------------------------------------------------------------------------
+
+
+def to_i24_bytes(v: np.ndarray) -> bytes:
+    """f32[D] in [-1,1] -> 3*D little-endian bytes (vector.rs:74-86)."""
+    v = np.asarray(v, dtype=np.float64)
+    q = (((v + 1.0) / 2.0) * I24_MAX).astype(np.int64)
+    q = np.clip(q, 0, I24_MAX).astype(np.uint32)
+    out = np.empty((v.shape[-1], 3), dtype=np.uint8)
+    out[:, 0] = q & 0xFF
+    out[:, 1] = (q >> 8) & 0xFF
+    out[:, 2] = (q >> 16) & 0xFF
+    return out.tobytes()
+
+
+def from_i24_bytes(data: bytes, dim: int = EM_LEN, check: bool = True) -> np.ndarray:
+    """3*D bytes -> f32[D] (vector.rs:57-72). Validates normalization
+    like the reference's decode (vector.rs:70) unless check=False."""
+    if len(data) != dim * 3:
+        raise ValueError(f"expected {dim * 3} bytes, got {len(data)}")
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(dim, 3).astype(np.uint32)
+    q = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+    v = (q.astype(np.float64) / I24_MAX * 2.0 - 1.0).astype(np.float32)
+    if check:
+        l = float(np.linalg.norm(v.astype(np.float64)))
+        if not (1.0 - MAX_VECTOR_DELTA < l < 1.0 + MAX_VECTOR_DELTA):
+            raise ValueError("Embedding is not normalized")
+    return v
+
+
+# ---------------------------------------------------------------------------
+# i16 (reference vector.rs:30-46)
+# ---------------------------------------------------------------------------
+
+
+def to_i16(v: jax.Array) -> jax.Array:
+    """round(x * 32767) -> int16, batched."""
+    return jnp.round(v.astype(jnp.float32) * 32767.0).astype(jnp.int16)
+
+
+def from_i16(q: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) / 32767.0
+
+
+# ---------------------------------------------------------------------------
+# i8 storage quantization (device-side, the index's memory-parity format)
+# ---------------------------------------------------------------------------
+
+
+class QuantizedRows(NamedTuple):
+    """Per-row symmetric int8 quantization: x ~= codes * scales[:, None]."""
+
+    codes: jax.Array  # (N, D) int8
+    scales: jax.Array  # (N,) float32
+
+
+@jax.jit
+def quantize_i8(x: jax.Array) -> QuantizedRows:
+    """Per-row symmetric i8: scale = max|x| / 127 (row-wise), codes = round(x/scale)."""
+    x = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scales = jnp.maximum(absmax, 1e-12) / 127.0
+    codes = jnp.clip(jnp.round(x / scales[..., None]), -127, 127).astype(jnp.int8)
+    return QuantizedRows(codes, scales)
+
+
+@jax.jit
+def dequantize_i8(q: QuantizedRows) -> jax.Array:
+    return q.codes.astype(jnp.float32) * q.scales[..., None]
+
+
+@jax.jit
+def scores_i8(queries: jax.Array, db: QuantizedRows) -> jax.Array:
+    """(B, D) f32 queries x (N, D) i8 database -> (B, N) IP *distance* (1 - dot).
+
+    The query stays f32 (asymmetric quantization: only the stored side is
+    compressed), accumulation in f32 on the MXU; per-row scale applied after.
+    """
+    q = queries.astype(jnp.float32)
+    codes = db.codes
+    dots = jax.lax.dot_general(
+        q, codes.astype(jnp.bfloat16).astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    return 1.0 - dots * db.scales[None, :]
