@@ -1,0 +1,195 @@
+"""BERT encoder (all-MiniLM-L6-v2 shape) as a pure-functional JAX forward.
+
+TPU-first rebuild of the reference's candle BERT
+(/root/reference/src/embedding/model.rs:225-571). Key departures from
+the reference — deliberate, hardware-driven:
+
+- Layers are *stacked* into one pytree of (L, ...) arrays and iterated
+  with `lax.scan` (model.rs loops Python-side over 6 BertLayer objects,
+  model.rs:502-525). One traced layer body => faster compiles, and XLA
+  still fully pipelines.
+- Attention is *masked* by default. The reference computes softmax over
+  ALL tokens including padding (model.rs:325-347 has no mask) and also
+  mean-pools over padding (embedding_service.rs:126-128). That is a
+  fidelity bug w.r.t. sentence-transformers; we default to the correct
+  masked behavior and expose `mask_padding=False` for reference parity.
+- Compute dtype is configurable (bf16 matmuls / f32 softmax+layernorm);
+  params stay f32.
+
+Config matches sentence-transformers/all-MiniLM-L6-v2: hidden 384,
+6 layers, 12 heads, FFN 1536, vocab 30522, max_pos 512 (model.rs:160-180),
+hidden_act = gelu (exact erf form; the reference notes the gelu vs
+gelu_new divergence at model.rs:31-33 — HF's config for this model says
+"gelu", i.e. erf).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_layers: int = 6
+    num_heads: int = 12
+    intermediate_size: int = 1536
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    # compute dtype for matmuls; softmax/layernorm stay f32
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+MINILM_L6 = BertConfig()
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    """LayerNorm in f32 (reference computes mean/var manually in f32,
+    model.rs:68-105)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _dense(x: jax.Array, w: jax.Array, b: jax.Array, dtype) -> jax.Array:
+    y = jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(dtype)
+
+
+def _attention(
+    x: jax.Array,
+    layer: Params,
+    cfg: BertConfig,
+    mask_bias: jax.Array | None,
+) -> jax.Array:
+    """Multi-head self-attention (reference model.rs:284-348) via one
+    fused QKV matmul; softmax in f32."""
+    B, S, H = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    qkv = _dense(x, layer["qkv_w"], layer["qkv_b"], cfg.dtype)  # (B,S,3H)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(hd))
+    if mask_bias is not None:
+        scores = scores + mask_bias  # (B,1,1,S) additive -inf on padded keys
+    probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(cfg.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
+    return _dense(ctx, layer["attn_out_w"], layer["attn_out_b"], cfg.dtype)
+
+
+def _layer_fwd(
+    x: jax.Array, layer: Params, cfg: BertConfig, mask_bias: jax.Array | None
+) -> jax.Array:
+    """One transformer layer (reference model.rs:467-499): post-LN BERT."""
+    attn = _attention(x, layer, cfg, mask_bias)
+    x = _layer_norm(x + attn, layer["attn_ln_scale"], layer["attn_ln_bias"],
+                    cfg.layer_norm_eps)
+    inter = _dense(x, layer["ffn_in_w"], layer["ffn_in_b"], cfg.dtype)
+    inter = jax.nn.gelu(inter.astype(jnp.float32), approximate=False).astype(cfg.dtype)
+    out = _dense(inter, layer["ffn_out_w"], layer["ffn_out_b"], cfg.dtype)
+    return _layer_norm(x + out, layer["ffn_ln_scale"], layer["ffn_ln_bias"],
+                       cfg.layer_norm_eps)
+
+
+def bert_forward(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array | None = None,
+    token_type_ids: jax.Array | None = None,
+    cfg: BertConfig = MINILM_L6,
+    mask_padding: bool = True,
+) -> jax.Array:
+    """Token embeddings -> (B, S, H) last hidden state.
+
+    Reference: BertModel::forward (model.rs:528-571) = embeddings
+    (model.rs:225-282) + encoder scan (model.rs:502-525).
+    `mask_padding=False` reproduces the reference's unmasked attention.
+    """
+    B, S = input_ids.shape
+    emb = params["embeddings"]
+    pos_ids = jnp.arange(S)[None, :]
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    x = (
+        jnp.take(emb["word"], input_ids, axis=0)
+        + jnp.take(emb["position"], pos_ids, axis=0)
+        + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    )
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+    x = x.astype(cfg.dtype)
+
+    mask_bias = None
+    if mask_padding and attention_mask is not None:
+        mask_bias = jnp.where(
+            attention_mask[:, None, None, :].astype(bool), 0.0, -1e30
+        ).astype(jnp.float32)
+
+    def scan_body(h, layer):
+        return _layer_fwd(h, layer, cfg, mask_bias), None
+
+    x, _ = jax.lax.scan(scan_body, x, params["layers"])
+    return x.astype(jnp.float32)
+
+
+def mean_pool(
+    hidden: jax.Array,
+    attention_mask: jax.Array | None = None,
+    include_padding: bool = False,
+) -> jax.Array:
+    """Mean-pool token states -> (B, H), then caller normalizes.
+
+    Default: masked mean like sentence-transformers. include_padding=True
+    reproduces the reference's pool-over-everything
+    (embedding_service.rs:126-128).
+    """
+    if include_padding or attention_mask is None:
+        return jnp.mean(hidden, axis=1)
+    m = attention_mask[..., None].astype(hidden.dtype)
+    summed = jnp.sum(hidden * m, axis=1)
+    counts = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return summed / counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mask_padding", "include_padding")
+)
+def encode_batch(
+    params: Params,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    cfg: BertConfig = MINILM_L6,
+    mask_padding: bool = True,
+    include_padding: bool = False,
+) -> jax.Array:
+    """Full sentence-embedding forward: BERT -> mean-pool -> L2 normalize.
+
+    This is the jittable unit the serving batcher calls per (batch, seq)
+    bucket; equivalent of the reference's calculate_embedding
+    (embedding_service.rs:97-139) minus tokenization.
+    """
+    hidden = bert_forward(params, input_ids, attention_mask, cfg=cfg,
+                          mask_padding=mask_padding)
+    pooled = mean_pool(hidden, attention_mask, include_padding=include_padding)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)

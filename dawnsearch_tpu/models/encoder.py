@@ -1,0 +1,123 @@
+"""SentenceEncoder: tokenize -> bucketed jit forward -> pooled unit vectors.
+
+The serving-side replacement for the reference's EmbeddingProvider
+(embedding_service.rs:49-140). Differences, all TPU-driven:
+
+- The reference pads each batch to its longest member (BatchLongest,
+  embedding_service.rs:101-109); under XLA that means a recompile per
+  novel shape. We bucket sequence lengths AND batch sizes to a small
+  static set, so the jit cache stays bounded and steady-state serving
+  never recompiles.
+- The reference embeds one text per request message
+  (embedding_service.rs:157-167). Here `encode()` takes arbitrarily many
+  texts and tiles them through device-sized batches; the serving layer
+  adds cross-request batching on top (serving/batcher.py).
+"""
+
+from __future__ import annotations
+
+import bisect
+import functools
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from dawnsearch_tpu.models.bert import BertConfig, MINILM_L6, Params, encode_batch
+from dawnsearch_tpu.models.tokenizer import WordPieceTokenizer
+from dawnsearch_tpu.utils.logging import METRICS, service_logger
+
+log = service_logger("Embedding")
+
+
+class SentenceEncoder:
+    def __init__(
+        self,
+        params: Params,
+        tokenizer: WordPieceTokenizer,
+        cfg: BertConfig = MINILM_L6,
+        seq_buckets: Sequence[int] = (16, 32, 64, 128, 256),
+        batch_buckets: Sequence[int] = (1, 8, 32, 64, 128, 256),
+        mask_padding: bool = True,
+        include_padding_in_pool: bool = False,
+    ):
+        self.params = params
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.seq_buckets = sorted(seq_buckets)
+        self.batch_buckets = sorted(batch_buckets)
+        self.mask_padding = mask_padding
+        self.include_padding_in_pool = include_padding_in_pool
+        if self.seq_buckets[-1] > cfg.max_position_embeddings:
+            raise ValueError("seq bucket exceeds max_position_embeddings")
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.hidden_size
+
+    def _bucket(self, buckets: list[int], n: int) -> int:
+        i = bisect.bisect_left(buckets, n)
+        return buckets[min(i, len(buckets) - 1)]
+
+    @functools.cached_property
+    def _jitted(self):
+        return functools.partial(
+            encode_batch,
+            cfg=self.cfg,
+            mask_padding=self.mask_padding,
+            include_padding=self.include_padding_in_pool,
+        )
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        """Texts -> (N, H) float32 unit vectors."""
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        # Tokenize everything first so we can choose one seq bucket per chunk.
+        max_seq = self.seq_buckets[-1]
+        encoded = [self.tokenizer.encode(t, max_len=max_seq) for t in texts]
+        # Sort by length so chunks bucket tightly; restore order at the end.
+        order = sorted(range(len(encoded)), key=lambda i: len(encoded[i]))
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        max_batch = self.batch_buckets[-1]
+        for start in range(0, len(order), max_batch):
+            chunk = order[start : start + max_batch]
+            out[chunk] = self._encode_chunk([encoded[i] for i in chunk])
+        return out
+
+    def _encode_chunk(self, ids_list: list[list[int]]) -> np.ndarray:
+        n = len(ids_list)
+        seq = self._bucket(self.seq_buckets, max(len(ids) for ids in ids_list))
+        bsz = self._bucket(self.batch_buckets, n)
+        pad_id = self.tokenizer.pad_id
+        input_ids = np.full((bsz, seq), pad_id, dtype=np.int32)
+        mask = np.zeros((bsz, seq), dtype=np.int32)
+        for r, ids in enumerate(ids_list):
+            ids = ids[:seq]
+            input_ids[r, : len(ids)] = ids
+            mask[r, : len(ids)] = 1
+        # Padding rows get a bare [CLS][SEP] so normalization never sees zeros.
+        for r in range(n, bsz):
+            input_ids[r, 0] = self.tokenizer.cls_id
+            input_ids[r, 1] = self.tokenizer.sep_id
+            mask[r, :2] = 1
+        with METRICS.timer("embed_forward"):
+            vecs = self._jitted(self.params, jax.numpy.asarray(input_ids),
+                                jax.numpy.asarray(mask))
+            vecs = np.asarray(jax.block_until_ready(vecs))
+        METRICS.inc("texts_embedded", n)
+        return vecs[:n]
+
+    def warmup(self) -> None:
+        """Pre-compile the (batch, seq) bucket grid to avoid serving stalls."""
+        for seq in self.seq_buckets:
+            for bsz in self.batch_buckets:
+                ids = np.full((bsz, seq), self.tokenizer.pad_id, np.int32)
+                ids[:, 0] = self.tokenizer.cls_id
+                ids[:, 1] = self.tokenizer.sep_id
+                m = np.zeros((bsz, seq), np.int32)
+                m[:, :2] = 1
+                jax.block_until_ready(
+                    self._jitted(self.params, jax.numpy.asarray(ids),
+                                 jax.numpy.asarray(m)))
+        log.info("encoder warmup complete (%d shapes)",
+                 len(self.seq_buckets) * len(self.batch_buckets))

@@ -1,0 +1,147 @@
+"""Weight init / HF-checkpoint conversion for the JAX BERT encoder.
+
+The reference mmaps HF safetensors and loads them into candle VarBuilder
+paths (embedding_service.rs:78-92, model.rs:528-560). Here we convert the
+same HF `bert.*` tensor naming into our stacked-layer pytree: per-layer
+tensors are fused (QKV) and stacked along a leading (L, ...) axis so the
+forward can `lax.scan` over layers.
+
+Torch nn.Linear stores (out, in) and computes x @ W.T; our dense computes
+x @ w, so every weight is transposed on import.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dawnsearch_tpu.models.bert import BertConfig, MINILM_L6, Params
+
+
+def init_params(key: jax.Array, cfg: BertConfig = MINILM_L6) -> Params:
+    """Random init (truncated-normal-ish 0.02 std like BERT)."""
+    keys = iter(jax.random.split(key, 32))
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02)
+
+    emb = {
+        "word": w(next(keys), (cfg.vocab_size, H)),
+        "position": w(next(keys), (cfg.max_position_embeddings, H)),
+        "token_type": w(next(keys), (cfg.type_vocab_size, H)),
+        "ln_scale": jnp.ones((H,), jnp.float32),
+        "ln_bias": jnp.zeros((H,), jnp.float32),
+    }
+    layers = {
+        "qkv_w": w(next(keys), (L, H, 3 * H)),
+        "qkv_b": jnp.zeros((L, 3 * H), jnp.float32),
+        "attn_out_w": w(next(keys), (L, H, H)),
+        "attn_out_b": jnp.zeros((L, H), jnp.float32),
+        "attn_ln_scale": jnp.ones((L, H), jnp.float32),
+        "attn_ln_bias": jnp.zeros((L, H), jnp.float32),
+        "ffn_in_w": w(next(keys), (L, H, I)),
+        "ffn_in_b": jnp.zeros((L, I), jnp.float32),
+        "ffn_out_w": w(next(keys), (L, I, H)),
+        "ffn_out_b": jnp.zeros((L, H), jnp.float32),
+        "ffn_ln_scale": jnp.ones((L, H), jnp.float32),
+        "ffn_ln_bias": jnp.zeros((L, H), jnp.float32),
+    }
+    return {"embeddings": emb, "layers": layers}
+
+
+def _strip_prefix(tensors: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Accept both `bert.embeddings...` and `embeddings...` namings."""
+    out = {}
+    for name, t in tensors.items():
+        if name.startswith("bert."):
+            name = name[len("bert."):]
+        out[name] = t
+    return out
+
+
+def from_hf_tensors(
+    tensors: Mapping[str, np.ndarray], cfg: BertConfig = MINILM_L6
+) -> Params:
+    """HF BertModel tensor dict (numpy) -> stacked pytree."""
+    t = _strip_prefix(tensors)
+
+    def get(name: str) -> np.ndarray:
+        if name not in t:
+            raise KeyError(f"missing tensor {name!r}; have {sorted(t)[:8]}...")
+        return np.asarray(t[name], dtype=np.float32)
+
+    emb = {
+        "word": get("embeddings.word_embeddings.weight"),
+        "position": get("embeddings.position_embeddings.weight"),
+        "token_type": get("embeddings.token_type_embeddings.weight"),
+        "ln_scale": get("embeddings.LayerNorm.weight"),
+        "ln_bias": get("embeddings.LayerNorm.bias"),
+    }
+
+    per_layer: dict[str, list[np.ndarray]] = {k: [] for k in (
+        "qkv_w", "qkv_b", "attn_out_w", "attn_out_b",
+        "attn_ln_scale", "attn_ln_bias",
+        "ffn_in_w", "ffn_in_b", "ffn_out_w", "ffn_out_b",
+        "ffn_ln_scale", "ffn_ln_bias",
+    )}
+    for i in range(cfg.num_layers):
+        p = f"encoder.layer.{i}."
+        wq = get(p + "attention.self.query.weight").T
+        wk = get(p + "attention.self.key.weight").T
+        wv = get(p + "attention.self.value.weight").T
+        per_layer["qkv_w"].append(np.concatenate([wq, wk, wv], axis=1))
+        per_layer["qkv_b"].append(np.concatenate([
+            get(p + "attention.self.query.bias"),
+            get(p + "attention.self.key.bias"),
+            get(p + "attention.self.value.bias"),
+        ]))
+        per_layer["attn_out_w"].append(get(p + "attention.output.dense.weight").T)
+        per_layer["attn_out_b"].append(get(p + "attention.output.dense.bias"))
+        per_layer["attn_ln_scale"].append(get(p + "attention.output.LayerNorm.weight"))
+        per_layer["attn_ln_bias"].append(get(p + "attention.output.LayerNorm.bias"))
+        per_layer["ffn_in_w"].append(get(p + "intermediate.dense.weight").T)
+        per_layer["ffn_in_b"].append(get(p + "intermediate.dense.bias"))
+        per_layer["ffn_out_w"].append(get(p + "output.dense.weight").T)
+        per_layer["ffn_out_b"].append(get(p + "output.dense.bias"))
+        per_layer["ffn_ln_scale"].append(get(p + "output.LayerNorm.weight"))
+        per_layer["ffn_ln_bias"].append(get(p + "output.LayerNorm.bias"))
+
+    layers = {k: jnp.asarray(np.stack(v)) for k, v in per_layer.items()}
+    emb = {k: jnp.asarray(v) for k, v in emb.items()}
+    return {"embeddings": emb, "layers": layers}
+
+
+def load_safetensors(path: str, cfg: BertConfig = MINILM_L6) -> Params:
+    """Load an HF safetensors checkpoint (model.safetensors) from disk."""
+    from safetensors import safe_open
+
+    tensors: dict[str, np.ndarray] = {}
+    with safe_open(path, framework="np") as f:
+        for name in f.keys():
+            tensors[name] = f.get_tensor(name)
+    return from_hf_tensors(tensors, cfg)
+
+
+def load_params(model_dir: str | None, cfg: BertConfig = MINILM_L6,
+                seed: int = 0) -> tuple[Params, bool]:
+    """Load pretrained weights if available, else random init.
+
+    Returns (params, pretrained). The reference hard-downloads from HF Hub
+    (embedding_service.rs:60-85); this environment has no egress, so we
+    look for a local `model.safetensors` under model_dir.
+    """
+    if model_dir:
+        for cand in ("model.safetensors", "pytorch_model.safetensors"):
+            p = os.path.join(model_dir, cand)
+            if os.path.exists(p):
+                return load_safetensors(p, cfg), True
+    return init_params(jax.random.PRNGKey(seed), cfg), False
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
