@@ -1,0 +1,261 @@
+"""FlatIndex: TPU-resident brute-force exact top-k over a device buffer.
+
+The exactness oracle of the index family (SURVEY.md §7 step 3) and the
+replacement for USearch at small/medium shard sizes
+(/root/reference/src/search/search_provider.rs:35-42,214). Design:
+
+- Preallocated device buffer grown in segments — the XLA-static-shape
+  version of the reference's `index.reserve(size + 1024)`
+  (search_provider.rs:280-283). Growth doubles capacity, so at most
+  O(log N) distinct compiled shapes over an index's lifetime.
+- Rows beyond `count` are masked to +inf distance before `lax.top_k`.
+- Storage dtypes: f32 / bf16 / i8 (per-row symmetric scale, f32
+  accumulation on the MXU — the USearch-memory-parity mode).
+- Large capacities are scored in row-chunks with a running top-k merge
+  (lax.scan), bounding the (B, N) score matrix to (B, chunk): HBM-safe
+  at 1M+ rows and large query batches.
+- Distance convention: "ip" = 1 - <q, x>, ascending-better, identical
+  ordering to USearch MetricKind::IP on normalized vectors.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dawnsearch_tpu.ops.vector import EM_LEN
+
+DEFAULT_SEGMENT = 8192
+DEFAULT_CHUNK = 65536
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf: jax.Array, rows: jax.Array, start: jax.Array) -> jax.Array:
+    """Write `rows` at row offset `start` (buffer donated: in-place on TPU)."""
+    return jax.lax.dynamic_update_slice(buf, rows, (start,) + (0,) * (buf.ndim - 1))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_scales(buf: jax.Array, scales: jax.Array, start: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(buf, scales, (start,))
+
+
+@jax.jit
+def _quantize_rows_i8(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    rows = rows.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(rows), axis=-1)
+    scales = jnp.maximum(absmax, 1e-12) / 127.0
+    codes = jnp.clip(jnp.round(rows / scales[:, None]), -127, 127).astype(jnp.int8)
+    return codes, scales
+
+
+def _chunk_scores(q: jax.Array, chunk_codes: jax.Array,
+                  chunk_scales: jax.Array | None) -> jax.Array:
+    """(B, D) x (C, D) -> (B, C) ip-distance (1 - dot), f32 accumulation."""
+    if chunk_scales is None:
+        # bf16 storage: keep bf16 operands so the MXU runs at bf16 rate;
+        # accumulation stays f32 via preferred_element_type.
+        qq = q.astype(chunk_codes.dtype) if chunk_codes.dtype == jnp.bfloat16 else q
+        dots = jax.lax.dot_general(qq, chunk_codes, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return 1.0 - dots
+    x = chunk_codes.astype(jnp.bfloat16).astype(jnp.float32)  # int8 exact in bf16
+    dots = jax.lax.dot_general(q, x, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return 1.0 - dots * chunk_scales[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _search(codes: jax.Array, scales: jax.Array | None, queries: jax.Array,
+            count: jax.Array, k: int, chunk: int) -> tuple[jax.Array, jax.Array]:
+    """Chunked exact search -> (distances (B,k) asc, row ids (B,k)).
+
+    Invalid slots (>= count) come back with distance +inf and id -1.
+    """
+    cap = codes.shape[0]
+    B = queries.shape[0]
+    q = queries.astype(jnp.float32)
+    if cap <= chunk:
+        scores = _chunk_scores(q, codes, scales)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+        scores = jnp.where(row_ids < count, scores, jnp.inf)
+        neg, idx = jax.lax.top_k(-scores, k)
+        dists = -neg
+        ids = jnp.where(jnp.isfinite(dists), idx, -1)
+        return dists, ids
+
+    n_chunks = cap // chunk
+    codes_c = codes.reshape(n_chunks, chunk, codes.shape[1])
+    scales_c = None if scales is None else scales.reshape(n_chunks, chunk)
+
+    init = (jnp.full((B, k), jnp.inf, jnp.float32),
+            jnp.full((B, k), -1, jnp.int32))
+
+    def body(carry, inp):
+        if scales_c is None:
+            c_idx, chunk_codes = inp
+            chunk_scales = None
+        else:
+            c_idx, chunk_codes, chunk_scales = inp
+        best_d, best_i = carry
+        scores = _chunk_scores(q, chunk_codes, chunk_scales)
+        local = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        global_ids = local + c_idx * chunk
+        scores = jnp.where(global_ids < count, scores, jnp.inf)
+        neg, idx = jax.lax.top_k(-scores, k)
+        cand_d = jnp.concatenate([best_d, -neg], axis=1)
+        cand_i = jnp.concatenate(
+            [best_i, jnp.take_along_axis(jnp.broadcast_to(global_ids, (B, chunk)),
+                                         idx, axis=1)], axis=1)
+        neg2, sel = jax.lax.top_k(-cand_d, k)
+        return (-neg2, jnp.take_along_axis(cand_i, sel, axis=1)), None
+
+    xs = (jnp.arange(n_chunks, dtype=jnp.int32), codes_c) if scales_c is None \
+        else (jnp.arange(n_chunks, dtype=jnp.int32), codes_c, scales_c)
+    (dists, ids), _ = jax.lax.scan(body, init, xs)
+    ids = jnp.where(jnp.isfinite(dists), ids, -1)
+    return dists, ids
+
+
+class FlatIndex:
+    """Append-only exact index on one device (sharding lives in
+    dawnsearch_tpu.parallel.sharded_index)."""
+
+    def __init__(
+        self,
+        dim: int = EM_LEN,
+        dtype: str = "i8",
+        capacity: int = DEFAULT_SEGMENT,
+        max_capacity: int | None = None,
+        segment: int = DEFAULT_SEGMENT,
+        chunk: int = DEFAULT_CHUNK,
+    ):
+        if dtype not in ("f32", "bf16", "i8"):
+            raise ValueError(f"unsupported dtype {dtype}")
+        self.dim = dim
+        self.dtype = dtype
+        self.segment = segment
+        self.chunk = chunk
+        self.max_capacity = max_capacity
+        self.count = 0
+        self.capacity = _round_up(max(capacity, segment), segment)
+        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[dtype]
+        self._codes = jnp.zeros((self.capacity, dim), jdt)
+        self._scales = (jnp.ones((self.capacity,), jnp.float32)
+                        if dtype == "i8" else None)
+
+    def __len__(self) -> int:
+        return self.count
+
+    @property
+    def nbytes(self) -> int:
+        n = self._codes.size * self._codes.dtype.itemsize
+        if self._scales is not None:
+            n += self._scales.size * 4
+        return n
+
+    def _grow_to(self, needed: int) -> None:
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        if self.max_capacity is not None:
+            new_cap = min(_round_up(self.max_capacity, self.segment), new_cap)
+        if new_cap <= self.capacity:
+            raise RuntimeError(
+                f"index full: capacity {self.capacity}, need {needed}")
+        pad = new_cap - self.capacity
+        self._codes = jnp.pad(self._codes, ((0, pad), (0, 0)))
+        if self._scales is not None:
+            self._scales = jnp.pad(self._scales, ((0, pad),),
+                                   constant_values=1.0)
+        self.capacity = new_cap
+
+    def add(self, vectors: np.ndarray | jax.Array) -> np.ndarray:
+        """Append rows; returns their assigned row ids."""
+        rows = jnp.asarray(vectors, jnp.float32)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        n = rows.shape[0]
+        if n == 0:
+            return np.empty((0,), np.int64)
+        if self.count + n > self.capacity:
+            self._grow_to(self.count + n)
+        start = jnp.int32(self.count)
+        if self.dtype == "i8":
+            codes, scales = _quantize_rows_i8(rows)
+            self._codes = _write_rows(self._codes, codes, start)
+            self._scales = _write_scales(self._scales, scales, start)
+        else:
+            jdt = jnp.float32 if self.dtype == "f32" else jnp.bfloat16
+            self._codes = _write_rows(self._codes, rows.astype(jdt), start)
+        ids = np.arange(self.count, self.count + n, dtype=np.int64)
+        self.count += n
+        return ids
+
+    def search(self, queries: np.ndarray | jax.Array, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k -> (distances (B, k) ascending, ids (B, k); -1 = empty)."""
+        q = jnp.asarray(queries, jnp.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        k_eff = min(k, self.capacity)
+        d, i = _search(self._codes, self._scales, q,
+                       jnp.int32(self.count), k_eff, self.chunk)
+        d, i = np.asarray(d), np.asarray(i)
+        if k_eff < k:  # pad to requested k
+            d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)
+            i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        if single:
+            return d[0], i[0]
+        return d, i
+
+    def reconstruct(self, row_id: int) -> np.ndarray:
+        """Approximate stored vector (dequantized for i8)."""
+        row = np.asarray(self._codes[row_id]).astype(np.float32)
+        if self._scales is not None:
+            row *= float(self._scales[row_id])
+        return row
+
+    # -- persistence (reference: index.usearch save/load,
+    #    search_provider.rs:111-125,173-181) --
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        np.savez(
+            tmp if tmp.endswith(".npz") else tmp,
+            codes=np.asarray(self._codes),
+            scales=(np.asarray(self._scales)
+                    if self._scales is not None else np.empty(0)),
+            count=self.count,
+            dtype=self.dtype,
+            dim=self.dim,
+        )
+        # numpy appends .npz to names without it
+        actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+        os.replace(actual_tmp, path)
+
+    @classmethod
+    def load(cls, path: str, **kwargs) -> "FlatIndex":
+        with np.load(path, allow_pickle=False) as z:
+            dtype = str(z["dtype"])
+            dim = int(z["dim"])
+            count = int(z["count"])
+            codes = z["codes"]
+            scales = z["scales"]
+        idx = cls(dim=dim, dtype=dtype, capacity=codes.shape[0], **kwargs)
+        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[dtype]
+        idx._codes = jnp.asarray(codes, jdt)
+        if dtype == "i8":
+            idx._scales = jnp.asarray(scales, jnp.float32)
+        idx.count = count
+        idx.capacity = codes.shape[0]
+        return idx

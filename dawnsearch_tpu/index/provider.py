@@ -1,0 +1,188 @@
+"""SearchProvider: durable page store + device index + save/load/verify.
+
+Rebuild of the reference's SearchProvider
+(/root/reference/src/search/search_provider.rs): owns the SQLite store
+(source of truth) and the device-resident index, enforces the page cap
+and duplicate-URL skip on insert (search_provider.rs:164-166, 254-263),
+rebuilds the index from the store on startup when no snapshot exists
+(search_provider.rs:111-153), and verifies stored embeddings
+(search_provider.rs:289-327).
+
+Batching departure: the reference inserts and searches one item at a
+time; every entry point here is batched, because single-row device
+round-trips squander the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Sequence
+
+import numpy as np
+
+from dawnsearch_tpu.index.flat import FlatIndex
+from dawnsearch_tpu.index.store import PageStore
+from dawnsearch_tpu.utils.logging import METRICS, service_logger
+
+log = service_logger("SearchProvider")
+
+INDEX_FILE = "index.dawn.npz"  # reference: index.usearch
+DB_FILE = "pages.sqlite"
+
+
+@dataclasses.dataclass
+class FoundPage:
+    """One search hit (reference search_provider.rs:51-61)."""
+    page_id: int
+    distance: float
+    url: str
+    title: str
+    text: str
+    instance_id: str = ""
+
+
+@dataclasses.dataclass
+class SearchResult:
+    """Hits + scan stats surfaced in the UI (web.rs:318-323)."""
+    pages: list[FoundPage]
+    pages_searched: int
+    instances_contacted: int = 1
+
+
+class SearchProvider:
+    def __init__(
+        self,
+        data_dir: str | None = None,
+        dim: int = 384,
+        index_dtype: str = "i8",
+        max_pages: int = 1_000_000,  # reference cap (search_provider.rs:164-166)
+        index_factory=None,
+        verify_on_load: bool = True,
+    ):
+        self.data_dir = data_dir
+        self.max_pages = max_pages
+        self.dim = dim
+        db_path = ":memory:" if data_dir is None else os.path.join(data_dir, DB_FILE)
+        self.store = PageStore(db_path, dim=dim)
+        make_index = index_factory or (
+            lambda: FlatIndex(dim=dim, dtype=index_dtype, max_capacity=max_pages))
+
+        index_path = (None if data_dir is None
+                      else os.path.join(data_dir, INDEX_FILE))
+        self.index_path = index_path
+        loaded = False
+        if index_path and os.path.exists(index_path):
+            try:
+                self.index = FlatIndex.load(index_path)
+                loaded = len(self.index) == len(self.store)
+                if not loaded:
+                    log.warning("index snapshot stale (%d rows vs %d pages); "
+                                "rebuilding", len(self.index), len(self.store))
+            except Exception as e:  # corrupt snapshot -> rebuild (robustness)
+                log.warning("failed to load index snapshot: %s; rebuilding", e)
+                loaded = False
+        if not loaded:
+            self.index = make_index()
+            self._fill_index_from_db()
+        if verify_on_load:
+            n = self.store.verify()
+            log.info("verified %d stored embeddings", n)
+
+    def _fill_index_from_db(self) -> None:
+        """Rebuild device index from SQLite (search_provider.rs:127-153)."""
+        t0 = time.perf_counter()
+        n = 0
+        expected = self.store.max_id() + 1
+        for ids, embs in self.store.iter_embeddings():
+            # row ids must equal sqlite ids - 1 shift? No: we keep our own
+            # mapping — device row r corresponds to insertion order. The
+            # store uses rowids starting at 1; device rows start at 0.
+            self.index.add(embs)
+            n += len(ids)
+        if n:
+            log.info("rebuilt index: %d vectors in %.2fs (expected %d)",
+                     n, time.perf_counter() - t0, expected)
+
+    # -- inserts ----------------------------------------------------------
+
+    def insert_pages(
+        self,
+        urls: Sequence[str],
+        titles: Sequence[str],
+        texts: Sequence[str],
+        embeddings: np.ndarray,
+    ) -> list[int | None]:
+        """Batched insert. Returns per-page store id or None if skipped
+        (duplicate URL / capacity, search_provider.rs:164-166, 254-263)."""
+        out: list[int | None] = []
+        accepted_rows: list[np.ndarray] = []
+        for url, title, text, emb in zip(urls, titles, texts, embeddings):
+            if len(self.store) >= self.max_pages:
+                log.debug("index full (%d pages); skipping %s",
+                          self.max_pages, url)
+                out.append(None)
+                continue
+            page_id = self.store.insert(url, title, text, emb)
+            out.append(page_id)
+            if page_id is not None:
+                accepted_rows.append(np.asarray(emb, np.float32))
+        if accepted_rows:
+            self.index.add(np.stack(accepted_rows))
+            METRICS.inc("pages_inserted", len(accepted_rows))
+        return out
+
+    # -- search -----------------------------------------------------------
+
+    def search_embeddings(
+        self, queries: np.ndarray, k: int = 20, instance_id: str = ""
+    ) -> list[SearchResult]:
+        """Batched query -> per-query top-k with metadata join
+        (search_provider.rs:202-248, batched)."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        t0 = time.perf_counter()
+        dists, ids = self.index.search(queries, k)
+        METRICS.observe("index_search", time.perf_counter() - t0)
+        results: list[SearchResult] = []
+        # device row id -> sqlite rowid: insertion order is identical and
+        # sqlite autoincrements from 1, so store_id = row_id + 1.
+        flat_ids = sorted({int(i) + 1 for i in ids.flatten() if i >= 0})
+        meta = self.store.get_many(flat_ids)
+        for b in range(queries.shape[0]):
+            pages = []
+            for d, i in zip(dists[b], ids[b]):
+                if i < 0 or not np.isfinite(d):
+                    continue
+                rec = meta.get(int(i) + 1)
+                if rec is None:
+                    continue
+                pages.append(FoundPage(
+                    page_id=rec.id, distance=float(d), url=rec.url,
+                    title=rec.title, text=rec.text, instance_id=instance_id))
+            results.append(SearchResult(pages=pages, pages_searched=len(self.index)))
+        METRICS.inc("searches", queries.shape[0])
+        return results
+
+    def embedding_for_page(self, page_id: int) -> np.ndarray | None:
+        return self.store.embedding_for_page(page_id)
+
+    def stats(self) -> dict:
+        return {"pages_indexed": len(self.store),
+                "index_bytes": self.index.nbytes,
+                "index_capacity": self.index.capacity}
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self) -> None:
+        """Snapshot the device index (search_provider.rs:173-181); SQLite
+        is already durable."""
+        if self.index_path:
+            t0 = time.perf_counter()
+            self.index.save(self.index_path)
+            log.info("saved index (%d rows) in %.2fs",
+                     len(self.index), time.perf_counter() - t0)
+
+    def shutdown(self) -> None:
+        self.save()
+        self.store.close()

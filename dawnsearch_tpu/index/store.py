@@ -1,0 +1,140 @@
+"""Durable SQLite page store — the source of truth for index rebuilds.
+
+Mirrors the reference schema and invariants
+(/root/reference/src/search/search_provider.rs:84-99):
+`page(id INTEGER PRIMARY KEY, url TEXT, title TEXT, text TEXT,
+embedding BLOB)` with a unique URL index; embeddings stored as 1536-byte
+little-endian f32 blobs, validated normalized on write and on verify
+(search_provider.rs:265-267, 289-327).
+
+Thread model: sqlite3 connections are per-thread; the provider runs in
+one worker thread (the reference runs SearchService on one blocking
+thread too, dawnsearch.rs:76-78), so a single connection suffices.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from typing import Iterator, NamedTuple
+
+import numpy as np
+
+from dawnsearch_tpu.ops.vector import EM_LEN, bytes_to_embedding, embedding_to_bytes
+
+
+class PageRecord(NamedTuple):
+    id: int
+    url: str
+    title: str
+    text: str
+
+
+class PageStore:
+    def __init__(self, path: str = ":memory:", dim: int = EM_LEN):
+        self.dim = dim
+        if path != ":memory:":
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.conn = sqlite3.connect(path)
+        self.conn.execute(
+            "CREATE TABLE IF NOT EXISTS page ("
+            " id INTEGER PRIMARY KEY,"
+            " url TEXT NOT NULL,"
+            " title TEXT NOT NULL,"
+            " text TEXT NOT NULL,"
+            " embedding BLOB NOT NULL)"
+        )
+        self.conn.execute(
+            "CREATE UNIQUE INDEX IF NOT EXISTS page_url ON page(url)"
+        )
+        self.conn.commit()
+
+    def __len__(self) -> int:
+        (n,) = self.conn.execute("SELECT COUNT(*) FROM page").fetchone()
+        return int(n)
+
+    def max_id(self) -> int:
+        (m,) = self.conn.execute("SELECT COALESCE(MAX(id), -1) FROM page").fetchone()
+        return int(m)
+
+    def has_url(self, url: str) -> bool:
+        """Duplicate-URL check before insert (search_provider.rs:254-263)."""
+        row = self.conn.execute(
+            "SELECT 1 FROM page WHERE url = ? LIMIT 1", (url,)
+        ).fetchone()
+        return row is not None
+
+    def insert(self, url: str, title: str, text: str,
+               embedding: np.ndarray) -> int | None:
+        """Insert; returns new rowid or None on duplicate URL."""
+        blob = embedding_to_bytes(embedding)  # validates normalization
+        try:
+            cur = self.conn.execute(
+                "INSERT INTO page (url, title, text, embedding) VALUES (?,?,?,?)",
+                (url, title, text, blob),
+            )
+        except sqlite3.IntegrityError:
+            return None
+        self.conn.commit()
+        return int(cur.lastrowid)
+
+    def get(self, page_id: int) -> tuple[PageRecord, np.ndarray] | None:
+        row = self.conn.execute(
+            "SELECT id, url, title, text, embedding FROM page WHERE id = ?",
+            (page_id,),
+        ).fetchone()
+        if row is None:
+            return None
+        return PageRecord(*row[:4]), bytes_to_embedding(row[4], self.dim)
+
+    def get_many(self, page_ids: list[int]) -> dict[int, PageRecord]:
+        """Metadata join for search hits (search_provider.rs:218-240)."""
+        if not page_ids:
+            return {}
+        q = ",".join("?" * len(page_ids))
+        rows = self.conn.execute(
+            f"SELECT id, url, title, text FROM page WHERE id IN ({q})", page_ids
+        ).fetchall()
+        return {r[0]: PageRecord(*r) for r in rows}
+
+    def embedding_for_page(self, page_id: int) -> np.ndarray | None:
+        """More-like-this lookup (search_provider.rs:183-195)."""
+        row = self.conn.execute(
+            "SELECT embedding FROM page WHERE id = ?", (page_id,)
+        ).fetchone()
+        return None if row is None else bytes_to_embedding(row[0], self.dim)
+
+    def iter_embeddings(self, batch: int = 4096
+                        ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """(ids, embeddings) batches in id order — index rebuild source
+        (search_provider.rs:127-153)."""
+        cur = self.conn.execute("SELECT id, embedding FROM page ORDER BY id")
+        while True:
+            rows = cur.fetchmany(batch)
+            if not rows:
+                return
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            embs = np.stack([
+                np.frombuffer(r[1], dtype="<f4") for r in rows
+            ])
+            yield ids, embs
+
+    def verify(self) -> int:
+        """Scan every embedding for byte length and normalization
+        (search_provider.rs:289-327). Returns number of rows checked;
+        raises on the first corrupt row."""
+        n = 0
+        cur = self.conn.execute("SELECT id, embedding FROM page ORDER BY id")
+        while True:
+            rows = cur.fetchmany(4096)
+            if not rows:
+                return n
+            for page_id, blob in rows:
+                try:
+                    bytes_to_embedding(blob, self.dim)
+                except ValueError as e:
+                    raise ValueError(f"page {page_id}: {e}") from e
+                n += 1
+
+    def close(self) -> None:
+        self.conn.close()

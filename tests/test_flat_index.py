@@ -1,0 +1,131 @@
+"""FlatIndex: exactness vs numpy brute force, growth, chunked scan, i8 recall."""
+
+import numpy as np
+import pytest
+
+from dawnsearch_tpu.index.flat import FlatIndex
+
+
+def brute_force(q, x, k):
+    d = 1.0 - q @ x.T
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+def test_exact_f32(unit_vectors):
+    x = unit_vectors(500)
+    q = unit_vectors(4)
+    idx = FlatIndex(dtype="f32", capacity=512)
+    idx.add(x)
+    d, i = idx.search(q, 10)
+    bd, bi = brute_force(q, x, 10)
+    np.testing.assert_allclose(d, bd, atol=1e-3)
+    # indices can permute on near-ties; compare sets with distance check
+    for b in range(4):
+        assert set(i[b]) == set(bi[b]) or np.allclose(d[b], bd[b], atol=1e-3)
+
+
+def test_masking_before_full(unit_vectors):
+    x = unit_vectors(10)
+    idx = FlatIndex(dtype="f32", capacity=1024)
+    idx.add(x)
+    d, i = idx.search(x[:1], 20)
+    valid = i >= 0
+    assert valid.sum() == 10  # only 10 real rows
+    assert np.all(np.isinf(d[~valid]))
+    assert i[0, 0] == 0 and d[0, 0] < 1e-4  # self-match first
+
+
+def test_empty_index(unit_vectors):
+    idx = FlatIndex(dtype="f32")
+    d, i = idx.search(unit_vectors(1), 5)
+    assert np.all(i == -1) and np.all(np.isinf(d))
+
+
+def test_growth_preserves_rows(unit_vectors):
+    idx = FlatIndex(dtype="f32", capacity=64, segment=64)
+    all_rows = []
+    for _ in range(5):
+        batch = unit_vectors(50)
+        all_rows.append(batch)
+        idx.add(batch)
+    x = np.concatenate(all_rows)
+    assert len(idx) == 250 and idx.capacity >= 250
+    q = x[123:124]
+    d, i = idx.search(q, 1)
+    assert i[0, 0] == 123 and d[0, 0] < 1e-4
+
+
+def test_max_capacity_enforced(unit_vectors):
+    idx = FlatIndex(dtype="f32", capacity=64, segment=64, max_capacity=64)
+    idx.add(unit_vectors(64))
+    with pytest.raises(RuntimeError, match="full"):
+        idx.add(unit_vectors(1))
+
+
+def test_chunked_scan_matches_single_shot(unit_vectors):
+    # chunk smaller than capacity forces the lax.scan path
+    x = unit_vectors(1000)
+    q = unit_vectors(3)
+    small = FlatIndex(dtype="f32", capacity=1024, segment=256, chunk=256)
+    big = FlatIndex(dtype="f32", capacity=1024, segment=1024, chunk=65536)
+    small.add(x)
+    big.add(x)
+    d1, i1 = small.search(q, 10)
+    d2, i2 = big.search(q, 10)
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_i8_recall_at_10(unit_vectors):
+    x = unit_vectors(5000)
+    q = unit_vectors(8)
+    idx = FlatIndex(dtype="i8", capacity=8192)
+    idx.add(x)
+    d, i = idx.search(q, 10)
+    _, bi = brute_force(q, x, 10)
+    recall = np.mean([len(set(i[b]) & set(bi[b])) / 10 for b in range(8)])
+    assert recall >= 0.9, recall
+
+
+def test_bf16_recall_at_10(unit_vectors):
+    x = unit_vectors(3000)
+    q = unit_vectors(4)
+    idx = FlatIndex(dtype="bf16", capacity=4096)
+    idx.add(x)
+    _, i = idx.search(q, 10)
+    _, bi = brute_force(q, x, 10)
+    recall = np.mean([len(set(i[b]) & set(bi[b])) / 10 for b in range(4)])
+    assert recall >= 0.9, recall
+
+
+def test_k_larger_than_capacity(unit_vectors):
+    idx = FlatIndex(dtype="f32", capacity=64, segment=64)
+    idx.add(unit_vectors(5))
+    d, i = idx.search(unit_vectors(1), 100)
+    assert d.shape == (1, 100)
+    assert (i >= 0).sum() == 5
+
+
+def test_save_load_roundtrip(tmp_path, unit_vectors):
+    x = unit_vectors(100)
+    idx = FlatIndex(dtype="i8", capacity=128, segment=128)
+    idx.add(x)
+    p = str(tmp_path / "index.dawn.npz")
+    idx.save(p)
+    idx2 = FlatIndex.load(p)
+    assert len(idx2) == 100 and idx2.dtype == "i8"
+    q = unit_vectors(2)
+    d1, i1 = idx.search(q, 5)
+    d2, i2 = idx2.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+
+
+def test_reconstruct(unit_vectors):
+    x = unit_vectors(10)
+    idx = FlatIndex(dtype="i8", capacity=64, segment=64)
+    idx.add(x)
+    r = idx.reconstruct(3)
+    cos = float(r @ x[3] / np.linalg.norm(r))
+    assert cos > 0.999

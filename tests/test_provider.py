@@ -1,0 +1,110 @@
+"""SearchProvider: insert/search/save/rebuild/verify (vs search_provider.rs)."""
+
+import numpy as np
+import pytest
+
+from dawnsearch_tpu.index.provider import SearchProvider
+
+
+def make_pages(unit_vectors, n, prefix="p"):
+    embs = unit_vectors(n)
+    urls = [f"http://{prefix}{i}" for i in range(n)]
+    titles = [f"Title {prefix}{i}" for i in range(n)]
+    texts = [f"text body {prefix}{i}" for i in range(n)]
+    return urls, titles, texts, embs
+
+
+def test_insert_and_search(unit_vectors):
+    sp = SearchProvider(data_dir=None, index_dtype="f32")
+    urls, titles, texts, embs = make_pages(unit_vectors, 50)
+    ids = sp.insert_pages(urls, titles, texts, embs)
+    assert all(i is not None for i in ids)
+    res = sp.search_embeddings(embs[7], k=5)[0]
+    assert res.pages_searched == 50
+    assert res.pages[0].url == "http://p7"
+    assert res.pages[0].distance < 1e-4
+    assert res.pages[0].title == "Title p7"
+
+
+def test_batched_search(unit_vectors):
+    sp = SearchProvider(data_dir=None, index_dtype="f32")
+    urls, titles, texts, embs = make_pages(unit_vectors, 30)
+    sp.insert_pages(urls, titles, texts, embs)
+    results = sp.search_embeddings(embs[:4], k=3)
+    assert len(results) == 4
+    for b, res in enumerate(results):
+        assert res.pages[0].url == f"http://p{b}"
+
+
+def test_duplicate_urls_not_indexed(unit_vectors):
+    sp = SearchProvider(data_dir=None, index_dtype="f32")
+    urls, titles, texts, embs = make_pages(unit_vectors, 5)
+    sp.insert_pages(urls, titles, texts, embs)
+    ids = sp.insert_pages(urls[:2], titles[:2], texts[:2], embs[:2])
+    assert ids == [None, None]
+    assert len(sp.index) == 5 and len(sp.store) == 5
+
+
+def test_page_cap(unit_vectors):
+    sp = SearchProvider(data_dir=None, index_dtype="f32", max_pages=3)
+    urls, titles, texts, embs = make_pages(unit_vectors, 5)
+    ids = sp.insert_pages(urls, titles, texts, embs)
+    assert sum(i is not None for i in ids) == 3
+    assert sp.stats()["pages_indexed"] == 3
+
+
+def test_save_load_snapshot(tmp_path, unit_vectors):
+    d = str(tmp_path)
+    sp = SearchProvider(data_dir=d, index_dtype="f32")
+    urls, titles, texts, embs = make_pages(unit_vectors, 20)
+    sp.insert_pages(urls, titles, texts, embs)
+    sp.shutdown()
+
+    sp2 = SearchProvider(data_dir=d, index_dtype="f32")
+    assert len(sp2.index) == 20
+    res = sp2.search_embeddings(embs[3], k=1)[0]
+    assert res.pages[0].url == "http://p3"
+    sp2.shutdown()
+
+
+def test_rebuild_from_db_when_snapshot_missing(tmp_path, unit_vectors):
+    import os
+    d = str(tmp_path)
+    sp = SearchProvider(data_dir=d, index_dtype="f32")
+    urls, titles, texts, embs = make_pages(unit_vectors, 12)
+    sp.insert_pages(urls, titles, texts, embs)
+    sp.store.conn.commit()
+    # simulate crash before save: delete snapshot if any, keep sqlite
+    sp.store.close()
+    idx_path = sp.index_path
+    if os.path.exists(idx_path):
+        os.remove(idx_path)
+
+    sp2 = SearchProvider(data_dir=d, index_dtype="f32")
+    assert len(sp2.index) == 12  # rebuilt from DB (search_provider.rs:127-153)
+    res = sp2.search_embeddings(embs[5], k=1)[0]
+    assert res.pages[0].url == "http://p5"
+    sp2.shutdown()
+
+
+def test_stale_snapshot_triggers_rebuild(tmp_path, unit_vectors):
+    d = str(tmp_path)
+    sp = SearchProvider(data_dir=d, index_dtype="f32")
+    urls, titles, texts, embs = make_pages(unit_vectors, 8)
+    sp.insert_pages(urls[:4], titles[:4], texts[:4], embs[:4])
+    sp.save()
+    # more inserts after the snapshot -> snapshot stale
+    sp.insert_pages(urls[4:], titles[4:], texts[4:], embs[4:])
+    sp.store.close()
+
+    sp2 = SearchProvider(data_dir=d, index_dtype="f32")
+    assert len(sp2.index) == 8
+    sp2.shutdown()
+
+
+def test_embedding_for_page_roundtrip(unit_vectors):
+    sp = SearchProvider(data_dir=None, index_dtype="f32")
+    urls, titles, texts, embs = make_pages(unit_vectors, 3)
+    sp.insert_pages(urls, titles, texts, embs)
+    emb = sp.embedding_for_page(2)
+    np.testing.assert_allclose(emb, embs[1], atol=1e-7)

@@ -1,0 +1,83 @@
+"""SQLite page store tests (vs search_provider.rs:84-99,254-327)."""
+
+import numpy as np
+import pytest
+
+from dawnsearch_tpu.index.store import PageStore
+
+
+@pytest.fixture
+def store():
+    s = PageStore(":memory:")
+    yield s
+    s.close()
+
+
+def test_insert_get_roundtrip(store, unit_vectors):
+    v = unit_vectors(1)[0]
+    pid = store.insert("http://a", "Title A", "text a", v)
+    assert pid == 1
+    rec, emb = store.get(pid)
+    assert rec.url == "http://a" and rec.title == "Title A"
+    np.testing.assert_array_equal(emb, v)
+
+
+def test_duplicate_url_skipped(store, unit_vectors):
+    v = unit_vectors(2)
+    assert store.insert("http://a", "t", "x", v[0]) == 1
+    assert store.insert("http://a", "t2", "x2", v[1]) is None
+    assert len(store) == 1
+    assert store.has_url("http://a")
+    assert not store.has_url("http://b")
+
+
+def test_rejects_unnormalized(store, rng):
+    v = rng.standard_normal(384).astype(np.float32) * 3
+    with pytest.raises(ValueError):
+        store.insert("http://a", "t", "x", v)
+
+
+def test_iter_embeddings_order(store, unit_vectors):
+    vs = unit_vectors(10)
+    for i, v in enumerate(vs):
+        store.insert(f"http://{i}", f"t{i}", "x", v)
+    batches = list(store.iter_embeddings(batch=4))
+    ids = np.concatenate([b[0] for b in batches])
+    embs = np.concatenate([b[1] for b in batches])
+    np.testing.assert_array_equal(ids, np.arange(1, 11))
+    np.testing.assert_allclose(embs, vs, atol=1e-7)
+
+
+def test_get_many(store, unit_vectors):
+    vs = unit_vectors(5)
+    for i, v in enumerate(vs):
+        store.insert(f"http://{i}", f"t{i}", "x", v)
+    meta = store.get_many([1, 3, 99])
+    assert set(meta) == {1, 3}
+    assert meta[3].url == "http://2"
+
+
+def test_verify_detects_corruption(store, unit_vectors):
+    store.insert("http://a", "t", "x", unit_vectors(1)[0])
+    assert store.verify() == 1
+    store.conn.execute("UPDATE page SET embedding = ? WHERE id = 1",
+                       (b"\x00" * 1536,))
+    with pytest.raises(ValueError, match="page 1"):
+        store.verify()
+
+
+def test_embedding_for_page(store, unit_vectors):
+    v = unit_vectors(1)[0]
+    store.insert("http://a", "t", "x", v)
+    np.testing.assert_array_equal(store.embedding_for_page(1), v)
+    assert store.embedding_for_page(42) is None
+
+
+def test_persistence(tmp_path, unit_vectors):
+    p = str(tmp_path / "pages.sqlite")
+    s1 = PageStore(p)
+    s1.insert("http://a", "t", "x", unit_vectors(1)[0])
+    s1.close()
+    s2 = PageStore(p)
+    assert len(s2) == 1
+    s2.close()
