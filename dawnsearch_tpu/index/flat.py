@@ -73,9 +73,9 @@ def _chunk_scores(q: jax.Array, chunk_codes: jax.Array,
     return 1.0 - dots * chunk_scales[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def _search(codes: jax.Array, scales: jax.Array | None, queries: jax.Array,
-            count: jax.Array, k: int, chunk: int) -> tuple[jax.Array, jax.Array]:
+def search_kernel(codes: jax.Array, scales: jax.Array | None, queries: jax.Array,
+                  count: jax.Array, k: int, chunk: int
+                  ) -> tuple[jax.Array, jax.Array]:
     """Chunked exact search -> (distances (B,k) asc, row ids (B,k)).
 
     Invalid slots (>= count) come back with distance +inf and id -1.
@@ -123,6 +123,9 @@ def _search(codes: jax.Array, scales: jax.Array | None, queries: jax.Array,
     (dists, ids), _ = jax.lax.scan(body, init, xs)
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
+
+
+_search = functools.partial(jax.jit, static_argnames=("k", "chunk"))(search_kernel)
 
 
 class FlatIndex:

@@ -1,0 +1,259 @@
+"""ShardedFlatIndex: device-parallel exact search over a Mesh.
+
+The in-pod replacement for the reference's peer fan-out: where DawnSearch
+broadcasts a query datagram to every peer and merges Page replies on the
+host (udp_service.rs:297-330, search_service.rs:213-276), here every
+device owns a disjoint row shard, scores it locally under `shard_map`,
+and the merge is `lax.top_k` over an `all_gather` of (distances, ids)
+riding ICI — one XLA program, no host round-trips.
+
+Layout:
+- codes  (S, cap, D)  P("shard", None, None)   vector data (f32/bf16/i8)
+- scales (S, cap)     P("shard", None)         i8 per-row scales
+- ids    (S, cap)     P("shard", None)         user ids, gathered at search
+- counts (S,)         P("shard")               valid rows per shard
+
+User ids live device-side so results need no host-side remapping and
+stay stable across capacity growth. Inserts are host-coordinated,
+balance-striped to the least-full shards, then written with one
+shard_map dynamic-update (each device writes at its own offset).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dawnsearch_tpu.index.flat import DEFAULT_CHUNK, DEFAULT_SEGMENT, search_kernel
+from dawnsearch_tpu.ops.vector import EM_LEN
+from dawnsearch_tpu.parallel.mesh import make_mesh
+
+AXIS = "shard"
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "mesh", "has_scales"))
+def _sharded_search(codes, scales, ids, counts, queries, *, k: int,
+                    chunk: int, mesh: Mesh, has_scales: bool):
+    """Replicated queries -> replicated merged (distances, user ids)."""
+
+    def local(codes_blk, scales_blk, ids_blk, counts_blk, q):
+        cap = codes_blk.shape[1]
+        B = q.shape[0]
+        sc = scales_blk[0] if has_scales else None
+        d, i = search_kernel(codes_blk[0], sc, q, counts_blk[0], k, chunk)
+        safe = jnp.clip(i, 0, cap - 1)
+        uid = jnp.where(i >= 0, ids_blk[0][safe], -1)
+        all_d = jax.lax.all_gather(d, AXIS)  # (S, B, k)
+        all_u = jax.lax.all_gather(uid, AXIS)
+        S = all_d.shape[0]
+        all_d = jnp.transpose(all_d, (1, 0, 2)).reshape(B, S * k)
+        all_u = jnp.transpose(all_u, (1, 0, 2)).reshape(B, S * k)
+        neg, sel = jax.lax.top_k(-all_d, k)
+        return -neg, jnp.take_along_axis(all_u, sel, axis=1)
+
+    scales_spec = P(AXIS, None) if has_scales else P()
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None, None), scales_spec, P(AXIS, None), P(AXIS),
+                  P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(codes, scales, ids, counts, queries)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "has_scales"),
+                   donate_argnums=(0, 1, 2))
+def _sharded_write(codes, scales, ids, row_blocks, scale_blocks, id_blocks,
+                   starts, *, mesh: Mesh, has_scales: bool):
+    """Each shard writes its padded block at its own row offset."""
+
+    def local(codes_blk, scales_blk, ids_blk, rows, scs, uids, start):
+        s = start[0]
+        codes_out = jax.lax.dynamic_update_slice(codes_blk, rows, (0, s, 0))
+        ids_out = jax.lax.dynamic_update_slice(ids_blk, uids, (0, s))
+        if has_scales:
+            scales_out = jax.lax.dynamic_update_slice(scales_blk, scs, (0, s))
+        else:
+            scales_out = scales_blk
+        return codes_out, scales_out, ids_out
+
+    scales_spec = P(AXIS, None) if has_scales else P()
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None, None), scales_spec, P(AXIS, None),
+                  P(AXIS, None, None), scales_spec, P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None, None), scales_spec, P(AXIS, None)),
+        check_vma=False,
+    )(codes, scales, ids, row_blocks, scale_blocks, id_blocks, starts)
+
+
+class ShardedFlatIndex:
+    """Exact index sharded over a mesh axis "shard". API mirrors FlatIndex
+    but ids are user-assigned (default: global insertion order)."""
+
+    def __init__(
+        self,
+        mesh: Mesh | None = None,
+        dim: int = EM_LEN,
+        dtype: str = "i8",
+        capacity_per_shard: int = DEFAULT_SEGMENT,
+        segment: int = DEFAULT_SEGMENT,
+        chunk: int = DEFAULT_CHUNK,
+        max_capacity: int | None = None,
+    ):
+        if dtype not in ("f32", "bf16", "i8"):
+            raise ValueError(f"unsupported dtype {dtype}")
+        self.mesh = mesh if mesh is not None else make_mesh()
+        if AXIS not in self.mesh.shape:
+            raise ValueError(f'mesh must have a "{AXIS}" axis')
+        self.n_shards = self.mesh.shape[AXIS]
+        self.dim = dim
+        self.dtype = dtype
+        self.segment = segment
+        self.chunk = chunk
+        self.max_capacity = max_capacity
+        self.cap_per_shard = _round_up(max(capacity_per_shard, segment), segment)
+        self._counts = np.zeros(self.n_shards, dtype=np.int64)
+        self._next_id = 0
+        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[dtype]
+        S, cap = self.n_shards, self.cap_per_shard
+        self._codes = jax.device_put(
+            jnp.zeros((S, cap, dim), jdt), self._shard3)
+        self._scales = (jax.device_put(jnp.ones((S, cap), jnp.float32),
+                                       self._shard2)
+                        if dtype == "i8" else jnp.zeros((), jnp.float32))
+        self._ids = jax.device_put(
+            jnp.full((S, cap), -1, jnp.int32), self._shard2)
+
+    @property
+    def _shard3(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(AXIS, None, None))
+
+    @property
+    def _shard2(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(AXIS, None))
+
+    @property
+    def _shard1(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(AXIS))
+
+    def __len__(self) -> int:
+        return int(self._counts.sum())
+
+    @property
+    def nbytes(self) -> int:
+        n = self._codes.size * self._codes.dtype.itemsize + self._ids.size * 4
+        if self.dtype == "i8":
+            n += self._scales.size * 4
+        return n
+
+    def _grow(self, needed_per_shard: int) -> None:
+        new_cap = self.cap_per_shard
+        while new_cap < needed_per_shard:
+            new_cap *= 2
+        if self.max_capacity is not None:
+            limit = _round_up(
+                -(-self.max_capacity // self.n_shards), self.segment)
+            new_cap = min(new_cap, max(limit, self.cap_per_shard))
+        if new_cap <= self.cap_per_shard:
+            raise RuntimeError("sharded index full")
+        pad = new_cap - self.cap_per_shard
+        self._codes = jax.device_put(
+            jnp.pad(self._codes, ((0, 0), (0, pad), (0, 0))), self._shard3)
+        if self.dtype == "i8":
+            self._scales = jax.device_put(
+                jnp.pad(self._scales, ((0, 0), (0, pad)), constant_values=1.0),
+                self._shard2)
+        self._ids = jax.device_put(
+            jnp.pad(self._ids, ((0, 0), (0, pad)), constant_values=-1),
+            self._shard2)
+        self.cap_per_shard = new_cap
+
+    def add(self, vectors: np.ndarray | jax.Array,
+            ids: np.ndarray | None = None) -> np.ndarray:
+        rows = np.asarray(vectors, np.float32)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        n = rows.shape[0]
+        if n == 0:
+            return np.empty((0,), np.int64)
+        if ids is None:
+            ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
+        self._next_id = max(self._next_id, int(ids.max()) + 1)
+
+        # Balance-stripe: repeatedly give the next row to the least-full shard.
+        assign = np.zeros(n, dtype=np.int64)
+        counts = self._counts.copy()
+        for r in range(n):
+            s = int(np.argmin(counts))
+            assign[r] = s
+            counts[s] += 1
+        per_shard = [np.nonzero(assign == s)[0] for s in range(self.n_shards)]
+        max_rows = max(len(p) for p in per_shard)
+        if (self._counts.max() + max_rows) > self.cap_per_shard:
+            self._grow(int(self._counts.max()) + max_rows)
+
+        S, D = self.n_shards, self.dim
+        if self.dtype == "i8":
+            absmax = np.abs(rows).max(axis=1)
+            scs = np.maximum(absmax, 1e-12) / 127.0
+            data = np.clip(np.round(rows / scs[:, None]), -127, 127)
+        row_blocks = np.zeros((S, max_rows, D), np.float32)
+        scale_blocks = np.ones((S, max_rows), np.float32)
+        id_blocks = np.full((S, max_rows), -1, np.int32)
+        starts = np.zeros((S,), np.int32)
+        for s in range(S):
+            sel = per_shard[s]
+            starts[s] = self._counts[s]
+            if len(sel):
+                row_blocks[s, : len(sel)] = (data[sel] if self.dtype == "i8"
+                                             else rows[sel])
+                id_blocks[s, : len(sel)] = ids[sel]
+                if self.dtype == "i8":
+                    scale_blocks[s, : len(sel)] = scs[sel]
+
+        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[self.dtype]
+        has_scales = self.dtype == "i8"
+        self._codes, self._scales, self._ids = _sharded_write(
+            self._codes, self._scales, self._ids,
+            jax.device_put(jnp.asarray(row_blocks, jdt), self._shard3),
+            jax.device_put(jnp.asarray(scale_blocks), self._shard2)
+            if has_scales else jnp.zeros((), jnp.float32),
+            jax.device_put(jnp.asarray(id_blocks), self._shard2),
+            jax.device_put(jnp.asarray(starts), self._shard1),
+            mesh=self.mesh, has_scales=has_scales,
+        )
+        for s in range(S):
+            self._counts[s] += len(per_shard[s])
+        return ids
+
+    def search(self, queries: np.ndarray | jax.Array, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact global top-k -> (distances (B,k) asc, user ids; -1 = empty)."""
+        q = jnp.asarray(queries, jnp.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        k_local = min(k, self.cap_per_shard)
+        d, u = _sharded_search(
+            self._codes, self._scales, self._ids,
+            jnp.asarray(self._counts, jnp.int32), q,
+            k=k_local, chunk=self.chunk, mesh=self.mesh,
+            has_scales=self.dtype == "i8")
+        d, u = np.asarray(d), np.asarray(u)
+        if k_local < k:
+            d = np.pad(d, ((0, 0), (0, k - k_local)), constant_values=np.inf)
+            u = np.pad(u, ((0, 0), (0, k - k_local)), constant_values=-1)
+        d, u = d[:, :k], u[:, :k]
+        if single:
+            return d[0], u[0]
+        return d, u

@@ -8,15 +8,19 @@ jax initializes a backend, hence top of conftest.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env pins JAX_PLATFORMS=axon (TPU)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The environment pins JAX_PLATFORMS=axon and a sitecustomize imports jax
+# at interpreter startup, so env vars are too late — use jax.config, which
+# takes effect because backends initialize lazily.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for tests"
 
 
 @pytest.fixture
