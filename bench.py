@@ -1,0 +1,120 @@
+"""Headline benchmark. Prints ONE JSON line to stdout:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: all-MiniLM-L6-v2 embedding throughput in sentences/sec
+on one chip — the reference embeds ONE text per service message
+(/root/reference/src/embedding/embedding_service.rs:157-167) and its
+only stated rebuild target is >=10k sentences/sec/chip (BASELINE.md).
+vs_baseline is measured/10_000 against that target.
+
+Secondary metrics (search QPS on a 1M-row i8 index, end-to-end
+embed+search QPS) go to stderr as extra JSON lines for the record.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(obj) -> None:
+    print(json.dumps(obj), file=sys.stderr, flush=True)
+
+
+def bench_embed(reps: int = 2) -> float:
+    """Sustained sentences/sec in bf16 at (batch=2048, seq=128); seq 128
+    covers the reference's 2048-char page cap (page_source.rs:112-113).
+
+    Dispatch overhead through the driver's device tunnel is ~hundreds of
+    ms, so many batches run inside ONE dispatch via lax.scan and the
+    result is read back to host (block_until_ready alone does not block
+    through the tunnel)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.models.bert import BertConfig, encode_batch
+    from dawnsearch_tpu.models.weights import init_params
+
+    n_chunks, batch, seq = 16, 2048, 128
+    cfg = BertConfig(dtype=jnp.bfloat16)
+    params = init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1000, 30000, (n_chunks, batch, seq)),
+                      jnp.int32)
+    mask = jnp.ones((n_chunks, batch, seq), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def encode_many(params, ids_chunks, mask_chunks, cfg):
+        def body(_, inp):
+            return None, encode_batch(params, inp[0], inp[1], cfg=cfg)
+        return jax.lax.scan(body, None, (ids_chunks, mask_chunks))[1]
+
+    np.asarray(encode_many(params, ids, mask, cfg))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(encode_many(params, ids, mask, cfg)[0, 0, 0])  # forced readback
+    dt = time.perf_counter() - t0
+    sps = reps * n_chunks * batch / dt
+    log({"metric": "embed_sentences_per_sec", "value": round(sps, 1),
+         "unit": "sentences/s", "batch": batch, "seq": seq,
+         "chunks_per_dispatch": n_chunks, "dtype": "bf16"})
+    return sps
+
+
+def bench_search(n_rows: int = 1_000_000, batch: int = 1024,
+                 k: int = 10, reps: int = 5) -> float:
+    """Query QPS over a 1M-row i8 exact index (BASELINE.json config 3)."""
+    import jax
+
+    from dawnsearch_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(1)
+    index = FlatIndex(dtype="i8", capacity=n_rows, max_capacity=n_rows,
+                      segment=n_rows)
+    add_bs = 131072
+    t0 = time.perf_counter()
+    for s in range(0, n_rows, add_bs):
+        n = min(add_bs, n_rows - s)
+        v = rng.standard_normal((n, 384)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        index.add(v)
+    build_s = time.perf_counter() - t0
+    q = rng.standard_normal((batch, 384)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+
+    index.search(q, k)  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        d, i = index.search(q, k)
+    dt = time.perf_counter() - t0
+    qps = reps * batch / dt
+    log({"metric": "search_qps_1m_i8", "value": round(qps, 1), "unit": "qps",
+         "rows": n_rows, "batch": batch, "k": k,
+         "build_s": round(build_s, 1),
+         "index_mb": round(index.nbytes / 1e6, 1),
+         "per_batch_ms": round(1000 * dt / reps, 2)})
+    return qps
+
+
+def main() -> None:
+    sps = bench_embed()
+    try:
+        bench_search()
+    except Exception as e:  # secondary metric must not sink the headline
+        log({"metric": "search_qps_1m_i8", "error": repr(e)})
+    print(json.dumps({
+        "metric": "embed_sentences_per_sec",
+        "value": round(sps, 1),
+        "unit": "sentences/s",
+        "vs_baseline": round(sps / 10_000.0, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

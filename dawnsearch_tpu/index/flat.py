@@ -73,28 +73,51 @@ def _chunk_scores(q: jax.Array, chunk_codes: jax.Array,
     return 1.0 - dots * chunk_scales[None, :]
 
 
+def _block_topk(q: jax.Array, block_codes: jax.Array,
+                block_scales: jax.Array | None, offset, count: jax.Array,
+                k: int) -> tuple[jax.Array, jax.Array]:
+    """Top-k over one contiguous row block at global row `offset`.
+    Rows with global id >= count score +inf."""
+    n = block_codes.shape[0]
+    scores = _chunk_scores(q, block_codes, block_scales)
+    global_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) + offset
+    scores = jnp.where(global_ids < count, scores, jnp.inf)
+    neg, idx = jax.lax.top_k(-scores, min(k, n))
+    ids = jnp.take_along_axis(
+        jnp.broadcast_to(global_ids, scores.shape), idx, axis=1)
+    return -neg, ids
+
+
+def _merge_topk(best: tuple[jax.Array, jax.Array],
+                cand: tuple[jax.Array, jax.Array], k: int
+                ) -> tuple[jax.Array, jax.Array]:
+    d = jnp.concatenate([best[0], cand[0]], axis=1)
+    i = jnp.concatenate([best[1], cand[1]], axis=1)
+    neg, sel = jax.lax.top_k(-d, k)
+    return -neg, jnp.take_along_axis(i, sel, axis=1)
+
+
 def search_kernel(codes: jax.Array, scales: jax.Array | None, queries: jax.Array,
                   count: jax.Array, k: int, chunk: int
                   ) -> tuple[jax.Array, jax.Array]:
     """Chunked exact search -> (distances (B,k) asc, row ids (B,k)).
 
     Invalid slots (>= count) come back with distance +inf and id -1.
+    Capacity need not divide `chunk`: full chunks run under lax.scan
+    with a running merge, the remainder block merges at the end.
     """
     cap = codes.shape[0]
     B = queries.shape[0]
     q = queries.astype(jnp.float32)
     if cap <= chunk:
-        scores = _chunk_scores(q, codes, scales)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-        scores = jnp.where(row_ids < count, scores, jnp.inf)
-        neg, idx = jax.lax.top_k(-scores, k)
-        dists = -neg
-        ids = jnp.where(jnp.isfinite(dists), idx, -1)
-        return dists, ids
+        dists, ids = _block_topk(q, codes, scales, 0, count, k)
+        return dists, jnp.where(jnp.isfinite(dists), ids, -1)
 
-    n_chunks = cap // chunk
-    codes_c = codes.reshape(n_chunks, chunk, codes.shape[1])
-    scales_c = None if scales is None else scales.reshape(n_chunks, chunk)
+    n_full = cap // chunk
+    rem = cap - n_full * chunk
+    codes_c = codes[: n_full * chunk].reshape(n_full, chunk, codes.shape[1])
+    scales_c = (None if scales is None
+                else scales[: n_full * chunk].reshape(n_full, chunk))
 
     init = (jnp.full((B, k), jnp.inf, jnp.float32),
             jnp.full((B, k), -1, jnp.int32))
@@ -105,22 +128,18 @@ def search_kernel(codes: jax.Array, scales: jax.Array | None, queries: jax.Array
             chunk_scales = None
         else:
             c_idx, chunk_codes, chunk_scales = inp
-        best_d, best_i = carry
-        scores = _chunk_scores(q, chunk_codes, chunk_scales)
-        local = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        global_ids = local + c_idx * chunk
-        scores = jnp.where(global_ids < count, scores, jnp.inf)
-        neg, idx = jax.lax.top_k(-scores, k)
-        cand_d = jnp.concatenate([best_d, -neg], axis=1)
-        cand_i = jnp.concatenate(
-            [best_i, jnp.take_along_axis(jnp.broadcast_to(global_ids, (B, chunk)),
-                                         idx, axis=1)], axis=1)
-        neg2, sel = jax.lax.top_k(-cand_d, k)
-        return (-neg2, jnp.take_along_axis(cand_i, sel, axis=1)), None
+        cand = _block_topk(q, chunk_codes, chunk_scales, c_idx * chunk,
+                           count, k)
+        return _merge_topk(carry, cand, k), None
 
-    xs = (jnp.arange(n_chunks, dtype=jnp.int32), codes_c) if scales_c is None \
-        else (jnp.arange(n_chunks, dtype=jnp.int32), codes_c, scales_c)
+    xs = (jnp.arange(n_full, dtype=jnp.int32), codes_c) if scales_c is None \
+        else (jnp.arange(n_full, dtype=jnp.int32), codes_c, scales_c)
     (dists, ids), _ = jax.lax.scan(body, init, xs)
+    if rem:
+        tail = _block_topk(q, codes[n_full * chunk:],
+                           None if scales is None else scales[n_full * chunk:],
+                           n_full * chunk, count, k)
+        dists, ids = _merge_topk((dists, ids), tail, k)
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
 
