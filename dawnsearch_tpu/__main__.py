@@ -1,0 +1,61 @@
+"""CLI: `python -m dawnsearch_tpu` runs a node; `... track` runs the tracker.
+
+The reference ships two binaries — `dawnsearch` (src/bin/dawnsearch.rs)
+and `dawntrack` (src/bin/dawntrack.rs). Here they are subcommands of one
+entry point. Config comes from DawnSearch.toml + DAWNSEARCH_* env vars
+(config.rs:42-73), with a few direct CLI overrides for convenience.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="dawnsearch_tpu",
+        description="TPU-native distributed semantic search engine")
+    parser.add_argument("--config", default="DawnSearch.toml",
+                        help="TOML config path (default: DawnSearch.toml)")
+    parser.add_argument("--web", action="store_true",
+                        help="serve the search UI (overrides config)")
+    parser.add_argument("--udp", action="store_true",
+                        help="join the P2P network (overrides config)")
+    parser.add_argument("--index-cc", action="store_true",
+                        help="ingest Common Crawl (overrides config)")
+    parser.add_argument("--data-dir", default=None)
+    parser.add_argument("--listen", default=None,
+                        help="web listen address host:port")
+    sub = parser.add_subparsers(dest="command")
+    track = sub.add_parser("track", help="run the rendezvous tracker "
+                                         "(reference: dawntrack)")
+    track.add_argument("--listen", default="0.0.0.0:7230")
+    args = parser.parse_args(argv)
+
+    if args.command == "track":
+        from dawnsearch_tpu.net.tracker import Tracker
+        Tracker(args.listen).run_forever()
+        return 0
+
+    from dawnsearch_tpu.config import Config
+    from dawnsearch_tpu.node import DawnNode
+
+    cfg = Config.load(args.config)
+    if args.web:
+        cfg.web = True
+    if args.udp:
+        cfg.udp = True
+    if args.index_cc:
+        cfg.index_cc = True
+    if args.data_dir:
+        cfg.data_dir = args.data_dir
+    if args.listen:
+        cfg.web_listen_address = args.listen
+    print(cfg.summary())
+    node = DawnNode(cfg).start()
+    node.run_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -75,7 +75,8 @@ class SearchProvider:
         loaded = False
         if index_path and os.path.exists(index_path):
             try:
-                self.index = FlatIndex.load(index_path)
+                from dawnsearch_tpu.index import load_index
+                self.index = load_index(index_path)
                 loaded = len(self.index) == len(self.store)
                 if not loaded:
                     log.warning("index snapshot stale (%d rows vs %d pages); "
@@ -170,7 +171,7 @@ class SearchProvider:
     def stats(self) -> dict:
         return {"pages_indexed": len(self.store),
                 "index_bytes": self.index.nbytes,
-                "index_capacity": self.index.capacity}
+                "index_capacity": getattr(self.index, "capacity", None)}
 
     # -- persistence ------------------------------------------------------
 

@@ -7,15 +7,19 @@ embedding BLOB)` with a unique URL index; embeddings stored as 1536-byte
 little-endian f32 blobs, validated normalized on write and on verify
 (search_provider.rs:265-267, 289-327).
 
-Thread model: sqlite3 connections are per-thread; the provider runs in
-one worker thread (the reference runs SearchService on one blocking
-thread too, dawnsearch.rs:76-78), so a single connection suffices.
+Thread model: one shared connection guarded by a lock. The reference
+pins SearchService to one blocking thread (dawnsearch.rs:76-78); here
+HTTP handler threads and the ingest worker all reach the store, so the
+connection is opened with check_same_thread=False and every statement
+runs under an RLock (SQLite serializes writers anyway; the lock keeps
+cursor use coherent).
 """
 
 from __future__ import annotations
 
 import os
 import sqlite3
+import threading
 from typing import Iterator, NamedTuple
 
 import numpy as np
@@ -35,7 +39,8 @@ class PageStore:
         self.dim = dim
         if path != ":memory:":
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        self.conn = sqlite3.connect(path)
+        self.conn = sqlite3.connect(path, check_same_thread=False)
+        self._lock = threading.RLock()
         self.conn.execute(
             "CREATE TABLE IF NOT EXISTS page ("
             " id INTEGER PRIMARY KEY,"
@@ -50,39 +55,46 @@ class PageStore:
         self.conn.commit()
 
     def __len__(self) -> int:
-        (n,) = self.conn.execute("SELECT COUNT(*) FROM page").fetchone()
+        with self._lock:
+            (n,) = self.conn.execute("SELECT COUNT(*) FROM page").fetchone()
         return int(n)
 
     def max_id(self) -> int:
-        (m,) = self.conn.execute("SELECT COALESCE(MAX(id), -1) FROM page").fetchone()
+        with self._lock:
+            (m,) = self.conn.execute(
+                "SELECT COALESCE(MAX(id), -1) FROM page").fetchone()
         return int(m)
 
     def has_url(self, url: str) -> bool:
         """Duplicate-URL check before insert (search_provider.rs:254-263)."""
-        row = self.conn.execute(
-            "SELECT 1 FROM page WHERE url = ? LIMIT 1", (url,)
-        ).fetchone()
+        with self._lock:
+            row = self.conn.execute(
+                "SELECT 1 FROM page WHERE url = ? LIMIT 1", (url,)
+            ).fetchone()
         return row is not None
 
     def insert(self, url: str, title: str, text: str,
                embedding: np.ndarray) -> int | None:
         """Insert; returns new rowid or None on duplicate URL."""
         blob = embedding_to_bytes(embedding)  # validates normalization
-        try:
-            cur = self.conn.execute(
-                "INSERT INTO page (url, title, text, embedding) VALUES (?,?,?,?)",
-                (url, title, text, blob),
-            )
-        except sqlite3.IntegrityError:
-            return None
-        self.conn.commit()
-        return int(cur.lastrowid)
+        with self._lock:
+            try:
+                cur = self.conn.execute(
+                    "INSERT INTO page (url, title, text, embedding) "
+                    "VALUES (?,?,?,?)",
+                    (url, title, text, blob),
+                )
+            except sqlite3.IntegrityError:
+                return None
+            self.conn.commit()
+            return int(cur.lastrowid)
 
     def get(self, page_id: int) -> tuple[PageRecord, np.ndarray] | None:
-        row = self.conn.execute(
-            "SELECT id, url, title, text, embedding FROM page WHERE id = ?",
-            (page_id,),
-        ).fetchone()
+        with self._lock:
+            row = self.conn.execute(
+                "SELECT id, url, title, text, embedding FROM page WHERE id = ?",
+                (page_id,),
+            ).fetchone()
         if row is None:
             return None
         return PageRecord(*row[:4]), bytes_to_embedding(row[4], self.dim)
@@ -92,25 +104,31 @@ class PageStore:
         if not page_ids:
             return {}
         q = ",".join("?" * len(page_ids))
-        rows = self.conn.execute(
-            f"SELECT id, url, title, text FROM page WHERE id IN ({q})", page_ids
-        ).fetchall()
+        with self._lock:
+            rows = self.conn.execute(
+                f"SELECT id, url, title, text FROM page WHERE id IN ({q})",
+                page_ids,
+            ).fetchall()
         return {r[0]: PageRecord(*r) for r in rows}
 
     def embedding_for_page(self, page_id: int) -> np.ndarray | None:
         """More-like-this lookup (search_provider.rs:183-195)."""
-        row = self.conn.execute(
-            "SELECT embedding FROM page WHERE id = ?", (page_id,)
-        ).fetchone()
+        with self._lock:
+            row = self.conn.execute(
+                "SELECT embedding FROM page WHERE id = ?", (page_id,)
+            ).fetchone()
         return None if row is None else bytes_to_embedding(row[0], self.dim)
 
     def iter_embeddings(self, batch: int = 4096
                         ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """(ids, embeddings) batches in id order — index rebuild source
         (search_provider.rs:127-153)."""
-        cur = self.conn.execute("SELECT id, embedding FROM page ORDER BY id")
+        with self._lock:
+            cur = self.conn.execute(
+                "SELECT id, embedding FROM page ORDER BY id")
         while True:
-            rows = cur.fetchmany(batch)
+            with self._lock:
+                rows = cur.fetchmany(batch)
             if not rows:
                 return
             ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -124,9 +142,12 @@ class PageStore:
         (search_provider.rs:289-327). Returns number of rows checked;
         raises on the first corrupt row."""
         n = 0
-        cur = self.conn.execute("SELECT id, embedding FROM page ORDER BY id")
+        with self._lock:
+            cur = self.conn.execute(
+                "SELECT id, embedding FROM page ORDER BY id")
         while True:
-            rows = cur.fetchmany(4096)
+            with self._lock:
+                rows = cur.fetchmany(4096)
             if not rows:
                 return n
             for page_id, blob in rows:
@@ -137,4 +158,5 @@ class PageStore:
                 n += 1
 
     def close(self) -> None:
-        self.conn.close()
+        with self._lock:
+            self.conn.close()

@@ -1,0 +1,196 @@
+"""DawnNode: process bootstrap — wire config -> services, run, shut down.
+
+Rebuild of the reference's main-binary bootstrap
+(/root/reference/src/bin/dawnsearch.rs:37-154): load config, create the
+data dir, start the embedding path, the search provider/service, the
+save timer (10 min, dawnsearch.rs:81-88), the HTTP frontend if `web`,
+the Common Crawl extractor if `index_cc`, the UDP P2P service if `udp`,
+then wait for SIGINT/SIGTERM and shut everything down saving the index
+(dawnsearch.rs:141-152).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import string
+import threading
+
+from dawnsearch_tpu.config import Config
+from dawnsearch_tpu.utils.logging import service_logger, set_debug
+
+log = service_logger("Node")
+
+SAVE_INTERVAL_S = 600.0  # reference: 10-minute save timer (dawnsearch.rs:84)
+
+
+def random_instance_id(n: int = 16) -> str:
+    """16 random alphanumerics (udp_service.rs:150-154)."""
+    alphabet = string.ascii_letters + string.digits
+    return "".join(random.choice(alphabet) for _ in range(n))
+
+
+def make_encoder(cfg: Config):
+    """Build the SentenceEncoder: pretrained weights + vocab from
+    cfg.model_dir when present, self-contained fallback otherwise
+    (the reference downloads from HF Hub, embedding_service.rs:60-85;
+    this environment is zero-egress so weights are provided locally)."""
+    from dawnsearch_tpu.models.encoder import SentenceEncoder
+    from dawnsearch_tpu.models.tokenizer import (
+        WordPieceTokenizer, build_vocab_from_corpus)
+    from dawnsearch_tpu.models.weights import load_params
+
+    params, pretrained = load_params(cfg.model_dir)
+    vocab_path = (os.path.join(cfg.model_dir, "vocab.txt")
+                  if cfg.model_dir else None)
+    if vocab_path and os.path.exists(vocab_path):
+        tok = WordPieceTokenizer.from_vocab_file(vocab_path)
+    else:
+        corpus = [string.ascii_lowercase, string.digits,
+                  "the quick brown fox jumps over the lazy dog"]
+        tok = WordPieceTokenizer(build_vocab_from_corpus(corpus, size=4096))
+        if pretrained:
+            log.warning("pretrained weights but no vocab.txt — "
+                        "tokenization will not match the checkpoint")
+    log.info("encoder ready (pretrained=%s)", pretrained)
+    return SentenceEncoder(params, tok, seq_buckets=tuple(cfg.seq_buckets))
+
+
+def make_index_factory(cfg: Config):
+    """Index per config: exact flat (default), IVF for large corpora,
+    or device-sharded flat over a mesh."""
+    def factory():
+        if cfg.index_kind == "flat":
+            from dawnsearch_tpu.index.flat import FlatIndex
+            return FlatIndex(dtype=cfg.index_dtype,
+                             max_capacity=cfg.index_capacity)
+        if cfg.index_kind == "ivf":
+            from dawnsearch_tpu.index.auto import AutoIndex
+            return AutoIndex(dtype=cfg.index_dtype,
+                             max_capacity=cfg.index_capacity,
+                             n_centroids=cfg.ivf_ncentroids,
+                             nprobe=cfg.ivf_nprobe)
+        if cfg.index_kind == "sharded":
+            from dawnsearch_tpu.parallel.mesh import make_mesh
+            from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+            mesh = make_mesh({"shard": cfg.mesh_shards})
+            return ShardedFlatIndex(mesh=mesh, dtype=cfg.index_dtype,
+                                    max_capacity=cfg.index_capacity)
+        raise ValueError(f"unknown index_kind {cfg.index_kind}")
+    return factory
+
+
+class DawnNode:
+    """One running node. Use as a context manager or call start()/stop()."""
+
+    def __init__(self, cfg: Config, encoder=None):
+        self.cfg = cfg
+        set_debug(cfg.debug)
+        self.instance_id = random_instance_id()
+        os.makedirs(cfg.data_dir, exist_ok=True)
+
+        from dawnsearch_tpu.index.provider import SearchProvider
+        from dawnsearch_tpu.serving.batcher import EmbeddingBatcher
+        from dawnsearch_tpu.serving.search_service import SearchService
+
+        self.encoder = encoder if encoder is not None else make_encoder(cfg)
+        self.batcher = EmbeddingBatcher(
+            self.encoder.encode, max_batch=cfg.embed_batch_size,
+            max_wait_ms=cfg.embed_max_wait_ms)
+        self.provider = SearchProvider(
+            data_dir=cfg.data_dir, index_dtype=cfg.index_dtype,
+            max_pages=cfg.index_capacity,
+            index_factory=make_index_factory(cfg))
+        self.udp = None
+        if cfg.udp:
+            from dawnsearch_tpu.net.udp_service import UdpService
+            self.udp = UdpService(cfg, self.instance_id)
+        self.service = SearchService(
+            self.provider, self.batcher, instance_id=self.instance_id,
+            k=cfg.search_k, remote=self.udp)
+        if self.udp is not None:
+            self.udp.attach(self.service)
+
+        self.http_server = None
+        self._http_thread = None
+        self.extractor = None
+        self._save_timer: threading.Timer | None = None
+        self._stopped = threading.Event()
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "DawnNode":
+        if self.cfg.web:
+            from dawnsearch_tpu.serving.http_service import start_http_service
+            self.http_server, self._http_thread = start_http_service(
+                self.service, self.cfg.web_listen_address)
+        if self.udp is not None:
+            self.udp.start()
+        if self.cfg.index_cc:
+            from dawnsearch_tpu.ingest.extraction_service import (
+                ExtractionService)
+            self.extractor = ExtractionService(self.service)
+            self.extractor.start()
+        self._schedule_save()
+        log.info("node %s up (web=%s udp=%s index_cc=%s, %d pages)",
+                 self.instance_id, self.cfg.web, self.cfg.udp,
+                 self.cfg.index_cc, len(self.provider.store))
+        return self
+
+    def _schedule_save(self) -> None:
+        if self._stopped.is_set():
+            return
+        self._save_timer = threading.Timer(SAVE_INTERVAL_S, self._save_tick)
+        self._save_timer.daemon = True
+        self._save_timer.start()
+
+    def _save_tick(self) -> None:
+        try:
+            self.service.save()
+        except Exception:
+            log.exception("periodic save failed")
+        self._schedule_save()
+
+    def stop(self) -> None:
+        """SIGTERM path: cancel timers, stop frontends, save, close
+        (dawnsearch.rs:141-152)."""
+        if self._stopped.is_set():
+            return
+        self._stopped.set()
+        if self._save_timer is not None:
+            self._save_timer.cancel()
+        if self.extractor is not None:
+            self.extractor.stop()
+        if self.http_server is not None:
+            self.http_server.shutdown()
+        if self.udp is not None:
+            self.udp.stop()
+        self.batcher.stop()
+        self.service.shutdown()
+        log.info("node %s stopped", self.instance_id)
+
+    def __enter__(self) -> "DawnNode":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    @property
+    def http_port(self) -> int | None:
+        return None if self.http_server is None else \
+            self.http_server.server_address[1]
+
+    def run_forever(self) -> None:
+        """Block until SIGINT/SIGTERM."""
+        import signal
+
+        done = threading.Event()
+
+        def handler(signum, frame):
+            log.info("signal %d — shutting down", signum)
+            done.set()
+
+        signal.signal(signal.SIGINT, handler)
+        signal.signal(signal.SIGTERM, handler)
+        done.wait()
+        self.stop()

@@ -1,0 +1,158 @@
+"""HTTP frontend: HTML search UI + JSON API.
+
+Rebuild of the reference's hand-rolled HTTP/1.1 server
+(/root/reference/src/net/http_service.rs:30-181). Same routes —
+`/?q=` text search (http_service.rs:133-142), `/?s=instance:page`
+more-like-this (143-154), `/robots.txt` (102-110), 404 otherwise
+(112-118) — on stdlib ThreadingHTTPServer, so concurrent requests
+coalesce in the embedding batcher instead of serializing. Adds a JSON
+API (`/api/search`, `/api/stats`, `/api/insert`) the reference lacks;
+the P2P/DCN layer and external ingesters use it.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+from dawnsearch_tpu.serving import web
+from dawnsearch_tpu.serving.search_service import SearchService
+from dawnsearch_tpu.utils.logging import METRICS, service_logger
+
+log = service_logger("Http")
+
+ROBOTS = "User-agent: *\nDisallow: /\n"  # http_service.rs:102-110
+
+
+def _result_json(result) -> dict:
+    return {
+        "pages_searched": result.pages_searched,
+        "instances_contacted": result.instances_contacted,
+        "results": [
+            {"url": p.url, "title": p.title, "text": p.text,
+             "distance": p.distance, "instance_id": p.instance_id,
+             "page_id": p.page_id}
+            for p in result.pages
+        ],
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: SearchService  # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route through our logger
+        log.debug("%s " + fmt, self.client_address[0], *args)
+
+    def _send(self, code: int, body: str | bytes,
+              ctype: str = "text/html; charset=utf-8") -> None:
+        data = body.encode() if isinstance(body, str) else body
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj), "application/json")
+
+    def do_GET(self) -> None:  # noqa: N802
+        try:
+            self._route_get()
+        except BrokenPipeError:
+            pass
+        except Exception as e:
+            log.exception("request failed")
+            try:
+                self._send(500, web.error_page(f"internal error: {e}"))
+            except Exception:
+                pass
+
+    def _route_get(self) -> None:
+        url = urlsplit(self.path)
+        qs = parse_qs(url.query)
+        if url.path == "/robots.txt":
+            self._send(200, ROBOTS, "text/plain")
+            return
+        if url.path == "/api/search":
+            q = qs.get("q", [""])[0]
+            if not q:
+                self._send_json(400, {"error": "missing q"})
+                return
+            t0 = time.perf_counter()
+            result = self.service.text_search(q)
+            out = _result_json(result)
+            out["seconds"] = round(time.perf_counter() - t0, 4)
+            self._send_json(200, out)
+            return
+        if url.path == "/api/stats":
+            self._send_json(200, self.service.stats())
+            return
+        if url.path != "/":
+            self._send(404, web.error_page("not found"))
+            return
+        if "q" in qs:  # text search (http_service.rs:133-142)
+            query = qs["q"][0]
+            t0 = time.perf_counter()
+            result = self.service.text_search(query)
+            self._send(200, web.results_page(
+                query, result, time.perf_counter() - t0))
+            METRICS.inc("http_searches", 1)
+            return
+        if "s" in qs:  # more-like-this (http_service.rs:143-154)
+            try:
+                instance_id, page_id = qs["s"][0].rsplit(":", 1)
+                page_id = int(page_id)
+            except ValueError:
+                self._send(400, web.error_page("bad explore link"))
+                return
+            t0 = time.perf_counter()
+            result = self.service.more_like_search(instance_id, page_id)
+            if result is None:
+                self._send(404, web.error_page("page not found"))
+                return
+            self._send(200, web.results_page(
+                f"similar to #{page_id}", result, time.perf_counter() - t0))
+            return
+        self._send(200, web.main_page())
+
+    def do_POST(self) -> None:  # noqa: N802
+        """JSON ingestion: POST /api/insert {"pages": [{url,title,text}]}."""
+        try:
+            if urlsplit(self.path).path != "/api/insert":
+                self._send_json(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            pages = [(p["url"], p.get("title", ""), p.get("text", ""))
+                     for p in body.get("pages", [])]
+            ids = self.service.insert_pages(pages)
+            self._send_json(200, {"inserted": [i for i in ids if i is not None],
+                                  "skipped": sum(1 for i in ids if i is None)})
+        except Exception as e:
+            log.exception("insert failed")
+            self._send_json(500, {"error": str(e)})
+
+
+def make_server(service: SearchService, listen: str = "0.0.0.0:8080"
+                ) -> ThreadingHTTPServer:
+    host, _, port = listen.rpartition(":")
+    handler = type("Handler", (_Handler,), {"service": service})
+    server = ThreadingHTTPServer((host or "0.0.0.0", int(port)), handler)
+    return server
+
+
+def start_http_service(service: SearchService, listen: str = "0.0.0.0:8080"
+                       ) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Serve in a daemon thread (reference spawns a tokio task,
+    dawnsearch.rs:98-103). Returns (server, thread); server.shutdown()
+    stops it."""
+    server = make_server(service, listen)
+    thread = threading.Thread(target=server.serve_forever, daemon=True,
+                              name="http-service")
+    thread.start()
+    log.info("HTTP listening on %s", listen)
+    return server, thread

@@ -1,0 +1,162 @@
+"""SearchService: the search orchestrator.
+
+Rebuild of the reference's SearchService actor
+(/root/reference/src/search/search_service.rs:45-277). Message variants
+become methods (the actor mailbox was a Rust necessity; here the
+provider and batcher are internally synchronized):
+
+- TextSearch            -> text_search()        (search_service.rs:60-81)
+- EmbeddingSearch       -> embedding_search()   (search_service.rs:83-104)
+- MoreLikeSearch        -> more_like_search()   (search_service.rs:105-157)
+- ExtractedPage         -> insert_pages()       (search_service.rs:158-181)
+- Stats / GetEmbedding / Save / Shutdown -> same names
+                                            (search_service.rs:182-196)
+
+The remote fan-out contract matches search_remote
+(search_service.rs:201-277): seed a BestResults(k) with local hits, use
+its worst distance as the network distance_limit, merge whatever the
+remote backend returned by its deadline, count pages/instances.
+`remote` is any object with search()/replicate()/fetch_embedding() —
+the UDP P2P service implements it; None means single-node.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Protocol, Sequence
+
+import numpy as np
+
+from dawnsearch_tpu.index.provider import FoundPage, SearchProvider, SearchResult
+from dawnsearch_tpu.ops.topk import BestResults
+from dawnsearch_tpu.utils.logging import METRICS, service_logger
+
+log = service_logger("Search")
+
+
+class RemoteBackend(Protocol):
+    """What the P2P layer provides (reference: UdpMsg::Search /
+    Insert / GetEmbedding, udp_service.rs:108-124)."""
+
+    def search(self, embedding: np.ndarray, distance_limit: float | None,
+               k: int) -> tuple[list[FoundPage], int, int]:
+        """-> (pages, pages_searched, instances_contacted); returns at
+        its deadline with whatever arrived (udp_service.rs:297-341)."""
+        ...
+
+    def replicate(self, url: str, title: str, text: str) -> None:
+        """Fire-and-forget insert replication (udp_service.rs:376-394)."""
+        ...
+
+    def fetch_embedding(self, instance_id: str, page_id: int
+                        ) -> np.ndarray | None:
+        """Remote GetEmbedding round-trip (udp_service.rs:254-283)."""
+        ...
+
+
+class SearchService:
+    def __init__(
+        self,
+        provider: SearchProvider,
+        batcher,  # EmbeddingBatcher (duck-typed for tests)
+        instance_id: str = "",
+        k: int = 20,
+        remote: RemoteBackend | None = None,
+    ):
+        self.provider = provider
+        self.batcher = batcher
+        self.instance_id = instance_id
+        self.k = k
+        self.remote = remote
+        self._lock = threading.Lock()  # provider index mutations
+
+    # -- queries ------------------------------------------------------------
+
+    def text_search(self, query: str, k: int | None = None,
+                    search_remote: bool = True) -> SearchResult:
+        """Embed the query, then search (search_service.rs:60-81)."""
+        emb = self.batcher.embed(query)
+        return self.embedding_search(emb, k=k, search_remote=search_remote)
+
+    def embedding_search(self, embedding: np.ndarray, k: int | None = None,
+                         search_remote: bool = True) -> SearchResult:
+        """Local top-k, then merge remote peers under the deadline
+        (search_service.rs:83-104, 201-277)."""
+        k = k or self.k
+        with self._lock:
+            local = self.provider.search_embeddings(
+                np.asarray(embedding), k=k, instance_id=self.instance_id)[0]
+        if not search_remote or self.remote is None:
+            return local
+
+        best: BestResults[FoundPage] = BestResults(k)
+        for p in local.pages:
+            best.insert((self.instance_id, p.page_id), p.distance, p)
+        limit = best.worst_distance() if len(best) == k else None
+        pages, searched, contacted = self.remote.search(
+            np.asarray(embedding), limit, k)
+        for p in pages:
+            best.insert((p.instance_id, p.page_id), p.distance, p)
+        METRICS.inc("remote_merges", 1)
+        return SearchResult(
+            pages=[payload for _, _, payload in best.sorted()],
+            pages_searched=local.pages_searched + searched,
+            instances_contacted=1 + contacted)
+
+    def more_like_search(self, instance_id: str, page_id: int,
+                         k: int | None = None) -> SearchResult | None:
+        """Explore-similar: reuse the page's stored embedding. Local pages
+        read the store; remote ones need a GetEmbedding round-trip
+        (search_service.rs:105-157)."""
+        if instance_id in ("", self.instance_id):
+            emb = self.provider.embedding_for_page(page_id)
+        elif self.remote is not None:
+            emb = self.remote.fetch_embedding(instance_id, page_id)
+        else:
+            emb = None
+        if emb is None:
+            return None
+        return self.embedding_search(emb, k=k)
+
+    def get_embedding(self, text: str) -> np.ndarray:
+        """SearchMsg::GetEmbedding (search_service.rs:185-188)."""
+        return self.batcher.embed(text)
+
+    # -- ingestion ------------------------------------------------------------
+
+    def insert_pages(self, pages: Sequence[tuple[str, str, str]],
+                     from_network: bool = False) -> list[int | None]:
+        """Batch-embed and insert (url, title, text) triples; locally
+        originated pages replicate to the network
+        (search_service.rs:158-181). The reference embeds one page per
+        message — batching here is the ingest-throughput fix."""
+        if not pages:
+            return []
+        combined = [f"{title}\n{text}" for _, title, text in pages]
+        embs = self.batcher.embed_many(combined)
+        urls = [p[0] for p in pages]
+        titles = [p[1] for p in pages]
+        texts = [p[2] for p in pages]
+        with self._lock:
+            ids = self.provider.insert_pages(urls, titles, texts, embs)
+        if not from_network and self.remote is not None:
+            for (url, title, text), pid in zip(pages, ids):
+                if pid is not None:
+                    self.remote.replicate(url, title, text)
+        return ids
+
+    # -- admin ------------------------------------------------------------
+
+    def stats(self) -> dict:
+        s = self.provider.stats()
+        s["instance_id"] = self.instance_id
+        return s
+
+    def save(self) -> None:
+        with self._lock:
+            self.provider.save()
+
+    def shutdown(self) -> None:
+        """Save and release (search_service.rs:190-196)."""
+        with self._lock:
+            self.provider.shutdown()

@@ -1,0 +1,244 @@
+"""Serving layer: batcher coalescing, orchestrator semantics, HTTP routes."""
+
+import hashlib
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from dawnsearch_tpu.index.provider import FoundPage, SearchProvider
+from dawnsearch_tpu.serving.batcher import EmbeddingBatcher
+from dawnsearch_tpu.serving.http_service import start_http_service
+from dawnsearch_tpu.serving.search_service import SearchService
+
+
+def fake_embed(text: str) -> np.ndarray:
+    seed = int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "little")
+    v = np.random.default_rng(seed).standard_normal(384).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+class FakeEncoder:
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, texts):
+        self.calls.append(len(texts))
+        return np.stack([fake_embed(t) for t in texts])
+
+
+@pytest.fixture
+def batcher():
+    b = EmbeddingBatcher(FakeEncoder(), max_batch=8, max_wait_ms=20.0)
+    yield b
+    b.stop()
+
+
+@pytest.fixture
+def service(batcher):
+    provider = SearchProvider(data_dir=None, verify_on_load=False)
+    svc = SearchService(provider, batcher, instance_id="local-node", k=20)
+    yield svc
+
+
+def seed_pages(svc, n=20):
+    pages = [(f"https://example.com/{i}", f"Title {i}", f"body text {i}")
+             for i in range(n)]
+    return svc.insert_pages(pages)
+
+
+# -- batcher ----------------------------------------------------------------
+
+
+def test_batcher_coalesces():
+    enc = FakeEncoder()
+    b = EmbeddingBatcher(enc, max_batch=16, max_wait_ms=50.0)
+    try:
+        futs = [b.embed_async(f"text {i}") for i in range(10)]
+        vecs = [f.result(timeout=5) for f in futs]
+        for i, v in enumerate(vecs):
+            np.testing.assert_allclose(v, fake_embed(f"text {i}"))
+        # 10 requests submitted before the flush deadline -> few forwards
+        assert sum(enc.calls) == 10 and len(enc.calls) <= 3
+    finally:
+        b.stop()
+
+
+def test_batcher_propagates_errors():
+    def boom(texts):
+        raise ValueError("no model")
+    b = EmbeddingBatcher(boom, max_batch=4, max_wait_ms=5.0)
+    try:
+        with pytest.raises(ValueError):
+            b.embed("x", timeout=5)
+    finally:
+        b.stop()
+
+
+# -- search service -----------------------------------------------------------
+
+
+def test_text_search_roundtrip(service):
+    seed_pages(service)
+    res = service.text_search("Title 3\nbody text 3")
+    assert res.pages
+    assert res.pages[0].url == "https://example.com/3"
+    assert res.instances_contacted == 1
+    assert res.pages_searched == 20
+    assert res.pages[0].instance_id == "local-node"
+
+
+def test_more_like_local(service):
+    ids = seed_pages(service)
+    res = service.more_like_search("local-node", ids[5])
+    assert res is not None
+    assert res.pages[0].page_id == ids[5]  # itself first (distance 0)
+    assert service.more_like_search("local-node", 99999) is None
+
+
+class FakeRemote:
+    def __init__(self):
+        self.limits = []
+        self.replicated = []
+        self.remote_emb = fake_embed("remote page")
+
+    def search(self, embedding, distance_limit, k):
+        self.limits.append(distance_limit)
+        pages = [FoundPage(page_id=1, distance=0.0001, url="https://peer/1",
+                           title="Remote hit", text="", instance_id="peer-a")]
+        return pages, 1000, 2
+
+    def replicate(self, url, title, text):
+        self.replicated.append(url)
+
+    def fetch_embedding(self, instance_id, page_id):
+        return self.remote_emb if instance_id == "peer-a" else None
+
+
+def test_remote_merge(service):
+    remote = FakeRemote()
+    service.remote = remote
+    seed_pages(service)
+    res = service.text_search("anything at all")
+    # remote hit has distance 0.0001 -> must rank first
+    assert res.pages[0].instance_id == "peer-a"
+    assert res.instances_contacted == 3
+    assert res.pages_searched == 1020
+    # k=20 local hits fill the set -> a distance_limit was sent
+    assert remote.limits[0] is not None
+    # local hits must survive the merge after the remote one
+    assert any(p.instance_id == "local-node" for p in res.pages[1:])
+
+
+def test_remote_more_like(service):
+    service.remote = FakeRemote()
+    seed_pages(service)
+    res = service.more_like_search("peer-a", 1)
+    assert res is not None
+    assert service.more_like_search("peer-unknown", 1) is None
+
+
+def test_insert_replicates_only_local(service):
+    remote = FakeRemote()
+    service.remote = remote
+    service.insert_pages([("https://a/1", "t", "x")], from_network=False)
+    service.insert_pages([("https://a/2", "t", "x")], from_network=True)
+    assert remote.replicated == ["https://a/1"]
+    # duplicate URL skipped, not replicated again
+    service.insert_pages([("https://a/1", "t", "x")])
+    assert remote.replicated == ["https://a/1"]
+
+
+# -- HTTP ---------------------------------------------------------------------
+
+
+@pytest.fixture
+def http(service):
+    server, thread = start_http_service(service, "127.0.0.1:0")
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    yield base, service
+    server.shutdown()
+
+
+def get(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read().decode()
+
+
+def test_http_routes(http):
+    base, service = http
+    seed_pages(service)
+
+    status, body = get(base + "/")
+    assert status == 200 and "DawnSearch" in body
+
+    status, body = get(base + "/robots.txt")
+    assert status == 200 and "Disallow" in body
+
+    status, body = get(base + "/?q=Title+7%0Abody+text+7")
+    assert status == 200
+    assert "example.com/7" in body and "Searched 20 pages" in body
+
+    status, body = get(base + "/api/search?q=Title+7%0Abody+text+7")
+    data = json.loads(body)
+    assert data["results"][0]["url"] == "https://example.com/7"
+
+    status, body = get(base + "/api/stats")
+    assert json.loads(body)["pages_indexed"] == 20
+
+    # explore link from HTML page
+    status, body = get(base + "/?s=local-node:1")
+    assert status == 200 and "similar to" in body
+
+
+def test_http_errors(http):
+    base, _ = http
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(base + "/nope")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(base + "/?s=garbage")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(base + "/api/search")
+    assert e.value.code == 400
+
+
+def test_http_insert(http):
+    base, service = http
+    req = urllib.request.Request(
+        base + "/api/insert",
+        data=json.dumps({"pages": [
+            {"url": "https://x/1", "title": "One", "text": "alpha"},
+            {"url": "https://x/1", "title": "Dup", "text": "beta"},
+        ]}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        data = json.loads(r.read())
+    assert len(data["inserted"]) == 1 and data["skipped"] == 1
+    status, body = get(base + "/api/search?q=alpha")
+    assert json.loads(body)["results"][0]["url"] == "https://x/1"
+
+
+def test_http_concurrent_searches_batch(http):
+    """Concurrent HTTP searches coalesce in the embedding batcher."""
+    base, service = http
+    seed_pages(service)
+    enc = service.batcher._encode
+    enc.calls.clear()
+    results = []
+
+    def worker(i):
+        results.append(get(base + f"/api/search?q=Title+{i}")[0])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200] * 8
+    assert sum(enc.calls) == 8 and len(enc.calls) < 8  # coalesced
