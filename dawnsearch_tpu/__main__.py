@@ -41,6 +41,13 @@ def main(argv=None) -> int:
     from dawnsearch_tpu.node import DawnNode
 
     cfg = Config.load(args.config)
+    if cfg.jax_platform:
+        # Must run before the first jax device use; lets a node run on
+        # CPU (dev boxes, co-located test clusters) or pin a platform.
+        import jax
+        jax.config.update("jax_platforms", cfg.jax_platform)
+        if cfg.jax_cpu_devices > 0:
+            jax.config.update("jax_num_cpu_devices", cfg.jax_cpu_devices)
     if args.web:
         cfg.web = True
     if args.udp:

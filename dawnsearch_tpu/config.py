@@ -43,6 +43,9 @@ class Config:
     mesh_shards: int = 1  # device-parallel index shards
     search_k: int = 20  # results per query (search_provider.rs:214)
     search_deadline_ms: float = 200.0  # P2P collection deadline (udp_service.rs:301)
+    announce_interval_s: float = 60.0  # tracker heartbeat (dawnsearch.rs:122-128)
+    jax_platform: str = ""  # "" = default; "cpu" forces host platform
+    jax_cpu_devices: int = 0  # >0: virtual host device count (testing)
 
     @classmethod
     def load(cls, path: str | None = "DawnSearch.toml", env: dict | None = None) -> "Config":

@@ -1,0 +1,231 @@
+"""UDP wire protocol: msgpack packets under the 1472-byte MTU budget.
+
+Rebuild of /root/reference/src/net/udp_packets.rs. Same seven packet
+types and the same design constraints — short field names to shrink
+packets (udp_packets.rs:28-39), payloads under 1472 B to dodge IP
+fragmentation (udp_packets.rs:22-24), embeddings quantized to the i24
+wire codec (3 B/dim, 1152 B/vector, vector.rs:48-87), inserts
+compressed (udp_service.rs:377-381).
+
+Deviations, both deliberate:
+- Encoding is `[tag, {fields}]` msgpack rather than rmp-serde's Rust
+  enum layout; this codec is self-describing and versionable.
+- Insert compression is zlib over the msgpack'd (url, title, text)
+  triple instead of per-field smaz: smaz targets very short strings,
+  while replicated pages are ~2 KB of natural language where zlib
+  compresses ~2x better, fitting more text under the MTU budget.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+
+import msgpack
+import numpy as np
+
+from dawnsearch_tpu.ops.quant import from_i24_bytes, to_i24_bytes
+
+MAX_PACKET = 1472  # stay under typical MTU (udp_packets.rs:22-24)
+
+# packet tags
+SEARCH, PAGE, INSERT, GET_EMBEDDING, EMBEDDING, ANNOUNCE, PEERS = range(1, 8)
+
+
+@dataclasses.dataclass
+class Search:
+    """Query fan-out (udp_packets.rs:28-39)."""
+    search_id: int
+    distance_limit: float | None
+    embedding: np.ndarray  # f32[384] unit vector
+
+    TAG = SEARCH
+
+    def fields(self) -> dict:
+        return {"si": self.search_id, "dl": self.distance_limit,
+                "em": to_i24_bytes(self.embedding)}
+
+    @classmethod
+    def from_fields(cls, f: dict) -> "Search":
+        return cls(f["si"], f.get("dl"), from_i24_bytes(f["em"]))
+
+
+@dataclasses.dataclass
+class Page:
+    """One search hit flowing back (udp_packets.rs:45-62)."""
+    search_id: int
+    distance: float
+    url: str
+    title: str
+    text: str
+    instance_id: str
+    page_id: int
+
+    TAG = PAGE
+
+    def fields(self) -> dict:
+        return {"si": self.search_id, "di": self.distance, "ur": self.url,
+                "ti": self.title, "tx": self.text, "ii": self.instance_id,
+                "pi": self.page_id}
+
+    @classmethod
+    def from_fields(cls, f: dict) -> "Page":
+        return cls(f["si"], f["di"], f["ur"], f["ti"], f["tx"], f["ii"],
+                   f["pi"])
+
+
+@dataclasses.dataclass
+class Insert:
+    """Replicated page (udp_packets.rs:63-73); (url, title, text) zlib'd."""
+    url: str
+    title: str
+    text: str
+
+    TAG = INSERT
+
+    def fields(self) -> dict:
+        body = msgpack.packb([self.url, self.title, self.text])
+        return {"z": zlib.compress(body, 6)}
+
+    @classmethod
+    def from_fields(cls, f: dict) -> "Insert":
+        url, title, text = msgpack.unpackb(zlib.decompress(f["z"]))
+        return cls(url, title, text)
+
+
+@dataclasses.dataclass
+class GetEmbedding:
+    """Remote more-like-this request (udp_packets.rs:74-79)."""
+    search_id: int
+    page_id: int
+
+    TAG = GET_EMBEDDING
+
+    def fields(self) -> dict:
+        return {"si": self.search_id, "pi": self.page_id}
+
+    @classmethod
+    def from_fields(cls, f: dict) -> "GetEmbedding":
+        return cls(f["si"], f["pi"])
+
+
+@dataclasses.dataclass
+class Embedding:
+    """GetEmbedding reply (udp_packets.rs:80-86)."""
+    search_id: int
+    embedding: np.ndarray
+
+    TAG = EMBEDDING
+
+    def fields(self) -> dict:
+        return {"si": self.search_id, "em": to_i24_bytes(self.embedding)}
+
+    @classmethod
+    def from_fields(cls, f: dict) -> "Embedding":
+        return cls(f["si"], from_i24_bytes(f["em"]))
+
+
+@dataclasses.dataclass
+class Announce:
+    """Node -> tracker heartbeat (udp_packets.rs:89-98)."""
+    instance_id: str
+    accept_insert: bool
+    pages_indexed: int
+
+    TAG = ANNOUNCE
+
+    def fields(self) -> dict:
+        return {"ii": self.instance_id, "ai": self.accept_insert,
+                "px": self.pages_indexed}
+
+    @classmethod
+    def from_fields(cls, f: dict) -> "Announce":
+        return cls(f["ii"], f["ai"], f["px"])
+
+
+@dataclasses.dataclass
+class PeerInfo:
+    """Tracker-advertised peer (udp_packets.rs:107-118)."""
+    instance_id: str
+    addr: str  # "host:port"
+    accept_insert: bool
+    pages_indexed: int
+    last_seen: int = 0  # unix secs, tracker-side bookkeeping
+
+    def to_wire(self) -> list:
+        return [self.instance_id, self.addr, self.accept_insert,
+                self.pages_indexed]
+
+    @classmethod
+    def from_wire(cls, w: list) -> "PeerInfo":
+        return cls(w[0], w[1], w[2], w[3])
+
+
+@dataclasses.dataclass
+class Peers:
+    """Tracker -> node membership reply, chunked 25/packet by the
+    tracker (dawntrack.rs:93-109)."""
+    peers: list[PeerInfo]
+
+    TAG = PEERS
+
+    def fields(self) -> dict:
+        return {"ps": [p.to_wire() for p in self.peers]}
+
+    @classmethod
+    def from_fields(cls, f: dict) -> "Peers":
+        return cls([PeerInfo.from_wire(w) for w in f["ps"]])
+
+
+_TYPES = {cls.TAG: cls
+          for cls in (Search, Page, Insert, GetEmbedding, Embedding,
+                      Announce, Peers)}
+
+Packet = Search | Page | Insert | GetEmbedding | Embedding | Announce | Peers
+
+
+def encode(packet: Packet) -> bytes:
+    data = msgpack.packb([packet.TAG, packet.fields()], use_bin_type=True)
+    if len(data) > MAX_PACKET:
+        raise ValueError(
+            f"{type(packet).__name__} packet {len(data)} B exceeds "
+            f"{MAX_PACKET} B budget")
+    return data
+
+
+def decode(data: bytes) -> Packet:
+    tag, fields = msgpack.unpackb(data, raw=False)
+    cls = _TYPES.get(tag)
+    if cls is None:
+        raise ValueError(f"unknown packet tag {tag}")
+    return cls.from_fields(fields)
+
+
+def clip_page_text(url: str, title: str, text: str,
+                   budget: int = MAX_PACKET) -> str:
+    """Longest text that keeps a Page packet under budget (the reference
+    just hopes; we enforce). Conservative: bytes, not chars."""
+    overhead = 120 + len(url.encode()) + len(title.encode())
+    return _clip_utf8(text, max(0, budget - overhead))
+
+
+def clip_insert(url: str, title: str, text: str,
+                budget: int = MAX_PACKET) -> Insert:
+    """Insert packet that fits: shrink text until the compressed payload
+    is under budget (reference smaz-compresses and hopes,
+    udp_service.rs:377-388)."""
+    while True:
+        pkt = Insert(url, title, text)
+        if len(msgpack.packb([pkt.TAG, pkt.fields()])) <= budget:
+            return pkt
+        if not text:
+            raise ValueError("url+title alone exceed packet budget")
+        text = _clip_utf8(text, int(len(text.encode()) * 0.8))
+
+
+def _clip_utf8(s: str, max_bytes: int) -> str:
+    """UTF-8-safe truncation (reference util.rs slice_up_to:18-27)."""
+    b = s.encode("utf-8")
+    if len(b) <= max_bytes:
+        return s
+    return b[:max_bytes].decode("utf-8", errors="ignore")

@@ -1,0 +1,285 @@
+"""UdpService: the P2P runtime — peer table, query fan-out, replication.
+
+Rebuild of /root/reference/src/net/udp_service.rs (the reference's
+distributed backend). Same semantics, threaded instead of a tokio
+select loop:
+
+- random 16-char instance id (udp_service.rs:150-154)
+- outbound search: random u64 search id, quantize query to i24, send to
+  ALL known peers, optimistically count their pages_indexed, collect
+  Page replies until the fixed deadline — 200 ms default —
+  then return whatever arrived (udp_service.rs:297-341); silent partial
+  results are the failure model (SURVEY.md §5).
+- inbound search: self-echo guard on own active ids
+  (udp_service.rs:177-179), local-only search, one Page packet per hit
+  under the sender's distance_limit (udp_service.rs:195-214).
+- insert replication to 3 random accept-insert peers
+  (udp_service.rs:376-394), applied only if we accept inserts.
+- GetEmbedding/Embedding round-trip for remote more-like-this
+  (udp_service.rs:254-283, 395-412).
+- tracker announce every 60 s; peers unseen for 300 s expire
+  (udp_service.rs:343-374).
+
+The service implements the SearchService RemoteBackend protocol, so the
+orchestrator is agnostic to whether peers exist.
+"""
+
+from __future__ import annotations
+
+import random
+import socket
+import threading
+import time
+
+import numpy as np
+
+from dawnsearch_tpu.index.provider import FoundPage
+from dawnsearch_tpu.net import packets
+from dawnsearch_tpu.net.packets import (
+    Announce, Embedding, GetEmbedding, Insert, Page, PeerInfo, Peers, Search,
+    clip_insert, clip_page_text,
+)
+from dawnsearch_tpu.net.tracker import parse_addr
+from dawnsearch_tpu.utils.logging import METRICS, service_logger
+
+log = service_logger("Udp")
+
+PEER_EXPIRY_S = 300.0  # udp_service.rs:343
+ANNOUNCE_INTERVAL_S = 60.0  # dawnsearch.rs:122-128
+INSERT_REPLICATION = 3  # udp_service.rs:389-390
+
+
+class _ActiveSearch:
+    __slots__ = ("pages", "event", "lock")
+
+    def __init__(self):
+        self.pages: list[FoundPage] = []
+        self.event = threading.Event()
+        self.lock = threading.Lock()
+
+
+class UdpService:
+    def __init__(self, cfg, instance_id: str):
+        self.cfg = cfg
+        self.instance_id = instance_id
+        self.deadline_s = cfg.search_deadline_ms / 1000.0
+        self.trackers: list[tuple[str, int]] = [
+            parse_addr(t) for t in cfg.trackers]
+        self.peers: dict[str, PeerInfo] = {}  # instance_id -> info
+        self._peers_lock = threading.Lock()
+        self._active: dict[int, _ActiveSearch] = {}
+        self._active_lock = threading.Lock()
+        self._emb_waiters: dict[int, tuple[threading.Event, list]] = {}
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind(parse_addr(cfg.udp_listen_address))
+        self._sock.settimeout(0.25)
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self.service = None  # SearchService, attached after construction
+
+    def attach(self, service) -> None:
+        self.service = service
+
+    @property
+    def port(self) -> int:
+        return self._sock.getsockname()[1]
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "UdpService":
+        for name, target in (("udp-recv", self._recv_loop),
+                             ("udp-announce", self._announce_loop)):
+            t = threading.Thread(target=target, daemon=True, name=name)
+            t.start()
+            self._threads.append(t)
+        log.info("UDP on %s (trackers: %s)", self.cfg.udp_listen_address,
+                 self.cfg.trackers or "none")
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._sock.close()
+
+    # -- RemoteBackend protocol ----------------------------------------------
+
+    def fresh_peers(self) -> list[PeerInfo]:
+        now = time.time()
+        with self._peers_lock:
+            return [p for p in self.peers.values()
+                    if now - p.last_seen < PEER_EXPIRY_S
+                    and p.instance_id != self.instance_id]
+
+    def search(self, embedding: np.ndarray, distance_limit: float | None,
+               k: int) -> tuple[list[FoundPage], int, int]:
+        peers = self.fresh_peers()
+        if not peers:
+            return [], 0, 0  # no deadline when alone (udp_service.rs:301-312)
+        sid = random.getrandbits(63)
+        st = _ActiveSearch()
+        with self._active_lock:
+            self._active[sid] = st
+        pkt = packets.encode(Search(sid, distance_limit, embedding))
+        estimated = 0
+        for p in peers:
+            try:
+                self._sock.sendto(pkt, parse_addr(p.addr))
+                estimated += p.pages_indexed  # optimistic (udp_service.rs:320)
+            except OSError:
+                log.debug("send to %s failed", p.addr)
+        st.event.wait(self.deadline_s)  # collect until deadline
+        with self._active_lock:
+            st = self._active.pop(sid)
+        with st.lock:
+            pages = list(st.pages)
+        METRICS.inc("remote_searches", 1)
+        return pages, estimated, len(peers)
+
+    def replicate(self, url: str, title: str, text: str) -> None:
+        acceptors = [p for p in self.fresh_peers() if p.accept_insert]
+        if not acceptors:
+            return
+        chosen = random.sample(acceptors,
+                               min(INSERT_REPLICATION, len(acceptors)))
+        pkt = packets.encode(clip_insert(url, title, text))
+        for p in chosen:
+            try:
+                self._sock.sendto(pkt, parse_addr(p.addr))
+            except OSError:
+                pass
+        METRICS.inc("inserts_replicated", len(chosen))
+
+    def fetch_embedding(self, instance_id: str, page_id: int
+                        ) -> np.ndarray | None:
+        with self._peers_lock:
+            peer = self.peers.get(instance_id)
+        if peer is None:
+            return None
+        sid = random.getrandbits(63)
+        event, slot = threading.Event(), []
+        self._emb_waiters[sid] = (event, slot)
+        try:
+            self._sock.sendto(packets.encode(GetEmbedding(sid, page_id)),
+                              parse_addr(peer.addr))
+            event.wait(self.deadline_s * 5)  # round-trip, not fan-out
+            return slot[0] if slot else None
+        finally:
+            self._emb_waiters.pop(sid, None)
+
+    # -- inbound ------------------------------------------------------------
+
+    def _recv_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                data, src = self._sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            try:
+                self._handle(packets.decode(data), src)
+            except Exception:
+                log.exception("packet from %s failed", src)
+
+    def _handle(self, pkt, src: tuple[str, int]) -> None:
+        if isinstance(pkt, Search):
+            self._handle_search(pkt, src)
+        elif isinstance(pkt, Page):
+            with self._active_lock:
+                st = self._active.get(pkt.search_id)
+            if st is not None:
+                with st.lock:
+                    st.pages.append(FoundPage(
+                        page_id=pkt.page_id, distance=pkt.distance,
+                        url=pkt.url, title=pkt.title, text=pkt.text,
+                        instance_id=pkt.instance_id))
+        elif isinstance(pkt, Insert):
+            if self.cfg.accept_insert and self.service is not None:
+                self.service.insert_pages(
+                    [(pkt.url, pkt.title, pkt.text)], from_network=True)
+        elif isinstance(pkt, GetEmbedding):
+            if self.service is not None:
+                emb = self.service.provider.embedding_for_page(pkt.page_id)
+                if emb is not None:
+                    self._sock.sendto(
+                        packets.encode(Embedding(pkt.search_id, emb)), src)
+        elif isinstance(pkt, Embedding):
+            waiter = self._emb_waiters.get(pkt.search_id)
+            if waiter is not None:
+                waiter[1].append(pkt.embedding)
+                waiter[0].set()
+        elif isinstance(pkt, Peers):
+            now = time.time()
+            with self._peers_lock:
+                for p in pkt.peers:
+                    if p.instance_id == self.instance_id:
+                        continue
+                    p.last_seen = now
+                    self.peers[p.instance_id] = p
+            if pkt.peers:
+                log.debug("learned %d peers", len(pkt.peers))
+        # Announce packets are tracker business; nodes ignore them.
+
+    def _handle_search(self, pkt: Search, src: tuple[str, int]) -> None:
+        with self._active_lock:
+            if pkt.search_id in self._active:
+                return  # own broadcast echoed back (udp_service.rs:177-179)
+        if self.service is None:
+            return
+        result = self.service.embedding_search(pkt.embedding,
+                                               search_remote=False)
+        sent = 0
+        for hit in result.pages:
+            if pkt.distance_limit is not None and \
+                    hit.distance >= pkt.distance_limit:
+                continue  # udp_service.rs:195-199
+            reply = Page(pkt.search_id, hit.distance, hit.url, hit.title,
+                         clip_page_text(hit.url, hit.title, hit.text),
+                         self.instance_id, hit.page_id)
+            try:
+                self._sock.sendto(packets.encode(reply), src)
+                sent += 1
+            except (OSError, ValueError):
+                pass
+        METRICS.inc("searches_served", 1)
+        log.debug("served search %x: %d pages to %s", pkt.search_id, sent, src)
+
+    # -- membership -----------------------------------------------------------
+
+    def announce_now(self) -> None:
+        """One announce round (test hook; timer calls this too)."""
+        self._expire_peers()
+        pages = 0
+        if self.service is not None:
+            try:
+                pages = self.service.stats().get("pages_indexed", 0)
+            except Exception:
+                pass
+        pkt = packets.encode(Announce(self.instance_id,
+                                      self.cfg.accept_insert, pages))
+        for addr in self.trackers:
+            try:
+                self._sock.sendto(pkt, addr)
+            except OSError:
+                log.debug("announce to %s failed", addr)
+
+    def _expire_peers(self) -> None:
+        now = time.time()
+        with self._peers_lock:
+            stale = [iid for iid, p in self.peers.items()
+                     if now - p.last_seen > PEER_EXPIRY_S]
+            for iid in stale:
+                del self.peers[iid]
+        if stale:
+            log.info("expired %d peers", len(stale))
+
+    def _announce_loop(self) -> None:
+        interval = getattr(self.cfg, "announce_interval_s",
+                           ANNOUNCE_INTERVAL_S)
+        while not self._stop.is_set():
+            try:
+                self.announce_now()
+            except Exception:
+                log.exception("announce failed")
+            self._stop.wait(interval)

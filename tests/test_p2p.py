@@ -1,0 +1,178 @@
+"""P2P integration: tracker rendezvous, two-node search fan-out,
+insert replication, remote more-like-this — all over loopback UDP
+(the TPU-native analog of the reference's multi-node story, SURVEY §4)."""
+
+import hashlib
+import time
+
+import numpy as np
+import pytest
+
+from dawnsearch_tpu.config import Config
+from dawnsearch_tpu.net.tracker import Tracker
+from dawnsearch_tpu.node import DawnNode
+
+
+class HashEncoder:
+    def encode(self, texts):
+        out = []
+        for t in texts:
+            seed = int.from_bytes(hashlib.md5(t.encode()).digest()[:4],
+                                  "little")
+            v = np.random.default_rng(seed).standard_normal(384)
+            out.append((v / np.linalg.norm(v)).astype(np.float32))
+        return np.stack(out)
+
+
+def node_cfg(tmp_path, name, tracker_port, **kw):
+    cfg = Config()
+    cfg.data_dir = str(tmp_path / name)
+    cfg.udp = True
+    cfg.udp_listen_address = "127.0.0.1:0"
+    cfg.trackers = [f"127.0.0.1:{tracker_port}"]
+    cfg.accept_insert = True
+    cfg.announce_interval_s = 0.15
+    cfg.search_deadline_ms = 500.0
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def wait_until(pred, timeout=5.0, step=0.05):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(step)
+    return False
+
+
+@pytest.fixture
+def duo(tmp_path):
+    tracker = Tracker("127.0.0.1:0").start()
+    a = DawnNode(node_cfg(tmp_path, "a", tracker.port),
+                 encoder=HashEncoder()).start()
+    b = DawnNode(node_cfg(tmp_path, "b", tracker.port),
+                 encoder=HashEncoder()).start()
+    assert wait_until(lambda: a.udp.fresh_peers() and b.udp.fresh_peers())
+    yield a, b, tracker
+    a.stop()
+    b.stop()
+    tracker.stop()
+
+
+def test_tracker_membership(duo):
+    a, b, tracker = duo
+    assert {p.instance_id for p in a.udp.fresh_peers()} == {b.instance_id}
+    assert {p.instance_id for p in b.udp.fresh_peers()} == {a.instance_id}
+    assert set(tracker.peers) == {a.instance_id, b.instance_id}
+    # tracker records accept_insert and (eventually) page counts
+    assert all(p.accept_insert for p in tracker.peers.values())
+
+
+def test_remote_search_fanout(tmp_path):
+    # accept_insert OFF so pages live ONLY on node a; b must find them
+    # via the UDP fan-out, not replication.
+    tracker = Tracker("127.0.0.1:0").start()
+    a = DawnNode(node_cfg(tmp_path, "a", tracker.port, accept_insert=False),
+                 encoder=HashEncoder()).start()
+    b = DawnNode(node_cfg(tmp_path, "b", tracker.port, accept_insert=False),
+                 encoder=HashEncoder()).start()
+    assert wait_until(lambda: a.udp.fresh_peers() and b.udp.fresh_peers())
+    a.service.insert_pages(
+        [(f"https://a.example/{i}", f"Title {i}", f"text {i}")
+         for i in range(5)])
+    try:
+        # let b learn a's updated page count (optimistic pages_searched)
+        wait_until(
+            lambda: any(p.pages_indexed == 5 for p in b.udp.fresh_peers()))
+        res = b.service.text_search("Title 2\ntext 2")
+        assert res.pages, "no remote results arrived before the deadline"
+        assert res.pages[0].url == "https://a.example/2"
+        assert res.pages[0].instance_id == a.instance_id
+        assert res.instances_contacted == 2  # self + one peer
+        assert res.pages_searched == 5  # a's page count (b has none)
+        assert len(b.provider.store) == 0  # nothing replicated
+    finally:
+        a.stop()
+        b.stop()
+        tracker.stop()
+
+
+def test_insert_replication(duo):
+    a, b, _ = duo
+    a.service.insert_pages([("https://a.example/r", "Replicated", "body")])
+    # replication is fire-and-forget; b applies it as a network insert
+    assert wait_until(lambda: len(b.provider.store) == 1)
+    res = b.service.text_search("Replicated\nbody", search_remote=False)
+    assert res.pages[0].url == "https://a.example/r"
+    # network-originated insert must NOT re-replicate back (no ping-pong)
+    time.sleep(0.3)
+    assert len(a.provider.store) == 1
+
+
+def test_remote_more_like(duo):
+    a, b, _ = duo
+    ids = a.service.insert_pages(
+        [("https://a.example/m", "Find me", "similar content")])
+    wait_until(lambda: len(b.provider.store) >= 1)  # replication lands
+    # b explores a's page by (instance, page) — needs GetEmbedding RTT
+    res = b.service.more_like_search(a.instance_id, ids[0])
+    assert res is not None and res.pages
+    assert any(p.url == "https://a.example/m" for p in res.pages)
+
+
+def test_distance_limit_prunes(duo):
+    a, b, _ = duo
+    # a holds pages unrelated to the query (random embeddings, distance ~1)
+    a.service.insert_pages(
+        [(f"https://a.example/{i}", f"Other {i}", f"junk {i}")
+         for i in range(3)])
+    # b holds k copies of the query text -> its top-k distances are ~0,
+    # so the advertised distance_limit prunes every a-side hit
+    # (udp_service.rs:195-199).
+    b.service.insert_pages(
+        [(f"https://b.example/{i}", "T", "x") for i in range(3)],
+        from_network=True)  # avoid replicating to a
+    b.service.k = 3
+    res = b.service.text_search("T\nx")
+    assert len(res.pages) == 3
+    assert all(p.instance_id == b.instance_id for p in res.pages)
+    assert res.instances_contacted == 2  # a was asked, its hits were pruned
+
+
+def test_search_with_no_peers(tmp_path):
+    tracker = Tracker("127.0.0.1:0").start()
+    solo = DawnNode(node_cfg(tmp_path, "solo", tracker.port),
+                    encoder=HashEncoder()).start()
+    try:
+        solo.service.insert_pages([("https://s/1", "Solo", "alone")])
+        t0 = time.time()
+        res = solo.service.text_search("Solo\nalone")
+        # no peers -> no deadline wait (udp_service.rs:301-312)
+        assert time.time() - t0 < solo.cfg.search_deadline_ms / 1000.0
+        assert res.pages[0].url == "https://s/1"
+        assert res.instances_contacted == 1
+    finally:
+        solo.stop()
+        tracker.stop()
+
+
+def test_peer_expiry(tmp_path):
+    tracker = Tracker("127.0.0.1:0").start()
+    a = DawnNode(node_cfg(tmp_path, "a", tracker.port),
+                 encoder=HashEncoder()).start()
+    b = DawnNode(node_cfg(tmp_path, "b", tracker.port),
+                 encoder=HashEncoder()).start()
+    try:
+        assert wait_until(lambda: a.udp.fresh_peers())
+        # simulate b going dark long ago
+        with a.udp._peers_lock:
+            for p in a.udp.peers.values():
+                p.last_seen -= 10_000
+        a.udp._expire_peers()
+        assert a.udp.fresh_peers() == []
+    finally:
+        a.stop()
+        b.stop()
+        tracker.stop()

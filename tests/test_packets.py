@@ -1,0 +1,98 @@
+"""Wire protocol: roundtrips, MTU budget, i24 fidelity, clipping."""
+
+import numpy as np
+import pytest
+
+from dawnsearch_tpu.net import packets
+from dawnsearch_tpu.net.packets import (
+    MAX_PACKET, Announce, Embedding, GetEmbedding, Insert, Page, PeerInfo,
+    Peers, Search, clip_insert, clip_page_text,
+)
+
+
+def unit(seed=0):
+    v = np.random.default_rng(seed).standard_normal(384).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def roundtrip(pkt):
+    data = packets.encode(pkt)
+    assert len(data) <= MAX_PACKET
+    return packets.decode(data), len(data)
+
+
+def test_search_roundtrip():
+    p, size = roundtrip(Search(12345678901234, 0.42, unit()))
+    assert p.search_id == 12345678901234
+    assert p.distance_limit == pytest.approx(0.42)
+    # i24 wire codec: ~7 decimal digits of precision per dim
+    np.testing.assert_allclose(p.embedding, unit(), atol=5e-7)
+    assert size < 1200  # 1152 B embedding + envelope
+
+
+def test_search_no_limit():
+    p, _ = roundtrip(Search(1, None, unit()))
+    assert p.distance_limit is None
+
+
+def test_page_roundtrip():
+    p, _ = roundtrip(Page(7, 0.3, "https://e.com/x", "Title", "body " * 50,
+                          "inst123", 42))
+    assert (p.url, p.page_id, p.instance_id) == ("https://e.com/x", 42,
+                                                 "inst123")
+    assert p.distance == pytest.approx(0.3)
+
+
+def test_page_text_clipping():
+    url, title = "https://e.com/" + "a" * 100, "T" * 200
+    text = "word " * 2000  # way over budget
+    clipped = clip_page_text(url, title, text)
+    pkt, size = roundtrip(Page(1, 0.1, url, title, clipped, "i" * 16, 1))
+    assert size <= MAX_PACKET
+    assert len(pkt.text) > 200  # still useful content
+
+
+def test_insert_compression_and_clip():
+    text = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the meadow ") * 40  # ~3 KB, compressible
+    p, size = roundtrip(clip_insert("https://e.com/fox", "Fox", text))
+    assert p.url == "https://e.com/fox"
+    assert p.text.startswith("the quick brown fox")
+    # zlib beats the raw size comfortably on natural text
+    assert size < len(text.encode())
+
+
+def test_insert_incompressible_clips():
+    rng = np.random.default_rng(0)
+    junk = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 4000))
+    p = clip_insert("https://e.com/junk", "J", junk)
+    assert len(packets.encode(p)) <= MAX_PACKET
+    assert junk.startswith(p.text)  # prefix preserved
+
+
+def test_get_embedding_and_reply():
+    p, _ = roundtrip(GetEmbedding(9, 77))
+    assert (p.search_id, p.page_id) == (9, 77)
+    e, _ = roundtrip(Embedding(9, unit(3)))
+    np.testing.assert_allclose(e.embedding, unit(3), atol=5e-7)
+
+
+def test_announce_and_peers():
+    a, size = roundtrip(Announce("node" + "x" * 12, True, 123456))
+    assert a.accept_insert and a.pages_indexed == 123456
+    peers = [PeerInfo(f"inst{i:012d}", f"10.0.0.{i}:7231", i % 2 == 0, i * 10)
+             for i in range(25)]
+    p, size = roundtrip(Peers(peers))
+    assert len(p.peers) == 25 and size <= MAX_PACKET  # dawntrack chunk of 25
+    assert p.peers[3].addr == "10.0.0.3:7231"
+
+
+def test_unknown_tag_rejected():
+    import msgpack
+    with pytest.raises(ValueError):
+        packets.decode(msgpack.packb([99, {}]))
+
+
+def test_oversized_packet_rejected():
+    with pytest.raises(ValueError):
+        packets.encode(Page(1, 0.1, "https://e.com", "t", "x" * 3000, "i", 1))
