@@ -46,6 +46,7 @@ class Config:
     announce_interval_s: float = 60.0  # tracker heartbeat (dawnsearch.rs:122-128)
     jax_platform: str = ""  # "" = default; "cpu" forces host platform
     jax_cpu_devices: int = 0  # >0: virtual host device count (testing)
+    warc_source: str = ""  # glob of local WARC files; "" = Common Crawl
 
     @classmethod
     def load(cls, path: str | None = "DawnSearch.toml", env: dict | None = None) -> "Config":

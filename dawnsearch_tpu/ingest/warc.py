@@ -1,0 +1,141 @@
+"""Streaming WARC reader with the reference's record filters.
+
+Rebuild of /root/reference/src/search/page_source.rs:52-196: stream a
+(possibly gzipped, multi-member) WARC file, parse record headers
+(Content-Length, WARC-Target-URI, WARC-Type, WARC-Identified-Payload-Type,
+page_source.rs:178-193), and pre-filter:
+
+- record type `response` or `conversion`       (page_source.rs:65)
+- payload type text/html (or .wet text/plain)  (page_source.rs:68)
+- URL carries no `?` or `#`                    (page_source.rs:73-75)
+- body >= 500 bytes                            (page_source.rs:79-81)
+- body capped at 250 KB                        (page_source.rs:87)
+
+For `response` records the HTTP envelope is stripped before the body is
+yielded. Works on plain or .gz files and on any binary file object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io
+from typing import BinaryIO, Iterator
+
+MIN_BODY = 500  # page_source.rs:79-81
+MAX_BODY = 250_000  # page_source.rs:87
+_ACCEPT_TYPES = ("response", "conversion")
+
+
+@dataclasses.dataclass
+class WarcRecord:
+    url: str
+    warc_type: str
+    payload_type: str
+    body: bytes  # HTTP envelope stripped, capped at MAX_BODY
+
+
+def _read_headers(stream: io.BufferedReader) -> dict[str, str] | None:
+    """WARC header block up to the blank line; None at EOF."""
+    line = stream.readline()
+    while line in (b"\r\n", b"\n"):  # inter-record padding
+        line = stream.readline()
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        raise ValueError(f"not a WARC record boundary: {line[:40]!r}")
+    headers: dict[str, str] = {}
+    while True:
+        line = stream.readline()
+        if line in (b"\r\n", b"\n", b""):
+            return headers
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = \
+                v.strip().decode("latin-1")
+
+
+def _strip_http_envelope(body: bytes) -> bytes:
+    """response records embed an HTTP/1.x reply; drop its header block."""
+    if body.startswith(b"HTTP/"):
+        for sep in (b"\r\n\r\n", b"\n\n"):
+            idx = body.find(sep)
+            if idx != -1:
+                return body[idx + len(sep):]
+    return body
+
+
+def iter_warc_records(source: str | BinaryIO,
+                      apply_filters: bool = True) -> Iterator[WarcRecord]:
+    """Yield filtered records from a WARC path or binary stream."""
+    own = isinstance(source, str)
+    raw = open(source, "rb") if own else source
+    try:
+        head = raw.peek(2) if hasattr(raw, "peek") else b""
+        if (own and source.endswith(".gz")) or head[:2] == b"\x1f\x8b":
+            stream = io.BufferedReader(gzip.GzipFile(fileobj=raw), 1 << 24)
+        else:
+            stream = io.BufferedReader(raw, 1 << 24)  # 16 MiB like the
+            # reference's reader (page_source.rs:58-60)
+        while True:
+            headers = _read_headers(stream)
+            if headers is None:
+                return
+            length = int(headers.get("content-length", 0))
+            body = stream.read(length)
+            if len(body) < length:
+                return  # truncated file
+            rec = WarcRecord(
+                url=headers.get("warc-target-uri", "").strip("<>"),
+                warc_type=headers.get("warc-type", ""),
+                payload_type=headers.get(
+                    "warc-identified-payload-type",
+                    headers.get("content-type", "")),
+                body=b"",
+            )
+            if apply_filters and not _pre_ok(rec, length):
+                continue
+            body = _strip_http_envelope(body)[:MAX_BODY]
+            if apply_filters and len(body) < MIN_BODY:
+                continue  # page_source.rs:79-81
+            rec.body = body
+            yield rec
+    finally:
+        if own:
+            raw.close()
+
+
+def _pre_ok(rec: WarcRecord, length: int) -> bool:
+    if rec.warc_type not in _ACCEPT_TYPES:
+        return False
+    if not (rec.payload_type.startswith("text/html")
+            or rec.payload_type.startswith("application/http")
+            or rec.payload_type.startswith("text/plain")):
+        return False  # page_source.rs:68
+    if not rec.url or "?" in rec.url or "#" in rec.url:
+        return False  # page_source.rs:73-75
+    return length >= MIN_BODY
+
+
+def write_warc(path: str, records: list[tuple[str, bytes]],
+               warc_type: str = "response",
+               payload_type: str = "text/html") -> None:
+    """Minimal WARC writer (fixtures + local re-export).
+
+    Each record gets an HTTP/1.1 envelope when warc_type='response',
+    mirroring what Common Crawl serves.
+    """
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
+        for url, body in records:
+            if warc_type == "response":
+                body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        b"\r\n" + body)
+            head = (
+                f"WARC/1.0\r\n"
+                f"WARC-Type: {warc_type}\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Identified-Payload-Type: {payload_type}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            f.write(head + body + b"\r\n\r\n")

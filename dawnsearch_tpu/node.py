@@ -128,8 +128,12 @@ class DawnNode:
             self.udp.start()
         if self.cfg.index_cc:
             from dawnsearch_tpu.ingest.extraction_service import (
-                ExtractionService)
-            self.extractor = ExtractionService(self.service)
+                ExtractionService, LocalWarcSource)
+            source = (LocalWarcSource(self.cfg.warc_source)
+                      if self.cfg.warc_source else None)
+            self.extractor = ExtractionService(
+                self.service, source=source,
+                batch_size=self.cfg.embed_batch_size)
             self.extractor.start()
         self._schedule_save()
         log.info("node %s up (web=%s udp=%s index_cc=%s, %d pages)",
