@@ -47,6 +47,11 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     # compute dtype for matmuls; softmax/layernorm stay f32
     dtype: Any = jnp.float32
+    # "xla" = einsum attention; "fused" = Pallas kernel (scores stay in
+    # VMEM, see dawnsearch_tpu.ops.attention)
+    attn_impl: str = "xla"
+    # "xla" = jnp mean-pool; "fused" = Pallas pool+normalize kernel
+    pool_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -78,7 +83,8 @@ def _attention(
     mask_bias: jax.Array | None,
 ) -> jax.Array:
     """Multi-head self-attention (reference model.rs:284-348) via one
-    fused QKV matmul; softmax in f32."""
+    fused QKV matmul; softmax in f32. attn_impl="fused" routes the
+    softmax(QKᵀ)·V through the Pallas kernel (scores never reach HBM)."""
     B, S, H = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     qkv = _dense(x, layer["qkv_w"], layer["qkv_b"], cfg.dtype)  # (B,S,3H)
@@ -86,14 +92,19 @@ def _attention(
     q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(jnp.float32(hd))
-    if mask_bias is not None:
-        scores = scores + mask_bias  # (B,1,1,S) additive -inf on padded keys
-    probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                     preferred_element_type=jnp.float32).astype(cfg.dtype)
+    if cfg.attn_impl == "fused":
+        from dawnsearch_tpu.ops.attention import fused_attention
+        bias2d = None if mask_bias is None else mask_bias[:, 0, 0, :]
+        ctx = fused_attention(q, k, v, bias2d, nh=nh).astype(cfg.dtype)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(hd))
+        if mask_bias is not None:
+            scores = scores + mask_bias  # (B,1,1,S): -inf on padded keys
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32).astype(cfg.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
     return _dense(ctx, layer["attn_out_w"], layer["attn_out_b"], cfg.dtype)
 
@@ -190,6 +201,10 @@ def encode_batch(
     """
     hidden = bert_forward(params, input_ids, attention_mask, cfg=cfg,
                           mask_padding=mask_padding)
+    if cfg.pool_impl == "fused":
+        from dawnsearch_tpu.ops.attention import fused_mean_pool
+        return fused_mean_pool(hidden, attention_mask,
+                               include_padding=include_padding)
     pooled = mean_pool(hidden, attention_mask, include_padding=include_padding)
     norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
     return pooled / jnp.maximum(norm, 1e-12)

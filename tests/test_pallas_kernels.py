@@ -1,0 +1,88 @@
+"""Pallas kernels vs XLA reference (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dawnsearch_tpu.models.bert import BertConfig, encode_batch
+from dawnsearch_tpu.models.weights import init_params
+from dawnsearch_tpu.ops.attention import fused_attention, fused_mean_pool
+
+
+@pytest.fixture(scope="module")
+def qkv(rng=None):
+    r = np.random.default_rng(0)
+    B, nh, S, hd = 4, 12, 32, 32
+    mk = lambda: jnp.asarray(r.standard_normal((B, nh, S, hd)), jnp.float32)
+    mask = np.ones((B, S), np.float32)
+    mask[0, 20:] = 0
+    mask[2, 5:] = 0
+    bias = jnp.asarray(np.where(mask > 0, 0.0, -1e30), jnp.float32)
+    return mk(), mk(), mk(), bias, mask
+
+
+def xla_attention(q, k, v, bias):
+    hd = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / np.sqrt(hd)
+    s = s + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                      preferred_element_type=jnp.float32)
+
+
+def test_fused_attention_matches_xla(qkv):
+    q, k, v, bias, _ = qkv
+    ref = np.asarray(xla_attention(q, k, v, bias))
+    out = np.asarray(fused_attention(q, k, v, bias, nh=q.shape[1]))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fused_attention_no_bias(qkv):
+    q, k, v, _, _ = qkv
+    ref = np.asarray(xla_attention(q, k, v, jnp.zeros(q.shape[:1] +
+                                                      q.shape[2:3])))
+    out = np.asarray(fused_attention(q, k, v, None, nh=q.shape[1]))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fused_mean_pool(qkv):
+    *_, mask = qkv
+    r = np.random.default_rng(1)
+    B, S, H = mask.shape[0], mask.shape[1], 384
+    hidden = jnp.asarray(r.standard_normal((B, S, H)), jnp.float32)
+    m = jnp.asarray(mask)
+    out = np.asarray(fused_mean_pool(hidden, m))
+    ref = np.asarray(hidden) * mask[..., None]
+    ref = ref.sum(1) / np.maximum(mask.sum(1), 1)[:, None]
+    ref /= np.linalg.norm(ref, axis=-1, keepdims=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+
+def test_fused_mean_pool_include_padding(qkv):
+    *_, mask = qkv
+    r = np.random.default_rng(2)
+    hidden = jnp.asarray(r.standard_normal((4, 32, 384)), jnp.float32)
+    out = np.asarray(fused_mean_pool(hidden, jnp.asarray(mask),
+                                     include_padding=True))
+    ref = np.asarray(hidden).mean(1)
+    ref /= np.linalg.norm(ref, axis=-1, keepdims=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_full_model_fused_matches_xla():
+    """encode_batch with both Pallas kernels == pure-XLA output."""
+    params = init_params(jax.random.key(0))
+    r = np.random.default_rng(3)
+    ids = jnp.asarray(r.integers(100, 30000, (4, 32)), jnp.int32)
+    mask = np.ones((4, 32), np.int32)
+    mask[1, 10:] = 0
+    mask = jnp.asarray(mask)
+    ref = np.asarray(encode_batch(params, ids, mask))
+    fused = np.asarray(encode_batch(
+        params, ids, mask,
+        cfg=BertConfig(attn_impl="fused", pool_impl="fused")))
+    np.testing.assert_allclose(fused, ref, atol=1e-4)
