@@ -23,6 +23,12 @@ def load_index(path: str):
     with np.load(path, allow_pickle=False) as z:
         names = set(z.files)
     if "kind" in names:
+        import numpy as _np
+        with _np.load(path, allow_pickle=False) as z:
+            kind = str(z["kind"])
+        if kind == "sharded":
+            from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+            return ShardedFlatIndex.load(path)
         from dawnsearch_tpu.index.auto import AutoIndex
         return AutoIndex.load(path)
     if "centroids" in names:

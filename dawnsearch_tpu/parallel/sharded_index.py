@@ -150,6 +150,10 @@ class ShardedFlatIndex:
         return int(self._counts.sum())
 
     @property
+    def capacity(self) -> int:
+        return self.n_shards * self.cap_per_shard
+
+    @property
     def nbytes(self) -> int:
         n = self._codes.size * self._codes.dtype.itemsize + self._ids.size * 4
         if self.dtype == "i8":
@@ -257,3 +261,64 @@ class ShardedFlatIndex:
         if single:
             return d[0], u[0]
         return d, u
+
+    # -- persistence (device-sharded arrays gather to host, reload
+    #    re-shards onto whatever mesh the new process has) --------------
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        np.savez(
+            tmp,
+            kind="sharded",
+            codes=np.asarray(self._codes),
+            scales=(np.asarray(self._scales) if self.dtype == "i8"
+                    else np.empty(0)),
+            ids=np.asarray(self._ids),
+            counts=self._counts,
+            next_id=self._next_id,
+            dtype=self.dtype,
+            dim=self.dim,
+        )
+        import os
+        os.replace(tmp + ".npz", path)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh | None = None,
+             **kwargs) -> "ShardedFlatIndex":
+        """Reload onto `mesh`. A different shard count than at save time
+        is fine as long as it divides the saved shard count evenly (rows
+        are re-striped); otherwise rows are re-added through add()."""
+        with np.load(path, allow_pickle=False) as z:
+            codes = z["codes"]  # (S0, cap, D)
+            scales = z["scales"]
+            ids = z["ids"]
+            counts = z["counts"].astype(np.int64)
+            dtype = str(z["dtype"])
+            next_id = int(z["next_id"])
+        S0, cap0, dim = codes.shape
+        kwargs.setdefault("segment", cap0)  # preserve saved capacity
+        idx = cls(mesh=mesh, dim=dim, dtype=dtype,
+                  capacity_per_shard=cap0, **kwargs)
+        if idx.n_shards == S0:
+            idx._codes = jax.device_put(
+                jnp.asarray(codes, idx._codes.dtype), idx._shard3)
+            if dtype == "i8":
+                idx._scales = jax.device_put(jnp.asarray(scales),
+                                             idx._shard2)
+            idx._ids = jax.device_put(jnp.asarray(ids, jnp.int32),
+                                      idx._shard2)
+            idx._counts = counts
+        else:  # re-stripe through the normal insert path
+            all_ids, all_rows, all_scales = [], [], []
+            for s in range(S0):
+                n = int(counts[s])
+                all_ids.append(ids[s, :n].astype(np.int64))
+                rows = codes[s, :n].astype(np.float32)
+                if dtype == "i8":
+                    rows = rows * scales[s, :n, None]
+                all_rows.append(rows)
+            if all_rows:
+                idx.add(np.concatenate(all_rows),
+                        ids=np.concatenate(all_ids))
+        idx._next_id = max(idx._next_id, next_id)
+        return idx

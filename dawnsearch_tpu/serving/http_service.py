@@ -91,6 +91,25 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/api/stats":
             self._send_json(200, self.service.stats())
             return
+        if url.path == "/api/metrics":
+            # observability surface (SURVEY.md par.5: the reference only has
+            # debug-gated prints; here counters + latency percentiles)
+            self._send_json(200, METRICS.snapshot())
+            return
+        if url.path == "/api/profile":
+            # capture a jax.profiler trace for xprof (SURVEY.md par.5:
+            # TPU equivalent of the reference's dormant tracing spans)
+            seconds = float(qs.get("seconds", ["2"])[0])
+            out_dir = qs.get("dir", ["/tmp/dawnsearch-profile"])[0]
+            try:
+                import jax
+                jax.profiler.start_trace(out_dir)
+                time.sleep(min(seconds, 30.0))
+                jax.profiler.stop_trace()
+                self._send_json(200, {"trace_dir": out_dir})
+            except Exception as e:
+                self._send_json(500, {"error": str(e)})
+            return
         if url.path != "/":
             self._send(404, web.error_page("not found"))
             return

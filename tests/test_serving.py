@@ -242,3 +242,15 @@ def test_http_concurrent_searches_batch(http):
         t.join()
     assert results == [200] * 8
     assert sum(enc.calls) == 8 and len(enc.calls) < 8  # coalesced
+
+
+def test_http_metrics(http):
+    base, service = http
+    from dawnsearch_tpu.utils.logging import METRICS
+    before = METRICS.snapshot()
+    seed_pages(service)
+    get(base + "/api/search?q=anything")
+    status, body = get(base + "/api/metrics")
+    m = json.loads(body)
+    assert m.get("searches", 0) >= before.get("searches", 0) + 1
+    assert m.get("pages_inserted", 0) == before.get("pages_inserted", 0) + 20

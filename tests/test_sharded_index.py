@@ -126,3 +126,43 @@ def test_matches_unsharded(mesh, unit_vectors):
     np.testing.assert_allclose(ds, df, atol=1e-5)
     for b in range(4):
         assert set(us[b]) == set(uf[b])
+
+
+def test_save_load_same_mesh(tmp_path, unit_vectors):
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+    import numpy as np
+    x = unit_vectors(100)
+    ix = ShardedFlatIndex(dtype="i8", capacity_per_shard=64, segment=64)
+    ix.add(x)
+    p = str(tmp_path / "sh.npz")
+    ix.save(p)
+    from dawnsearch_tpu.index import load_index
+    ld = load_index(p)
+    assert isinstance(ld, ShardedFlatIndex)
+    assert len(ld) == 100 and ld.capacity == ix.capacity
+    d0, i0 = ix.search(x[:8], 5)
+    d1, i1 = ld.search(x[:8], 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, atol=1e-6)
+    # post-load adds continue the id sequence
+    new = ld.add(unit_vectors(3))
+    assert new.min() == 100
+
+
+def test_save_load_restripe(tmp_path, unit_vectors):
+    """Reload onto a mesh with a different shard count."""
+    import numpy as np
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+    import jax
+    x = unit_vectors(64)
+    ix = ShardedFlatIndex(dtype="f32", capacity_per_shard=32, segment=32)
+    ix.add(x)
+    p = str(tmp_path / "sh8.npz")
+    ix.save(p)
+    mesh2 = make_mesh({"shard": 2}, devices=jax.devices()[:2])
+    ld = ShardedFlatIndex.load(p, mesh=mesh2)
+    assert ld.n_shards == 2 and len(ld) == 64
+    d, i = ld.search(x[:8], 1)
+    np.testing.assert_array_equal(i[:, 0], np.arange(8))
+    assert np.all(d[:, 0] < 1e-5)
