@@ -250,6 +250,12 @@ class UdpService:
     def announce_now(self) -> None:
         """One announce round (test hook; timer calls this too)."""
         self._expire_peers()
+        if self.cfg.upnp:  # refresh gateway mapping (udp_service.rs:345-349)
+            try:
+                from dawnsearch_tpu.net.upnp import add_port_mapping
+                add_port_mapping(self.port)
+            except Exception:
+                log.debug("UPnP refresh failed", exc_info=True)
         pages = 0
         if self.service is not None:
             try:
