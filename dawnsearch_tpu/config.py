@@ -35,6 +35,9 @@ class Config:
     embed_batch_size: int = 64  # cross-request batching cap
     embed_max_wait_ms: float = 5.0  # batcher flush deadline
     seq_buckets: tuple[int, ...] = (16, 32, 64, 128, 256)
+    compute_dtype: str = "bf16"  # encoder matmul dtype: "bf16" | "f32"
+    attn_impl: str = "xla"  # "xla" | "fused" (Pallas kernel)
+    pool_impl: str = "xla"  # "xla" | "fused"
     index_capacity: int = 1_000_000  # page cap (search_provider.rs:164-166)
     index_dtype: str = "i8"  # "f32" | "bf16" | "i8"
     index_kind: str = "flat"  # "flat" | "ivf"

@@ -1,73 +1,29 @@
-"""ctypes bridge to the C++ extraction fast path, with auto-build.
+"""ctypes bridge to the C++ extraction fast path.
 
-The reference links native code for its hot paths (USearch C++ via FFI,
-SQLite; SURVEY.md §2.2); our ingestion hot loop gets the same
-treatment: `native/extract.cpp` compiled to libdawn_native.so. Loading
-order: existing .so -> build via make (toolchain present) -> pure-Python
-fallback (dawnsearch_tpu.ingest.extract) with identical semantics.
+See dawnsearch_tpu/native/extract.cpp and utils/nativelib.py (shared
+loader + auto-build). Falls back to the pure-Python implementation in
+dawnsearch_tpu.ingest.extract, which has identical semantics (tested).
 """
 
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 
 from dawnsearch_tpu.ingest.extract import ExtractedDoc
 from dawnsearch_tpu.ingest.extract import extract as _py_extract
-from dawnsearch_tpu.utils.logging import service_logger
+from dawnsearch_tpu.utils import nativelib
 
-log = service_logger("Native")
-
-_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
-_SO = os.path.join(_DIR, "libdawn_native.so")
-
-_lib = None
-_tried = False
-_lock = threading.Lock()
-
-
-def build() -> bool:
-    """Compile the native library in-tree. Returns success."""
-    try:
-        subprocess.run(["make", "-C", _DIR], check=True,
-                       capture_output=True, timeout=120)
-        return True
-    except Exception as e:
-        log.warning("native build failed (%s); using Python extraction", e)
-        return False
-
-
-def _load():
-    global _lib, _tried
-    with _lock:
-        if _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_SO):
-            if not build():
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-            lib.dawn_extract.restype = ctypes.c_void_p
-            lib.dawn_extract.argtypes = [ctypes.c_char_p, ctypes.c_long]
-            lib.dawn_free.argtypes = [ctypes.c_void_p]
-            _lib = lib
-            log.info("native extraction loaded (%s)", _SO)
-        except OSError as e:
-            log.warning("failed to load %s: %s", _SO, e)
-        return _lib
+# kept for the Makefile docstring contract / older callers
+build = nativelib.build
 
 
 def available() -> bool:
-    return _load() is not None
+    return nativelib.get() is not None
 
 
 def extract(html: str) -> ExtractedDoc:
     """HTML -> ExtractedDoc via C++ when available, Python otherwise."""
-    lib = _load()
+    lib = nativelib.get()
     if lib is None:
         return _py_extract(html)
     raw = html.encode("utf-8", errors="ignore")

@@ -96,7 +96,7 @@ class WordPieceTokenizer:
         vocab: dict[str, int] = {}
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                vocab[line.rstrip("\n")] = i
+                vocab[line.rstrip("\r\n")] = i
         return cls(vocab, lowercase=lowercase)
 
     def save_vocab(self, path: str) -> None:

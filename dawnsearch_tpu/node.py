@@ -36,24 +36,37 @@ def make_encoder(cfg: Config):
     (the reference downloads from HF Hub, embedding_service.rs:60-85;
     this environment is zero-egress so weights are provided locally)."""
     from dawnsearch_tpu.models.encoder import SentenceEncoder
-    from dawnsearch_tpu.models.tokenizer import (
-        WordPieceTokenizer, build_vocab_from_corpus)
+    from dawnsearch_tpu.models.tokenizer import build_vocab_from_corpus
+    from dawnsearch_tpu.models.tokenizer_native import best_tokenizer
     from dawnsearch_tpu.models.weights import load_params
 
     params, pretrained = load_params(cfg.model_dir)
     vocab_path = (os.path.join(cfg.model_dir, "vocab.txt")
                   if cfg.model_dir else None)
     if vocab_path and os.path.exists(vocab_path):
-        tok = WordPieceTokenizer.from_vocab_file(vocab_path)
+        vocab = {}
+        with open(vocab_path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                vocab[line.rstrip("\r\n")] = i
     else:
         corpus = [string.ascii_lowercase, string.digits,
                   "the quick brown fox jumps over the lazy dog"]
-        tok = WordPieceTokenizer(build_vocab_from_corpus(corpus, size=4096))
+        vocab = build_vocab_from_corpus(corpus, size=4096)
         if pretrained:
             log.warning("pretrained weights but no vocab.txt — "
                         "tokenization will not match the checkpoint")
-    log.info("encoder ready (pretrained=%s)", pretrained)
-    return SentenceEncoder(params, tok, seq_buckets=tuple(cfg.seq_buckets))
+    tok = best_tokenizer(vocab)  # C++ WordPiece when built
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.models.bert import BertConfig
+
+    bert_cfg = BertConfig(
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32,
+        attn_impl=cfg.attn_impl, pool_impl=cfg.pool_impl)
+    log.info("encoder ready (pretrained=%s, dtype=%s, attn=%s)",
+             pretrained, cfg.compute_dtype, cfg.attn_impl)
+    return SentenceEncoder(params, tok, cfg=bert_cfg,
+                           seq_buckets=tuple(cfg.seq_buckets))
 
 
 def make_index_factory(cfg: Config):
