@@ -145,3 +145,58 @@ def load_params(model_dir: str | None, cfg: BertConfig = MINILM_L6,
 
 def param_count(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def to_hf_tensors(params: Params, cfg: BertConfig = MINILM_L6
+                  ) -> dict[str, np.ndarray]:
+    """Stacked pytree -> HF BertModel tensor dict (inverse of
+    from_hf_tensors): un-stack layers, split fused QKV, transpose back
+    to torch's (out, in). Lets a node export weights any HF consumer
+    (or another node's model_dir) can load."""
+    H = cfg.hidden_size
+    emb = params["embeddings"]
+    out: dict[str, np.ndarray] = {
+        "embeddings.word_embeddings.weight": np.asarray(emb["word"]),
+        "embeddings.position_embeddings.weight": np.asarray(emb["position"]),
+        "embeddings.token_type_embeddings.weight": np.asarray(emb["token_type"]),
+        "embeddings.LayerNorm.weight": np.asarray(emb["ln_scale"]),
+        "embeddings.LayerNorm.bias": np.asarray(emb["ln_bias"]),
+    }
+    L = params["layers"]
+    for i in range(cfg.num_layers):
+        p = f"encoder.layer.{i}."
+        qkv_w = np.asarray(L["qkv_w"][i])  # (H, 3H), ours = x @ w
+        qkv_b = np.asarray(L["qkv_b"][i])
+        out[p + "attention.self.query.weight"] = qkv_w[:, :H].T
+        out[p + "attention.self.key.weight"] = qkv_w[:, H:2 * H].T
+        out[p + "attention.self.value.weight"] = qkv_w[:, 2 * H:].T
+        out[p + "attention.self.query.bias"] = qkv_b[:H]
+        out[p + "attention.self.key.bias"] = qkv_b[H:2 * H]
+        out[p + "attention.self.value.bias"] = qkv_b[2 * H:]
+        out[p + "attention.output.dense.weight"] = \
+            np.asarray(L["attn_out_w"][i]).T
+        out[p + "attention.output.dense.bias"] = np.asarray(L["attn_out_b"][i])
+        out[p + "attention.output.LayerNorm.weight"] = \
+            np.asarray(L["attn_ln_scale"][i])
+        out[p + "attention.output.LayerNorm.bias"] = \
+            np.asarray(L["attn_ln_bias"][i])
+        out[p + "intermediate.dense.weight"] = np.asarray(L["ffn_in_w"][i]).T
+        out[p + "intermediate.dense.bias"] = np.asarray(L["ffn_in_b"][i])
+        out[p + "output.dense.weight"] = np.asarray(L["ffn_out_w"][i]).T
+        out[p + "output.dense.bias"] = np.asarray(L["ffn_out_b"][i])
+        out[p + "output.LayerNorm.weight"] = np.asarray(L["ffn_ln_scale"][i])
+        out[p + "output.LayerNorm.bias"] = np.asarray(L["ffn_ln_bias"][i])
+    return out
+
+
+def save_safetensors(params: Params, path: str,
+                     cfg: BertConfig = MINILM_L6) -> None:
+    """Export params as an HF-naming safetensors checkpoint — the model
+    half of checkpoint/resume (the index half lives in
+    index/provider.py; the reference re-downloads weights each boot,
+    embedding_service.rs:60-85)."""
+    from safetensors.numpy import save_file
+
+    tensors = {k: np.ascontiguousarray(v)
+               for k, v in to_hf_tensors(params, cfg).items()}
+    save_file(tensors, path)

@@ -155,3 +155,16 @@ def test_param_roundtrip_count(params):
     # all-MiniLM-L6-v2 encoder (no pooler): 22.7M params
     n = W.param_count(params)
     assert 22_000_000 < n < 23_500_000
+
+
+def test_safetensors_export_roundtrip(params, tmp_path):
+    """save_safetensors -> load_safetensors reproduces the pytree."""
+    import jax
+    import numpy as np
+    from dawnsearch_tpu.models import weights as W
+
+    path = str(tmp_path / "model.safetensors")
+    W.save_safetensors(params, path)
+    reloaded = W.load_safetensors(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(reloaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

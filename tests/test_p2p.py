@@ -176,3 +176,64 @@ def test_peer_expiry(tmp_path):
         a.stop()
         b.stop()
         tracker.stop()
+
+
+def test_dead_peer_partial_results(tmp_path):
+    """Fault injection: a peer that never answers. The searcher must
+    return its local hits at the deadline — silent partial results are
+    the failure model (SURVEY.md par.5, udp_service.rs:332-341)."""
+    import socket
+    tracker = Tracker("127.0.0.1:0").start()
+    a = DawnNode(node_cfg(tmp_path, "a", tracker.port,
+                          search_deadline_ms=250.0),
+                 encoder=HashEncoder()).start()
+    b = DawnNode(node_cfg(tmp_path, "b", tracker.port),
+                 encoder=HashEncoder()).start()
+    try:
+        assert wait_until(lambda: a.udp.fresh_peers())
+        a.service.insert_pages([("https://a/1", "Local hit", "text")],
+                               from_network=True)
+        # kill b's receiver so Search datagrams vanish into the void
+        b.udp._stop.set()
+        time.sleep(0.3)
+        t0 = time.time()
+        res = a.service.text_search("Local hit\ntext")
+        elapsed = time.time() - t0
+        assert res.pages and res.pages[0].url == "https://a/1"
+        assert res.instances_contacted == 2  # b was asked, never answered
+        assert 0.2 <= elapsed < 2.0  # waited the deadline, not forever
+    finally:
+        a.stop()
+        b.stop()
+        tracker.stop()
+
+
+def test_tracker_down_node_survives(tmp_path):
+    """Announce to a dead tracker fails silently; local serving works."""
+    cfg = node_cfg(tmp_path, "solo", tracker_port=1)  # nothing listens
+    node = DawnNode(cfg, encoder=HashEncoder()).start()
+    try:
+        node.udp.announce_now()  # must not raise
+        node.service.insert_pages([("https://s/1", "T", "x")])
+        res = node.service.text_search("T\nx")
+        assert res.pages[0].url == "https://s/1"
+        assert node.udp.fresh_peers() == []
+    finally:
+        node.stop()
+
+
+def test_corrupt_snapshot_recovers(tmp_path):
+    """Fault injection: truncate index.dawn.npz; provider rebuilds from
+    SQLite (search_provider.rs:111-153 recovery semantics)."""
+    import os
+    from dawnsearch_tpu.index.provider import INDEX_FILE
+    cfg = node_cfg(tmp_path, "c", tracker_port=1)
+    cfg.udp = False
+    with DawnNode(cfg, encoder=HashEncoder()) as node:
+        node.service.insert_pages([("https://c/1", "Keep", "me")])
+    snap = os.path.join(cfg.data_dir, INDEX_FILE)
+    with open(snap, "wb") as f:
+        f.write(b"\x00garbage")
+    with DawnNode(cfg, encoder=HashEncoder()) as node2:
+        res = node2.service.text_search("Keep\nme", search_remote=False)
+        assert res.pages[0].url == "https://c/1"
