@@ -59,33 +59,48 @@ def _quantize_rows_i8(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _chunk_scores(q: jax.Array, chunk_codes: jax.Array,
                   chunk_scales: jax.Array | None) -> jax.Array:
-    """(B, D) x (C, D) -> (B, C) ip-distance (1 - dot), f32 accumulation."""
+    """(B, D) x (C, D) -> (B, C) ip-distance (1 - dot), f32 accumulation.
+
+    f32 storage scores in f32 (the exactness oracle); bf16/i8 storage
+    runs bf16 operands so the MXU runs at bf16 rate (int8 codes are
+    exact in bf16; the query's bf16 rounding is ~the same magnitude as
+    the i8 storage error and measured recall-neutral)."""
     if chunk_scales is None:
-        # bf16 storage: keep bf16 operands so the MXU runs at bf16 rate;
-        # accumulation stays f32 via preferred_element_type.
         qq = q.astype(chunk_codes.dtype) if chunk_codes.dtype == jnp.bfloat16 else q
         dots = jax.lax.dot_general(qq, chunk_codes, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         return 1.0 - dots
-    x = chunk_codes.astype(jnp.bfloat16).astype(jnp.float32)  # int8 exact in bf16
-    dots = jax.lax.dot_general(q, x, (((1,), (1,)), ((), ())),
+    x = chunk_codes.astype(jnp.bfloat16)
+    dots = jax.lax.dot_general(q.astype(jnp.bfloat16), x,
+                               (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     return 1.0 - dots * chunk_scales[None, :]
 
 
+def _select_smallest(scores: jax.Array, k: int, approx: bool
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Smallest-k selector. `approx` uses the TPU's approx_min_k
+    (recall_target 0.99, measured ~2x faster than exact top_k at
+    1M rows and recall-neutral next to i8 storage error)."""
+    if approx:
+        return jax.lax.approx_min_k(scores, k, recall_target=0.99)
+    neg, idx = jax.lax.top_k(-scores, k)
+    return -neg, idx
+
+
 def _block_topk(q: jax.Array, block_codes: jax.Array,
                 block_scales: jax.Array | None, offset, count: jax.Array,
-                k: int) -> tuple[jax.Array, jax.Array]:
+                k: int, approx: bool) -> tuple[jax.Array, jax.Array]:
     """Top-k over one contiguous row block at global row `offset`.
     Rows with global id >= count score +inf."""
     n = block_codes.shape[0]
     scores = _chunk_scores(q, block_codes, block_scales)
     global_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) + offset
     scores = jnp.where(global_ids < count, scores, jnp.inf)
-    neg, idx = jax.lax.top_k(-scores, min(k, n))
+    vals, idx = _select_smallest(scores, min(k, n), approx)
     ids = jnp.take_along_axis(
         jnp.broadcast_to(global_ids, scores.shape), idx, axis=1)
-    return -neg, ids
+    return vals, ids
 
 
 def _merge_topk(best: tuple[jax.Array, jax.Array],
@@ -98,8 +113,8 @@ def _merge_topk(best: tuple[jax.Array, jax.Array],
 
 
 def search_kernel(codes: jax.Array, scales: jax.Array | None, queries: jax.Array,
-                  count: jax.Array, k: int, chunk: int
-                  ) -> tuple[jax.Array, jax.Array]:
+                  count: jax.Array, k: int, chunk: int,
+                  approx: bool = False) -> tuple[jax.Array, jax.Array]:
     """Chunked exact search -> (distances (B,k) asc, row ids (B,k)).
 
     Invalid slots (>= count) come back with distance +inf and id -1.
@@ -110,7 +125,7 @@ def search_kernel(codes: jax.Array, scales: jax.Array | None, queries: jax.Array
     B = queries.shape[0]
     q = queries.astype(jnp.float32)
     if cap <= chunk:
-        dists, ids = _block_topk(q, codes, scales, 0, count, k)
+        dists, ids = _block_topk(q, codes, scales, 0, count, k, approx)
         return dists, jnp.where(jnp.isfinite(dists), ids, -1)
 
     n_full = cap // chunk
@@ -129,7 +144,7 @@ def search_kernel(codes: jax.Array, scales: jax.Array | None, queries: jax.Array
         else:
             c_idx, chunk_codes, chunk_scales = inp
         cand = _block_topk(q, chunk_codes, chunk_scales, c_idx * chunk,
-                           count, k)
+                           count, k, approx)
         return _merge_topk(carry, cand, k), None
 
     xs = (jnp.arange(n_full, dtype=jnp.int32), codes_c) if scales_c is None \
@@ -138,13 +153,14 @@ def search_kernel(codes: jax.Array, scales: jax.Array | None, queries: jax.Array
     if rem:
         tail = _block_topk(q, codes[n_full * chunk:],
                            None if scales is None else scales[n_full * chunk:],
-                           n_full * chunk, count, k)
+                           n_full * chunk, count, k, approx)
         dists, ids = _merge_topk((dists, ids), tail, k)
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
 
 
-_search = functools.partial(jax.jit, static_argnames=("k", "chunk"))(search_kernel)
+_search = functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "approx"))(search_kernel)
 
 
 class FlatIndex:
@@ -159,13 +175,20 @@ class FlatIndex:
         max_capacity: int | None = None,
         segment: int = DEFAULT_SEGMENT,
         chunk: int = DEFAULT_CHUNK,
+        selector: str = "auto",
     ):
         if dtype not in ("f32", "bf16", "i8"):
             raise ValueError(f"unsupported dtype {dtype}")
+        if selector not in ("auto", "exact", "approx"):
+            raise ValueError(f"unsupported selector {selector}")
         self.dim = dim
         self.dtype = dtype
         self.segment = segment
         self.chunk = chunk
+        # "auto": exact top_k for f32 (the oracle), approx_min_k for
+        # quantized storage — ~2x faster at 1M rows, recall-neutral
+        # next to the quantization error.
+        self.selector = selector
         self.max_capacity = max_capacity
         self.count = 0
         self.capacity = _round_up(max(capacity, segment), segment)
@@ -230,8 +253,11 @@ class FlatIndex:
         if single:
             q = q[None, :]
         k_eff = min(k, self.capacity)
+        approx = (self.selector == "approx"
+                  or (self.selector == "auto" and self.dtype != "f32"))
         d, i = _search(self._codes, self._scales, q,
-                       jnp.int32(self.count), k_eff, self.chunk)
+                       jnp.int32(self.count), k_eff, self.chunk,
+                       approx=approx)
         d, i = np.asarray(d), np.asarray(i)
         if k_eff < k:  # pad to requested k
             d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)

@@ -40,16 +40,18 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "mesh", "has_scales"))
+    jax.jit, static_argnames=("k", "chunk", "mesh", "has_scales", "approx"))
 def _sharded_search(codes, scales, ids, counts, queries, *, k: int,
-                    chunk: int, mesh: Mesh, has_scales: bool):
+                    chunk: int, mesh: Mesh, has_scales: bool,
+                    approx: bool = False):
     """Replicated queries -> replicated merged (distances, user ids)."""
 
     def local(codes_blk, scales_blk, ids_blk, counts_blk, q):
         cap = codes_blk.shape[1]
         B = q.shape[0]
         sc = scales_blk[0] if has_scales else None
-        d, i = search_kernel(codes_blk[0], sc, q, counts_blk[0], k, chunk)
+        d, i = search_kernel(codes_blk[0], sc, q, counts_blk[0], k, chunk,
+                             approx=approx)
         safe = jnp.clip(i, 0, cap - 1)
         uid = jnp.where(i >= 0, ids_blk[0][safe], -1)
         all_d = jax.lax.all_gather(d, AXIS)  # (S, B, k)
@@ -252,7 +254,8 @@ class ShardedFlatIndex:
             self._codes, self._scales, self._ids,
             jnp.asarray(self._counts, jnp.int32), q,
             k=k_local, chunk=self.chunk, mesh=self.mesh,
-            has_scales=self.dtype == "i8")
+            has_scales=self.dtype == "i8",
+            approx=self.dtype != "f32")
         d, u = np.asarray(d), np.asarray(u)
         if k_local < k:
             d = np.pad(d, ((0, 0), (0, k - k_local)), constant_values=np.inf)
