@@ -1,10 +1,10 @@
 """AutoIndex: exact flat index that upgrades itself to IVF at scale.
 
 USearch gives the reference one growable object with good behavior at
-every size (search_provider.rs:35-42,280-284). On TPU the right engine
-changes with corpus size: brute-force matmul is exact and fastest below
-~10^5 rows; IVF amortizes beyond that. AutoIndex starts as a FlatIndex
-and, when `train_threshold` rows accumulate, trains centroids on the
+every size (search_provider.rs:35-42,280-284). On TPU, measured brute
+force stays the fastest engine far beyond USearch's comfort zone (see
+DEFAULT_TRAIN_THRESHOLD below); AutoIndex starts as a FlatIndex and,
+when `train_threshold` rows accumulate, trains centroids on the
 resident vectors and migrates them into an IVFIndex — transparently to
 the SearchProvider.
 
@@ -25,7 +25,15 @@ from dawnsearch_tpu.utils.logging import service_logger
 
 log = service_logger("AutoIndex")
 
-DEFAULT_TRAIN_THRESHOLD = 65536
+# Measured on v5e at 1M x 384: exact brute force (i8 codes, bf16 MXU
+# matmul, approx_min_k) runs ~50k QPS at recall 0.984, while
+# gather-based IVF manages ~4.6k QPS at recall 0.930 — per-query HBM
+# gathers are ~10x slower than the sequential scan the MXU eats. So on
+# TPU the flat index stays optimal far beyond USearch's comfort zone;
+# IVF only pays once the corpus outgrows the time/memory budget of a
+# full scan (multi-10M rows per chip). On CPU the crossover is much
+# earlier (matmuls are the expensive part there).
+DEFAULT_TRAIN_THRESHOLD = 8_000_000
 
 
 class AutoIndex:
@@ -44,8 +52,10 @@ class AutoIndex:
         self.n_centroids = n_centroids
         self.nprobe = nprobe
         self.train_threshold = train_threshold
+        # flat stage stores the configured dtype (i8 keeps the 8M-row
+        # stage HBM-feasible); migration trains on dequantized rows.
         self.flat: FlatIndex | None = FlatIndex(
-            dim=dim, dtype="f32", max_capacity=max_capacity)
+            dim=dim, dtype=dtype, max_capacity=max_capacity)
         self.ivf: IVFIndex | None = None
 
     @property
@@ -70,7 +80,9 @@ class AutoIndex:
         n = len(self.flat)
         log.info("upgrading to IVF at %d rows (%d centroids, nprobe %d)",
                  n, self.n_centroids, self.nprobe)
-        rows = np.asarray(self.flat._codes[:n], np.float32)  # flat stage is f32
+        rows = np.asarray(self.flat._codes[:n], np.float32)
+        if self.flat.dtype == "i8":  # dequantize for centroid training
+            rows *= np.asarray(self.flat._scales[:n])[:, None]
         per_list = max(128, int(2 * n / self.n_centroids))
         ivf = IVFIndex(dim=self.dim, dtype=self.dtype,
                        n_centroids=self.n_centroids, nprobe=self.nprobe,

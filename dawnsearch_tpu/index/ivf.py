@@ -127,9 +127,15 @@ def _ivf_search(centroids, codes, scales, ids, counts, queries, *,
         blocks = jnp.take(codes, pc, axis=0)        # (sub, P, L, D)
         block_ids = jnp.take(ids, pc, axis=0)       # (sub, P, L)
         block_cnt = jnp.take(counts, pc, axis=0)    # (sub, P)
-        x = blocks.astype(jnp.float32) if blocks.dtype != jnp.float32 else blocks
-        dots = jnp.einsum("bpld,bd->bpl", x, qc,
-                          preferred_element_type=jnp.float32)
+        # bf16 operands: i8 codes are exact in bf16, and the probe stage
+        # is gather-bandwidth-bound anyway (see flat._chunk_scores).
+        if blocks.dtype == jnp.float32:
+            dots = jnp.einsum("bpld,bd->bpl", blocks, qc,
+                              preferred_element_type=jnp.float32)
+        else:
+            dots = jnp.einsum("bpld,bd->bpl", blocks.astype(jnp.bfloat16),
+                              qc.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
         if has_scales:
             dots = dots * jnp.take(scales, pc, axis=0)
         dist = 1.0 - dots
@@ -138,8 +144,11 @@ def _ivf_search(centroids, codes, scales, ids, counts, queries, *,
         flat_d = dist.reshape(sub, nprobe * L)
         flat_i = block_ids.reshape(sub, nprobe * L)
         kk = min(k, nprobe * L)
-        neg, sel = jax.lax.top_k(-flat_d, kk)
-        d = -neg
+        if codes.dtype == jnp.int8 and kk < 128:
+            d, sel = jax.lax.approx_min_k(flat_d, kk, recall_target=0.99)
+        else:
+            neg, sel = jax.lax.top_k(-flat_d, kk)
+            d = -neg
         i = jnp.take_along_axis(flat_i, sel, axis=1)
         if kk < k:
             d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
