@@ -128,12 +128,72 @@ def bench_search(n_rows: int = 1_000_000, batch: int = 1024,
     return qps
 
 
+def bench_e2e(n_rows: int = 1_000_000, batch: int = 256, seq: int = 64,
+              k: int = 10, reps: int = 8) -> float:
+    """End-to-end query pipeline (BASELINE.json config 5): tokenized
+    queries -> encoder forward -> top-k over a 1M-row i8 index, fused
+    into ONE device program per batch."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.index.flat import FlatIndex, search_kernel
+    from dawnsearch_tpu.models.bert import BertConfig, encode_batch
+    from dawnsearch_tpu.models.weights import init_params
+
+    rng = np.random.default_rng(2)
+    index = FlatIndex(dtype="i8", capacity=n_rows, max_capacity=n_rows,
+                      segment=n_rows)
+    for s in range(0, n_rows, 262144):
+        n = min(262144, n_rows - s)
+        v = rng.standard_normal((n, 384)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        index.add(v)
+    params = init_params(jax.random.key(0))
+    cfg = BertConfig(dtype=jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(1000, 30000, (batch, seq)), jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "k", "chunk", "reps"))
+    def pipeline(params, ids, mask, codes, scales, count, cfg, k, chunk,
+                 reps):
+        def body(carry, _):
+            cur = (ids + carry) % 30000 + 100  # data dependency
+            emb = encode_batch(params, cur, mask, cfg=cfg)
+            d, i = search_kernel(codes, scales, emb, count, k, chunk,
+                                 approx=True)
+            return i[:, :1].astype(jnp.int32), (d, i)
+        _, (d, i) = jax.lax.scan(body, jnp.zeros((batch, 1), jnp.int32),
+                                 None, length=reps)
+        return d[-1], i[-1]
+
+    args = (params, ids, mask, index._codes, index._scales,
+            jnp.int32(index.count))
+    kw = dict(cfg=cfg, k=k, chunk=index.chunk, reps=reps)
+    np.asarray(pipeline(*args, **kw)[0])
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(pipeline(*args, **kw)[0][0, 0])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    qps = batch / best
+    log({"metric": "e2e_query_qps_1m", "value": round(qps, 1), "unit": "qps",
+         "rows": n_rows, "batch": batch, "seq": seq, "k": k,
+         "per_batch_ms": round(1000 * best, 2)})
+    return qps
+
+
 def main() -> None:
     sps = bench_embed()
     try:
         bench_search()
     except Exception as e:  # secondary metric must not sink the headline
         log({"metric": "search_qps_1m_i8", "error": repr(e)})
+    try:
+        bench_e2e()
+    except Exception as e:
+        log({"metric": "e2e_query_qps_1m", "error": repr(e)})
     print(json.dumps({
         "metric": "embed_sentences_per_sec",
         "value": round(sps, 1),
