@@ -30,11 +30,15 @@ def main(argv=None) -> int:
     track = sub.add_parser("track", help="run the rendezvous tracker "
                                          "(reference: dawntrack)")
     track.add_argument("--listen", default="0.0.0.0:7230")
+    track.add_argument("--external-address", default=None,
+                       help="advertise this address for loopback "
+                            "announcers (dawntrack.rs:77-82)")
     args = parser.parse_args(argv)
 
     if args.command == "track":
         from dawnsearch_tpu.net.tracker import Tracker
-        Tracker(args.listen).run_forever()
+        Tracker(args.listen,
+                external_address=args.external_address).run_forever()
         return 0
 
     from dawnsearch_tpu.config import Config

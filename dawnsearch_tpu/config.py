@@ -50,6 +50,7 @@ class Config:
     jax_platform: str = ""  # "" = default; "cpu" forces host platform
     jax_cpu_devices: int = 0  # >0: virtual host device count (testing)
     warc_source: str = ""  # glob of local WARC files; "" = Common Crawl
+    warmup: bool = False  # pre-compile the encoder bucket grid at boot
 
     @classmethod
     def load(cls, path: str | None = "DawnSearch.toml", env: dict | None = None) -> "Config":

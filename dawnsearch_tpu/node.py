@@ -133,6 +133,8 @@ class DawnNode:
     # -- lifecycle ----------------------------------------------------------
 
     def start(self) -> "DawnNode":
+        if self.cfg.warmup and hasattr(self.encoder, "warmup"):
+            self.encoder.warmup()  # avoid first-query compile stalls
         if self.cfg.web:
             from dawnsearch_tpu.serving.http_service import start_http_service
             self.http_server, self._http_thread = start_http_service(
