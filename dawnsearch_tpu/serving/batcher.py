@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Callable, Sequence
 
@@ -65,7 +66,6 @@ class EmbeddingBatcher:
                 break
             batch = [first]
             deadline = self.max_wait
-            import time
             t0 = time.monotonic()
             while len(batch) < self.max_batch:
                 remaining = deadline - (time.monotonic() - t0)

@@ -182,7 +182,6 @@ def test_dead_peer_partial_results(tmp_path):
     """Fault injection: a peer that never answers. The searcher must
     return its local hits at the deadline — silent partial results are
     the failure model (SURVEY.md par.5, udp_service.rs:332-341)."""
-    import socket
     tracker = Tracker("127.0.0.1:0").start()
     a = DawnNode(node_cfg(tmp_path, "a", tracker.port,
                           search_deadline_ms=250.0),
