@@ -184,6 +184,74 @@ def bench_e2e(n_rows: int = 1_000_000, batch: int = 256, seq: int = 64,
     return qps
 
 
+def bench_ingest(n_pages: int = 4096) -> float:
+    """Full ingestion stack: WARC -> C++ extraction -> language filter ->
+    C++ tokenization -> TPU batch embed -> index add (BASELINE.json
+    config 5 / the reference's 'minutes per WARC' hot path,
+    page_source.rs:85,106)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.index.provider import SearchProvider
+    from dawnsearch_tpu.ingest.extraction_service import (
+        ExtractionService, LocalWarcSource)
+    from dawnsearch_tpu.ingest.warc import write_warc
+    from dawnsearch_tpu.models.bert import BertConfig
+    from dawnsearch_tpu.models.encoder import SentenceEncoder
+    from dawnsearch_tpu.models.tokenizer import build_vocab_from_corpus
+    from dawnsearch_tpu.models.tokenizer_native import best_tokenizer
+    from dawnsearch_tpu.models.weights import init_params
+    from dawnsearch_tpu.serving.search_service import SearchService
+
+    body = ("The lighthouse keeper carried supplies up the winding stairs "
+            "every morning while the gulls circled over the rocks and the "
+            "fishing boats left the harbor before first light. ") * 6
+    words = body.split()
+    rng = np.random.default_rng(3)
+    records = []
+    for i in range(n_pages):
+        shuffled = " ".join(rng.permutation(words))
+        records.append((
+            f"https://bench.example/{i}",
+            (f"<html><head><title>Page {i}</title></head><body>"
+             f"<article><p>{shuffled}</p></article></body></html>"
+             ).encode()))
+    with tempfile.TemporaryDirectory() as td:
+        warc = f"{td}/bench.warc.gz"
+        write_warc(warc, records)
+
+        params = init_params(jax.random.key(0))
+        vocab = build_vocab_from_corpus([body], size=4096)
+        enc = SentenceEncoder(params, best_tokenizer(vocab),
+                              cfg=BertConfig(dtype=jnp.bfloat16))
+
+        class DirectBatcher:
+            def embed_many(self, texts):
+                return enc.encode(texts)
+
+            def embed(self, text):
+                return enc.encode([text])[0]
+
+        provider = SearchProvider(data_dir=None, verify_on_load=False)
+        service = SearchService(provider, DirectBatcher())
+        # pre-compile the (256, seq) bucket so timing measures steady
+        # state, not the one-time jit (serving warms up the same way)
+        enc.encode([body] * 256)
+        ex = ExtractionService(service, source=LocalWarcSource(warc),
+                               batch_size=256)
+        t0 = time.perf_counter()
+        ex.start()
+        ex.join(timeout=600)
+        dt = time.perf_counter() - t0
+        n = len(provider.store)
+    pps = n / dt
+    log({"metric": "ingest_pages_per_sec", "value": round(pps, 1),
+         "unit": "pages/s", "pages": n, "seconds": round(dt, 1)})
+    return pps
+
+
 def main() -> None:
     sps = bench_embed()
     try:
@@ -194,6 +262,10 @@ def main() -> None:
         bench_e2e()
     except Exception as e:
         log({"metric": "e2e_query_qps_1m", "error": repr(e)})
+    try:
+        bench_ingest()
+    except Exception as e:
+        log({"metric": "ingest_pages_per_sec", "error": repr(e)})
     print(json.dumps({
         "metric": "embed_sentences_per_sec",
         "value": round(sps, 1),
