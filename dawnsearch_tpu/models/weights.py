@@ -12,6 +12,7 @@ x @ w, so every weight is transposed on import.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Mapping
 
@@ -127,20 +128,52 @@ def load_safetensors(path: str, cfg: BertConfig = MINILM_L6) -> Params:
     return from_hf_tensors(tensors, cfg)
 
 
-def load_params(model_dir: str | None, cfg: BertConfig = MINILM_L6,
-                seed: int = 0) -> tuple[Params, bool]:
+def config_from_hf(model_dir: str) -> BertConfig | None:
+    """Build a BertConfig from an HF config.json, so any BERT-family
+    sentence encoder (MiniLM-L6/L12, mpnet-width BERTs, ...) loads by
+    pointing model_dir at its checkout — the reference is hardcoded to
+    one model (model.rs:160-180)."""
+    import json
+
+    path = os.path.join(model_dir, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        hf = json.load(f)
+    return BertConfig(
+        vocab_size=hf.get("vocab_size", 30522),
+        hidden_size=hf.get("hidden_size", 384),
+        num_layers=hf.get("num_hidden_layers", 6),
+        num_heads=hf.get("num_attention_heads", 12),
+        intermediate_size=hf.get("intermediate_size", 1536),
+        max_position_embeddings=hf.get("max_position_embeddings", 512),
+        type_vocab_size=hf.get("type_vocab_size", 2),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+    )
+
+
+def load_params(model_dir: str | None, cfg: BertConfig | None = None,
+                seed: int = 0) -> tuple[Params, bool, BertConfig]:
     """Load pretrained weights if available, else random init.
 
-    Returns (params, pretrained). The reference hard-downloads from HF Hub
-    (embedding_service.rs:60-85); this environment has no egress, so we
-    look for a local `model.safetensors` under model_dir.
-    """
+    Returns (params, pretrained, cfg). The reference hard-downloads from
+    HF Hub (embedding_service.rs:60-85); this environment has no egress,
+    so we look for a local `model.safetensors` under model_dir. Shape
+    config comes from model_dir/config.json when present."""
+    if model_dir:
+        hf_cfg = config_from_hf(model_dir)
+        if hf_cfg is not None:
+            cfg = hf_cfg if cfg is None else dataclasses.replace(
+                hf_cfg, dtype=cfg.dtype, attn_impl=cfg.attn_impl,
+                pool_impl=cfg.pool_impl)
+    if cfg is None:
+        cfg = MINILM_L6
     if model_dir:
         for cand in ("model.safetensors", "pytorch_model.safetensors"):
             p = os.path.join(model_dir, cand)
             if os.path.exists(p):
-                return load_safetensors(p, cfg), True
-    return init_params(jax.random.PRNGKey(seed), cfg), False
+                return load_safetensors(p, cfg), True, cfg
+    return init_params(jax.random.PRNGKey(seed), cfg), False, cfg
 
 
 def param_count(params: Params) -> int:

@@ -40,7 +40,14 @@ def make_encoder(cfg: Config):
     from dawnsearch_tpu.models.tokenizer_native import best_tokenizer
     from dawnsearch_tpu.models.weights import load_params
 
-    params, pretrained = load_params(cfg.model_dir)
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.models.bert import BertConfig
+
+    base_cfg = BertConfig(
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32,
+        attn_impl=cfg.attn_impl, pool_impl=cfg.pool_impl)
+    params, pretrained, bert_cfg = load_params(cfg.model_dir, cfg=base_cfg)
     vocab_path = (os.path.join(cfg.model_dir, "vocab.txt")
                   if cfg.model_dir else None)
     if vocab_path and os.path.exists(vocab_path):
@@ -56,30 +63,24 @@ def make_encoder(cfg: Config):
             log.warning("pretrained weights but no vocab.txt — "
                         "tokenization will not match the checkpoint")
     tok = best_tokenizer(vocab)  # C++ WordPiece when built
-    import jax.numpy as jnp
-
-    from dawnsearch_tpu.models.bert import BertConfig
-
-    bert_cfg = BertConfig(
-        dtype=jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32,
-        attn_impl=cfg.attn_impl, pool_impl=cfg.pool_impl)
-    log.info("encoder ready (pretrained=%s, dtype=%s, attn=%s)",
-             pretrained, cfg.compute_dtype, cfg.attn_impl)
+    log.info("encoder ready (pretrained=%s, dtype=%s, hidden=%d, layers=%d)",
+             pretrained, cfg.compute_dtype, bert_cfg.hidden_size,
+             bert_cfg.num_layers)
     return SentenceEncoder(params, tok, cfg=bert_cfg,
                            seq_buckets=tuple(cfg.seq_buckets))
 
 
-def make_index_factory(cfg: Config):
+def make_index_factory(cfg: Config, dim: int = 384):
     """Index per config: exact flat (default), IVF for large corpora,
     or device-sharded flat over a mesh."""
     def factory():
         if cfg.index_kind == "flat":
             from dawnsearch_tpu.index.flat import FlatIndex
-            return FlatIndex(dtype=cfg.index_dtype,
+            return FlatIndex(dim=dim, dtype=cfg.index_dtype,
                              max_capacity=cfg.index_capacity)
         if cfg.index_kind == "ivf":
             from dawnsearch_tpu.index.auto import AutoIndex
-            return AutoIndex(dtype=cfg.index_dtype,
+            return AutoIndex(dim=dim, dtype=cfg.index_dtype,
                              max_capacity=cfg.index_capacity,
                              n_centroids=cfg.ivf_ncentroids,
                              nprobe=cfg.ivf_nprobe)
@@ -87,7 +88,8 @@ def make_index_factory(cfg: Config):
             from dawnsearch_tpu.parallel.mesh import make_mesh
             from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
             mesh = make_mesh({"shard": cfg.mesh_shards})
-            return ShardedFlatIndex(mesh=mesh, dtype=cfg.index_dtype,
+            return ShardedFlatIndex(mesh=mesh, dim=dim,
+                                    dtype=cfg.index_dtype,
                                     max_capacity=cfg.index_capacity)
         raise ValueError(f"unknown index_kind {cfg.index_kind}")
     return factory
@@ -101,6 +103,12 @@ class DawnNode:
         set_debug(cfg.debug)
         self.instance_id = random_instance_id()
         os.makedirs(cfg.data_dir, exist_ok=True)
+        if cfg.compilation_cache:
+            # restart-to-serving in seconds instead of recompiling the
+            # bucket grid (first compile ~20-40s/shape on TPU)
+            import jax
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(cfg.data_dir, ".jax_cache"))
 
         from dawnsearch_tpu.index.provider import SearchProvider
         from dawnsearch_tpu.serving.batcher import EmbeddingBatcher
@@ -110,10 +118,11 @@ class DawnNode:
         self.batcher = EmbeddingBatcher(
             self.encoder.encode, max_batch=cfg.embed_batch_size,
             max_wait_ms=cfg.embed_max_wait_ms)
+        dim = getattr(self.encoder, "dim", 384)
         self.provider = SearchProvider(
-            data_dir=cfg.data_dir, index_dtype=cfg.index_dtype,
+            data_dir=cfg.data_dir, dim=dim, index_dtype=cfg.index_dtype,
             max_pages=cfg.index_capacity,
-            index_factory=make_index_factory(cfg))
+            index_factory=make_index_factory(cfg, dim=dim))
         self.udp = None
         if cfg.udp:
             from dawnsearch_tpu.net.udp_service import UdpService

@@ -168,3 +168,32 @@ def test_safetensors_export_roundtrip(params, tmp_path):
     reloaded = W.load_safetensors(path)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(reloaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_config_from_hf_and_load(tmp_path):
+    """model_dir/config.json drives the architecture (any BERT-family
+    sentence encoder, not just MiniLM-L6)."""
+    import json
+    import jax.numpy as jnp
+    from dawnsearch_tpu.models import weights as W
+    from dawnsearch_tpu.models.bert import BertConfig, encode_batch
+
+    cfg_json = {"vocab_size": 1000, "hidden_size": 64,
+                "num_hidden_layers": 2, "num_attention_heads": 4,
+                "intermediate_size": 128, "max_position_embeddings": 128}
+    (tmp_path / "config.json").write_text(json.dumps(cfg_json))
+    params, pretrained, cfg = W.load_params(
+        str(tmp_path), cfg=BertConfig(dtype=jnp.bfloat16))
+    assert not pretrained  # no safetensors present
+    assert cfg.hidden_size == 64 and cfg.num_layers == 2
+    assert cfg.dtype == jnp.bfloat16  # compute prefs survive the merge
+    import numpy as np
+    ids = jnp.asarray(np.ones((2, 8), np.int32))
+    mask = jnp.asarray(np.ones((2, 8), np.int32))
+    out = encode_batch(params, ids, mask, cfg=cfg)
+    assert out.shape == (2, 64)
+
+    # exported checkpoint reloads against the same config.json
+    W.save_safetensors(params, str(tmp_path / "model.safetensors"), cfg)
+    params2, pretrained2, cfg2 = W.load_params(str(tmp_path))
+    assert pretrained2 and cfg2.hidden_size == 64
