@@ -51,7 +51,7 @@ class Config:
     jax_cpu_devices: int = 0  # >0: virtual host device count (testing)
     warc_source: str = ""  # glob of local WARC files; "" = Common Crawl
     warmup: bool = False  # pre-compile the encoder bucket grid at boot
-    compilation_cache: bool = True  # persist XLA compiles under data_dir
+    compilation_cache: bool = False  # persist XLA compiles under data_dir
 
     @classmethod
     def load(cls, path: str | None = "DawnSearch.toml", env: dict | None = None) -> "Config":
