@@ -1,12 +1,14 @@
-"""EmbeddingBatcher: coalesce concurrent embed requests into one forward.
+"""Coalescing batchers: concurrent requests -> one device call.
 
 The reference's embedding actor serves exactly one text per message over
 a depth-2 channel (/root/reference/src/embedding/embedding_service.rs:142-167,
 bin/dawnsearch.rs:59), so concurrent searches serialize through the
-model. Here a worker thread drains whatever requests accumulated —
-up to `max_batch`, waiting at most `max_wait_ms` after the first — and
-runs ONE bucketed forward for all of them. Latency under load drops
-from O(queue) model calls to O(1).
+model — and its index serves one query per call (search_provider.rs:214).
+Here a worker thread drains whatever requests accumulated — up to
+`max_batch`, waiting at most `max_wait_ms` after the first — and runs
+ONE batched device call for all of them. Latency under load drops from
+O(queue) device calls to O(1). The same machinery batches the encoder
+forward (EmbeddingBatcher) and local index searches (SearchBatcher).
 """
 
 from __future__ import annotations
@@ -24,37 +26,29 @@ from dawnsearch_tpu.utils.logging import METRICS, service_logger
 log = service_logger("Batcher")
 
 
-class EmbeddingBatcher:
-    def __init__(
-        self,
-        encode_fn: Callable[[Sequence[str]], np.ndarray],
-        max_batch: int = 64,
-        max_wait_ms: float = 5.0,
-    ):
-        self._encode = encode_fn
+class CoalescingBatcher:
+    """Generic request coalescing: submit(payload) -> Future[result],
+    where `process_fn(payloads) -> results` handles a whole batch."""
+
+    def __init__(self, process_fn: Callable[[list], Sequence],
+                 max_batch: int = 64, max_wait_ms: float = 5.0,
+                 name: str = "batcher"):
+        self._process = process_fn
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.name = name
         self._q: queue.Queue = queue.Queue()
         self._shutdown = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name="embed-batcher")
+                                        name=name)
         self._thread.start()
 
-    def embed(self, text: str, timeout: float | None = 30.0) -> np.ndarray:
-        """Blocking single-text embed (coalesced under the hood)."""
-        return self.embed_async(text).result(timeout=timeout)
-
-    def embed_async(self, text: str) -> "Future[np.ndarray]":
+    def submit(self, payload) -> Future:
         if self._shutdown.is_set():
-            raise RuntimeError("batcher is shut down")
+            raise RuntimeError(f"{self.name} is shut down")
         fut: Future = Future()
-        self._q.put((text, fut))
+        self._q.put((payload, fut))
         return fut
-
-    def embed_many(self, texts: Sequence[str],
-                   timeout: float | None = 60.0) -> np.ndarray:
-        """Batch entry point for ingestion — bypasses the queue, one call."""
-        return self._encode(list(texts))
 
     def _run(self) -> None:
         while not self._shutdown.is_set():
@@ -65,10 +59,9 @@ class EmbeddingBatcher:
             if first is None:
                 break
             batch = [first]
-            deadline = self.max_wait
             t0 = time.monotonic()
             while len(batch) < self.max_batch:
-                remaining = deadline - (time.monotonic() - t0)
+                remaining = self.max_wait - (time.monotonic() - t0)
                 if remaining <= 0:
                     break
                 try:
@@ -79,13 +72,12 @@ class EmbeddingBatcher:
                     self._shutdown.set()
                     break
                 batch.append(item)
-            texts = [t for t, _ in batch]
             try:
-                vecs = self._encode(texts)
-                for (_, fut), v in zip(batch, vecs):
-                    fut.set_result(v)
-                METRICS.inc("batches", 1)
-                METRICS.inc("batched_texts", len(batch))
+                results = self._process([p for p, _ in batch])
+                for (_, fut), r in zip(batch, results):
+                    fut.set_result(r)
+                METRICS.inc(f"{self.name}_batches", 1)
+                METRICS.inc(f"{self.name}_items", len(batch))
             except Exception as e:  # propagate to every waiter
                 for _, fut in batch:
                     if not fut.done():
@@ -95,3 +87,62 @@ class EmbeddingBatcher:
         self._shutdown.set()
         self._q.put(None)
         self._thread.join(timeout=5.0)
+
+
+class EmbeddingBatcher(CoalescingBatcher):
+    def __init__(
+        self,
+        encode_fn: Callable[[Sequence[str]], np.ndarray],
+        max_batch: int = 64,
+        max_wait_ms: float = 5.0,
+    ):
+        self._encode = encode_fn
+        super().__init__(self._process_texts, max_batch=max_batch,
+                         max_wait_ms=max_wait_ms, name="embed")
+
+    def _process_texts(self, texts: list[str]) -> np.ndarray:
+        vecs = self._encode(texts)
+        METRICS.inc("batches", 1)  # back-compat counter names
+        METRICS.inc("batched_texts", len(texts))
+        return vecs
+
+    def embed(self, text: str, timeout: float | None = 30.0) -> np.ndarray:
+        """Blocking single-text embed (coalesced under the hood)."""
+        return self.embed_async(text).result(timeout=timeout)
+
+    def embed_async(self, text: str) -> "Future[np.ndarray]":
+        return self.submit(text)
+
+    def embed_many(self, texts: Sequence[str],
+                   timeout: float | None = 60.0) -> np.ndarray:
+        """Batch entry point for ingestion — bypasses the queue, one call."""
+        return self._encode(list(texts))
+
+
+class SearchBatcher(CoalescingBatcher):
+    """Coalesce concurrent per-request index searches into one batched
+    provider call (the provider's search is batched end-to-end; one
+    (B, N) matmul serves B waiting requests)."""
+
+    def __init__(self, search_fn: Callable[[np.ndarray, int], list],
+                 max_batch: int = 64, max_wait_ms: float = 3.0):
+        self._search = search_fn
+        super().__init__(self._process, max_batch=max_batch,
+                         max_wait_ms=max_wait_ms, name="search")
+
+    def _process(self, payloads: list) -> list:
+        # payloads: (embedding, k); group by k (usually all equal)
+        by_k: dict[int, list[int]] = {}
+        for idx, (_, k) in enumerate(payloads):
+            by_k.setdefault(k, []).append(idx)
+        results: list = [None] * len(payloads)
+        for k, idxs in by_k.items():
+            embs = np.stack([payloads[i][0] for i in idxs])
+            batch_results = self._search(embs, k)
+            for i, r in zip(idxs, batch_results):
+                results[i] = r
+        return results
+
+    def search(self, embedding: np.ndarray, k: int,
+               timeout: float | None = 30.0):
+        return self.submit((embedding, k)).result(timeout=timeout)

@@ -69,6 +69,12 @@ class SearchService:
         self.k = k
         self.remote = remote
         self._lock = threading.Lock()  # provider index mutations
+        from dawnsearch_tpu.serving.batcher import SearchBatcher
+        # Concurrent requests' local searches coalesce into one batched
+        # provider call — one (B, N) device program serves B waiters
+        # (the reference searches one query per FFI call,
+        # search_provider.rs:214).
+        self._search_batcher = SearchBatcher(self._local_search_batch)
 
     # -- queries ------------------------------------------------------------
 
@@ -78,14 +84,19 @@ class SearchService:
         emb = self.batcher.embed(query)
         return self.embedding_search(emb, k=k, search_remote=search_remote)
 
+    def _local_search_batch(self, embeddings: np.ndarray, k: int
+                            ) -> list[SearchResult]:
+        with self._lock:
+            return self.provider.search_embeddings(
+                embeddings, k=k, instance_id=self.instance_id)
+
     def embedding_search(self, embedding: np.ndarray, k: int | None = None,
                          search_remote: bool = True) -> SearchResult:
-        """Local top-k, then merge remote peers under the deadline
-        (search_service.rs:83-104, 201-277)."""
+        """Local top-k (coalesced across concurrent requests), then merge
+        remote peers under the deadline (search_service.rs:83-104,
+        201-277)."""
         k = k or self.k
-        with self._lock:
-            local = self.provider.search_embeddings(
-                np.asarray(embedding), k=k, instance_id=self.instance_id)[0]
+        local = self._search_batcher.search(np.asarray(embedding), k)
         if not search_remote or self.remote is None:
             return local
 
@@ -158,5 +169,6 @@ class SearchService:
 
     def shutdown(self) -> None:
         """Save and release (search_service.rs:190-196)."""
+        self._search_batcher.stop()
         with self._lock:
             self.provider.shutdown()
