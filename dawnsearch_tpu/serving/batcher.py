@@ -130,6 +130,8 @@ class SearchBatcher(CoalescingBatcher):
         super().__init__(self._process, max_batch=max_batch,
                          max_wait_ms=max_wait_ms, name="search")
 
+    BATCH_BUCKETS = (1, 8, 32, 64, 128)
+
     def _process(self, payloads: list) -> list:
         # payloads: (embedding, k); group by k (usually all equal)
         by_k: dict[int, list[int]] = {}
@@ -138,8 +140,15 @@ class SearchBatcher(CoalescingBatcher):
         results: list = [None] * len(payloads)
         for k, idxs in by_k.items():
             embs = np.stack([payloads[i][0] for i in idxs])
+            # pad to a bucketed batch size: the search program compiles
+            # once per (B, k) shape, so B must come from a small grid
+            n = len(idxs)
+            bucket = next((b for b in self.BATCH_BUCKETS if b >= n), n)
+            if bucket > n:
+                embs = np.concatenate(
+                    [embs, np.repeat(embs[:1], bucket - n, axis=0)])
             batch_results = self._search(embs, k)
-            for i, r in zip(idxs, batch_results):
+            for i, r in zip(idxs, batch_results[:n]):
                 results[i] = r
         return results
 
