@@ -69,7 +69,11 @@ class SentenceEncoder:
         )
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
-        """Texts -> (N, H) float32 unit vectors."""
+        """Texts -> (N, H) float32 unit vectors.
+
+        Chunks are DISPATCHED without synchronizing and gathered once at
+        the end, so host-side tokenization/padding of chunk i+1 overlaps
+        device compute of chunk i (the device queue executes in order)."""
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
         # Tokenize everything first so we can choose one seq bucket per chunk.
@@ -79,12 +83,19 @@ class SentenceEncoder:
         order = sorted(range(len(encoded)), key=lambda i: len(encoded[i]))
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         max_batch = self.batch_buckets[-1]
-        for start in range(0, len(order), max_batch):
-            chunk = order[start : start + max_batch]
-            out[chunk] = self._encode_chunk([encoded[i] for i in chunk])
+        pending = []  # (chunk row ids, device array)
+        with METRICS.timer("embed_forward"):
+            for start in range(0, len(order), max_batch):
+                chunk = order[start: start + max_batch]
+                pending.append(
+                    (chunk, self._dispatch_chunk([encoded[i] for i in chunk])))
+            for chunk, vecs in pending:
+                out[chunk] = np.asarray(vecs)[: len(chunk)]
+        METRICS.inc("texts_embedded", len(texts))
         return out
 
-    def _encode_chunk(self, ids_list: list[list[int]]) -> np.ndarray:
+    def _dispatch_chunk(self, ids_list: list[list[int]]) -> jax.Array:
+        """Pad to buckets and enqueue one forward; no host sync."""
         n = len(ids_list)
         seq = self._bucket(self.seq_buckets, max(len(ids) for ids in ids_list))
         bsz = self._bucket(self.batch_buckets, n)
@@ -100,12 +111,8 @@ class SentenceEncoder:
             input_ids[r, 0] = self.tokenizer.cls_id
             input_ids[r, 1] = self.tokenizer.sep_id
             mask[r, :2] = 1
-        with METRICS.timer("embed_forward"):
-            vecs = self._jitted(self.params, jax.numpy.asarray(input_ids),
-                                jax.numpy.asarray(mask))
-            vecs = np.asarray(jax.block_until_ready(vecs))
-        METRICS.inc("texts_embedded", n)
-        return vecs[:n]
+        return self._jitted(self.params, jax.numpy.asarray(input_ids),
+                            jax.numpy.asarray(mask))
 
     def warmup(self) -> None:
         """Pre-compile the (batch, seq) bucket grid to avoid serving stalls."""
