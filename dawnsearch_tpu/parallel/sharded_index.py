@@ -40,11 +40,18 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "mesh", "has_scales", "approx"))
+    jax.jit,
+    static_argnames=("k", "chunk", "mesh", "has_scales", "approx", "dp_axis"))
 def _sharded_search(codes, scales, ids, counts, queries, *, k: int,
                     chunk: int, mesh: Mesh, has_scales: bool,
-                    approx: bool = False):
-    """Replicated queries -> replicated merged (distances, user ids)."""
+                    approx: bool = False, dp_axis: str | None = None):
+    """Queries -> merged (distances, user ids).
+
+    Rows shard over AXIS ("shard"); the merge is lax.top_k over an
+    all_gather along it (ICI). With `dp_axis` set (a second mesh axis),
+    the query batch ALSO shards over that axis — each dp group scans
+    the same row shards for its slice of queries, multiplying QPS by
+    the dp degree. Without it queries are replicated."""
 
     def local(codes_blk, scales_blk, ids_blk, counts_blk, q):
         cap = codes_blk.shape[1]
@@ -63,11 +70,12 @@ def _sharded_search(codes, scales, ids, counts, queries, *, k: int,
         return -neg, jnp.take_along_axis(all_u, sel, axis=1)
 
     scales_spec = P(AXIS, None) if has_scales else P()
+    q_spec = P(dp_axis, None) if dp_axis else P(None, None)
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(AXIS, None, None), scales_spec, P(AXIS, None), P(AXIS),
-                  P(None, None)),
-        out_specs=(P(None, None), P(None, None)),
+                  q_spec),
+        out_specs=(q_spec, q_spec),
         check_vma=False,
     )(codes, scales, ids, counts, queries)
 
@@ -111,12 +119,19 @@ class ShardedFlatIndex:
         segment: int = DEFAULT_SEGMENT,
         chunk: int = DEFAULT_CHUNK,
         max_capacity: int | None = None,
+        dp_axis: str | None = None,
     ):
         if dtype not in ("f32", "bf16", "i8"):
             raise ValueError(f"unsupported dtype {dtype}")
         self.mesh = mesh if mesh is not None else make_mesh()
         if AXIS not in self.mesh.shape:
             raise ValueError(f'mesh must have a "{AXIS}" axis')
+        if dp_axis is not None and dp_axis not in self.mesh.shape:
+            raise ValueError(f'mesh has no "{dp_axis}" axis')
+        # Optional query-data-parallel axis: query batches shard over it
+        # (QPS x dp degree) while each dp group replicates the row
+        # shards (memory x dp degree) — the standard serving trade.
+        self.dp_axis = dp_axis
         self.n_shards = self.mesh.shape[AXIS]
         self.dim = dim
         self.dtype = dtype
@@ -249,14 +264,20 @@ class ShardedFlatIndex:
         single = q.ndim == 1
         if single:
             q = q[None, :]
+        B = q.shape[0]
         k_local = min(k, self.cap_per_shard)
+        if self.dp_axis is not None:  # pad batch to the dp degree
+            dp = self.mesh.shape[self.dp_axis]
+            padded_b = -(-q.shape[0] // dp) * dp
+            if padded_b != q.shape[0]:
+                q = jnp.pad(q, ((0, padded_b - q.shape[0]), (0, 0)))
         d, u = _sharded_search(
             self._codes, self._scales, self._ids,
             jnp.asarray(self._counts, jnp.int32), q,
             k=k_local, chunk=self.chunk, mesh=self.mesh,
             has_scales=self.dtype == "i8",
-            approx=self.dtype != "f32")
-        d, u = np.asarray(d), np.asarray(u)
+            approx=self.dtype != "f32", dp_axis=self.dp_axis)
+        d, u = np.asarray(d)[:B], np.asarray(u)[:B]
         if k_local < k:
             d = np.pad(d, ((0, 0), (0, k - k_local)), constant_values=np.inf)
             u = np.pad(u, ((0, 0), (0, k - k_local)), constant_values=-1)

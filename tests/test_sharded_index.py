@@ -166,3 +166,28 @@ def test_save_load_restripe(tmp_path, unit_vectors):
     d, i = ld.search(x[:8], 1)
     np.testing.assert_array_equal(i[:, 0], np.arange(8))
     assert np.all(d[:, 0] < 1e-5)
+
+
+def test_dp_sharded_queries(unit_vectors):
+    """2D mesh: rows shard over "shard", query batch shards over "dp"."""
+    import jax
+    import numpy as np
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    mesh = make_mesh({"dp": 2, "shard": 4})
+    ix = ShardedFlatIndex(mesh=mesh, dtype="f32", capacity_per_shard=64,
+                          segment=64, dp_axis="dp")
+    x = unit_vectors(100)
+    ids = ix.add(x)
+    # batch not divisible by dp degree exercises the padding path
+    d, u = ix.search(x[:7], k=3)
+    assert d.shape == (7, 3)
+    np.testing.assert_array_equal(u[:, 0], ids[:7])
+    assert np.all(d[:, 0] < 1e-5)
+    # replicated-query mode still works on the same 2D mesh
+    ix2 = ShardedFlatIndex(mesh=mesh, dtype="i8", capacity_per_shard=64,
+                           segment=64)
+    ix2.add(x)
+    d2, u2 = ix2.search(x[:5], k=1)
+    np.testing.assert_array_equal(u2[:, 0], np.arange(5))
