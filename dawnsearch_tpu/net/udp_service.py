@@ -70,6 +70,7 @@ class UdpService:
         self._active: dict[int, _ActiveSearch] = {}
         self._active_lock = threading.Lock()
         self._emb_waiters: dict[int, tuple[threading.Event, list]] = {}
+        self._emb_lock = threading.Lock()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind(parse_addr(cfg.udp_listen_address))
         self._sock.settimeout(0.25)
@@ -158,14 +159,16 @@ class UdpService:
             return None
         sid = random.getrandbits(63)
         event, slot = threading.Event(), []
-        self._emb_waiters[sid] = (event, slot)
+        with self._emb_lock:
+            self._emb_waiters[sid] = (event, slot)
         try:
             self._sock.sendto(packets.encode(GetEmbedding(sid, page_id)),
                               parse_addr(peer.addr))
             event.wait(self.deadline_s * 5)  # round-trip, not fan-out
             return slot[0] if slot else None
         finally:
-            self._emb_waiters.pop(sid, None)
+            with self._emb_lock:
+                self._emb_waiters.pop(sid, None)
 
     # -- inbound ------------------------------------------------------------
 
@@ -205,7 +208,8 @@ class UdpService:
                     self._sock.sendto(
                         packets.encode(Embedding(pkt.search_id, emb)), src)
         elif isinstance(pkt, Embedding):
-            waiter = self._emb_waiters.get(pkt.search_id)
+            with self._emb_lock:
+                waiter = self._emb_waiters.get(pkt.search_id)
             if waiter is not None:
                 waiter[1].append(pkt.embedding)
                 waiter[0].set()

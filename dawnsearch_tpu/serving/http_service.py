@@ -139,9 +139,15 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, web.main_page())
 
     def do_POST(self) -> None:  # noqa: N802
-        """JSON ingestion: POST /api/insert {"pages": [{url,title,text}]}."""
+        """POST /api/insert {"pages": [...]}; POST /api/save (on-demand
+        index snapshot, reference SearchMsg::Save, search_service.rs:190)."""
         try:
-            if urlsplit(self.path).path != "/api/insert":
+            path = urlsplit(self.path).path
+            if path == "/api/save":
+                self.service.save()
+                self._send_json(200, {"saved": True})
+                return
+            if path != "/api/insert":
                 self._send_json(404, {"error": "not found"})
                 return
             length = int(self.headers.get("Content-Length", 0))

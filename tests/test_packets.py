@@ -96,3 +96,23 @@ def test_unknown_tag_rejected():
 def test_oversized_packet_rejected():
     with pytest.raises(ValueError):
         packets.encode(Page(1, 0.1, "https://e.com", "t", "x" * 3000, "i", 1))
+
+
+def test_fuzz_decode_never_hangs():
+    """Malformed datagrams raise cleanly (the recv loop catches)."""
+    import random
+    rng = random.Random(0)
+    for _ in range(300):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        try:
+            packets.decode(junk)
+        except Exception:
+            pass  # any exception is fine; hangs/segfaults are not
+
+
+def test_truncated_real_packet():
+    import pytest as _pytest
+    data = packets.encode(Announce("x" * 16, True, 5))
+    for cut in (1, len(data) // 2, len(data) - 1):
+        with _pytest.raises(Exception):
+            packets.decode(data[:cut])

@@ -254,3 +254,18 @@ def test_http_metrics(http):
     m = json.loads(body)
     assert m.get("searches", 0) >= before.get("searches", 0) + 1
     assert m.get("pages_inserted", 0) == before.get("pages_inserted", 0) + 20
+
+
+def test_http_save_endpoint(http, tmp_path):
+    base, service = http
+    seed_pages(service, 3)
+    req = urllib.request.Request(base + "/api/save", data=b"", method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert json.loads(r.read())["saved"] is True
+
+
+def test_http_profile_endpoint(http, tmp_path):
+    base, _ = http
+    status, body = get(base + f"/api/profile?seconds=0.1&dir={tmp_path}")
+    data = json.loads(body)
+    assert "trace_dir" in data or "error" in data
