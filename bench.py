@@ -69,7 +69,22 @@ def bench_embed(reps: int = 2) -> float:
     return sps
 
 
-def bench_search(n_rows: int = 1_000_000, batch: int = 1024,
+def build_1m_index(n_rows: int = 1_000_000, seed: int = 1):
+    from dawnsearch_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(seed)
+    index = FlatIndex(dtype="i8", capacity=n_rows, max_capacity=n_rows,
+                      segment=n_rows)
+    t0 = time.perf_counter()
+    for s in range(0, n_rows, 131072):
+        n = min(131072, n_rows - s)
+        v = rng.standard_normal((n, 384)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        index.add(v)
+    return index, time.perf_counter() - t0
+
+
+def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
                  k: int = 10, reps: int = 8) -> float:
     """Query QPS over a 1M-row i8 index (BASELINE.json config 3).
 
@@ -83,19 +98,12 @@ def bench_search(n_rows: int = 1_000_000, batch: int = 1024,
     import jax
     import jax.numpy as jnp
 
-    from dawnsearch_tpu.index.flat import FlatIndex, search_kernel
+    from dawnsearch_tpu.index.flat import search_kernel
 
     rng = np.random.default_rng(1)
-    index = FlatIndex(dtype="i8", capacity=n_rows, max_capacity=n_rows,
-                      segment=n_rows)
-    add_bs = 131072
-    t0 = time.perf_counter()
-    for s in range(0, n_rows, add_bs):
-        n = min(add_bs, n_rows - s)
-        v = rng.standard_normal((n, 384)).astype(np.float32)
-        v /= np.linalg.norm(v, axis=-1, keepdims=True)
-        index.add(v)
-    build_s = time.perf_counter() - t0
+    build_s = 0.0
+    if index is None:
+        index, build_s = build_1m_index(n_rows)
     q = rng.standard_normal((batch, 384)).astype(np.float32)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     q = jnp.asarray(q)
@@ -128,8 +136,8 @@ def bench_search(n_rows: int = 1_000_000, batch: int = 1024,
     return qps
 
 
-def bench_e2e(n_rows: int = 1_000_000, batch: int = 256, seq: int = 64,
-              k: int = 10, reps: int = 8) -> float:
+def bench_e2e(index=None, n_rows: int = 1_000_000, batch: int = 256,
+              seq: int = 64, k: int = 10, reps: int = 8) -> float:
     """End-to-end query pipeline (BASELINE.json config 5): tokenized
     queries -> encoder forward -> top-k over a 1M-row i8 index, fused
     into ONE device program per batch."""
@@ -138,18 +146,13 @@ def bench_e2e(n_rows: int = 1_000_000, batch: int = 256, seq: int = 64,
     import jax
     import jax.numpy as jnp
 
-    from dawnsearch_tpu.index.flat import FlatIndex, search_kernel
+    from dawnsearch_tpu.index.flat import search_kernel
     from dawnsearch_tpu.models.bert import BertConfig, encode_batch
     from dawnsearch_tpu.models.weights import init_params
 
     rng = np.random.default_rng(2)
-    index = FlatIndex(dtype="i8", capacity=n_rows, max_capacity=n_rows,
-                      segment=n_rows)
-    for s in range(0, n_rows, 262144):
-        n = min(262144, n_rows - s)
-        v = rng.standard_normal((n, 384)).astype(np.float32)
-        v /= np.linalg.norm(v, axis=-1, keepdims=True)
-        index.add(v)
+    if index is None:
+        index, _ = build_1m_index(n_rows)
     params = init_params(jax.random.key(0))
     cfg = BertConfig(dtype=jnp.bfloat16)
     ids = jnp.asarray(rng.integers(1000, 30000, (batch, seq)), jnp.int32)
@@ -254,14 +257,22 @@ def bench_ingest(n_pages: int = 4096) -> float:
 
 def main() -> None:
     sps = bench_embed()
+    index = None
     try:
-        bench_search()
+        index, build_s = build_1m_index()
+        log({"metric": "index_build_1m_s", "value": round(build_s, 1),
+             "unit": "s"})
+    except Exception as e:
+        log({"metric": "index_build_1m_s", "error": repr(e)})
+    try:
+        bench_search(index)
     except Exception as e:  # secondary metric must not sink the headline
         log({"metric": "search_qps_1m_i8", "error": repr(e)})
     try:
-        bench_e2e()
+        bench_e2e(index)
     except Exception as e:
         log({"metric": "e2e_query_qps_1m", "error": repr(e)})
+    del index
     try:
         bench_ingest()
     except Exception as e:
