@@ -145,12 +145,18 @@ class SearchProvider:
         t0 = time.perf_counter()
         dists, ids = self.index.search(queries, k)
         METRICS.observe("index_search", time.perf_counter() - t0)
+        return self.results_from_ids(dists, ids, instance_id)
+
+    def results_from_ids(self, dists: np.ndarray, ids: np.ndarray,
+                         instance_id: str = "") -> list[SearchResult]:
+        """Join device search output (distances, row ids) with stored
+        metadata (the SQLite join of search_provider.rs:218-240)."""
         results: list[SearchResult] = []
         # device row id -> sqlite rowid: insertion order is identical and
         # sqlite autoincrements from 1, so store_id = row_id + 1.
         flat_ids = sorted({int(i) + 1 for i in ids.flatten() if i >= 0})
         meta = self.store.get_many(flat_ids)
-        for b in range(queries.shape[0]):
+        for b in range(dists.shape[0]):
             pages = []
             for d, i in zip(dists[b], ids[b]):
                 if i < 0 or not np.isfinite(d):
@@ -162,7 +168,7 @@ class SearchProvider:
                     page_id=rec.id, distance=float(d), url=rec.url,
                     title=rec.title, text=rec.text, instance_id=instance_id))
             results.append(SearchResult(pages=pages, pages_searched=len(self.index)))
-        METRICS.inc("searches", queries.shape[0])
+        METRICS.inc("searches", dists.shape[0])
         return results
 
     def embedding_for_page(self, page_id: int) -> np.ndarray | None:

@@ -94,8 +94,9 @@ class SentenceEncoder:
         METRICS.inc("texts_embedded", len(texts))
         return out
 
-    def _dispatch_chunk(self, ids_list: list[list[int]]) -> jax.Array:
-        """Pad to buckets and enqueue one forward; no host sync."""
+    def pad_batch(self, ids_list: list[list[int]]
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """Token id lists -> bucketed (input_ids, mask) arrays."""
         n = len(ids_list)
         seq = self._bucket(self.seq_buckets, max(len(ids) for ids in ids_list))
         bsz = self._bucket(self.batch_buckets, n)
@@ -111,6 +112,15 @@ class SentenceEncoder:
             input_ids[r, 0] = self.tokenizer.cls_id
             input_ids[r, 1] = self.tokenizer.sep_id
             mask[r, :2] = 1
+        return input_ids, mask
+
+    def tokenize_texts(self, texts: Sequence[str]) -> list[list[int]]:
+        max_seq = self.seq_buckets[-1]
+        return [self.tokenizer.encode(t, max_len=max_seq) for t in texts]
+
+    def _dispatch_chunk(self, ids_list: list[list[int]]) -> jax.Array:
+        """Pad to buckets and enqueue one forward; no host sync."""
+        input_ids, mask = self.pad_batch(ids_list)
         return self._jitted(self.params, jax.numpy.asarray(input_ids),
                             jax.numpy.asarray(mask))
 

@@ -1,0 +1,74 @@
+"""FusedQueryPath: text -> embedding -> top-k in ONE device program.
+
+The split pipeline pays two dispatches per query round (encoder, then
+index search). Fusing them into one jitted program halves the per-round
+dispatch count — the dominant cost at interactive batch sizes — and
+XLA overlaps the index scan's first chunk with the encoder's tail.
+This is SURVEY.md §7 step 6's "embed→search pipeline on device" in its
+final form.
+
+Only exact FlatIndex-backed providers qualify (the index buffers are
+plain program arguments; identity changes after add() just re-feed the
+same compiled program as long as shapes hold).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dawnsearch_tpu.index.flat import FlatIndex, search_kernel
+from dawnsearch_tpu.models.bert import encode_batch
+from dawnsearch_tpu.utils.logging import METRICS
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mask_padding", "include_padding", "k", "chunk",
+                     "approx"))
+def _fused_program(params, input_ids, mask, codes, scales, count, *,
+                   cfg, mask_padding, include_padding, k, chunk, approx):
+    emb = encode_batch(params, input_ids, mask, cfg=cfg,
+                       mask_padding=mask_padding,
+                       include_padding=include_padding)
+    d, i = search_kernel(codes, scales, emb, count, k, chunk, approx=approx)
+    return emb, d, i
+
+
+class FusedQueryPath:
+    """Batched text search against a FlatIndex in one dispatch."""
+
+    def __init__(self, encoder, index: FlatIndex):
+        self.encoder = encoder
+        self.index = index
+
+    @staticmethod
+    def supports(index) -> bool:
+        return isinstance(index, FlatIndex)
+
+    def search_texts(self, texts: list[str], k: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (embeddings (N, H), distances (N, k), row ids (N, k))."""
+        enc = self.encoder
+        ids_list = enc.tokenize_texts(texts)
+        input_ids, mask = enc.pad_batch(ids_list)
+        ix = self.index
+        k_eff = min(k, ix.capacity)
+        approx = (ix.selector == "approx"
+                  or (ix.selector == "auto" and ix.dtype != "f32"))
+        with METRICS.timer("fused_query"):
+            emb, d, i = _fused_program(
+                enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
+                ix._codes, ix._scales, jnp.int32(ix.count),
+                cfg=enc.cfg, mask_padding=enc.mask_padding,
+                include_padding=enc.include_padding_in_pool,
+                k=k_eff, chunk=ix.chunk, approx=approx)
+            emb, d, i = np.asarray(emb), np.asarray(d), np.asarray(i)
+        n = len(texts)
+        if k_eff < k:
+            d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)
+            i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return emb[:n], d[:n, :k], i[:n, :k]

@@ -69,20 +69,58 @@ class SearchService:
         self.k = k
         self.remote = remote
         self._lock = threading.Lock()  # provider index mutations
-        from dawnsearch_tpu.serving.batcher import SearchBatcher
+        from dawnsearch_tpu.serving.batcher import (
+            CoalescingBatcher, SearchBatcher)
         # Concurrent requests' local searches coalesce into one batched
         # provider call — one (B, N) device program serves B waiters
         # (the reference searches one query per FFI call,
         # search_provider.rs:214).
         self._search_batcher = SearchBatcher(self._local_search_batch)
+        # Text queries take the FUSED path when possible: tokenize ->
+        # encoder -> index top-k as ONE device program per coalesced
+        # batch (serving/fused.py), halving dispatches per query round.
+        self._fused = None
+        self._text_batcher = None
+        encoder = getattr(batcher, "_encode", None)
+        encoder = getattr(encoder, "__self__", None)  # bound .encode
+        from dawnsearch_tpu.serving.fused import FusedQueryPath
+        if encoder is not None and hasattr(encoder, "tokenize_texts") \
+                and FusedQueryPath.supports(provider.index):
+            self._fused = FusedQueryPath(encoder, provider.index)
+            self._text_batcher = CoalescingBatcher(
+                self._fused_text_batch, name="text_query")
 
     # -- queries ------------------------------------------------------------
 
     def text_search(self, query: str, k: int | None = None,
                     search_remote: bool = True) -> SearchResult:
-        """Embed the query, then search (search_service.rs:60-81)."""
+        """Embed the query, then search (search_service.rs:60-81); fused
+        single-dispatch path when the index supports it."""
+        k = k or self.k
+        if self._text_batcher is not None:
+            emb, local = self._text_batcher.submit((query, k)).result(
+                timeout=60.0)
+            if not search_remote or self.remote is None:
+                return local
+            return self._merge_remote(emb, local, k)
         emb = self.batcher.embed(query)
         return self.embedding_search(emb, k=k, search_remote=search_remote)
+
+    def _fused_text_batch(self, payloads: list) -> list:
+        """(text, k) payloads -> [(embedding, local SearchResult)]."""
+        by_k: dict[int, list[int]] = {}
+        for idx, (_, k) in enumerate(payloads):
+            by_k.setdefault(k, []).append(idx)
+        out: list = [None] * len(payloads)
+        for k, idxs in by_k.items():
+            texts = [payloads[i][0] for i in idxs]
+            with self._lock:
+                embs, d, row_ids = self._fused.search_texts(texts, k)
+                results = self.provider.results_from_ids(
+                    d, row_ids, self.instance_id)
+            for i, emb, res in zip(idxs, embs, results):
+                out[i] = (emb, res)
+        return out
 
     def _local_search_batch(self, embeddings: np.ndarray, k: int
                             ) -> list[SearchResult]:
@@ -99,13 +137,17 @@ class SearchService:
         local = self._search_batcher.search(np.asarray(embedding), k)
         if not search_remote or self.remote is None:
             return local
+        return self._merge_remote(np.asarray(embedding), local, k)
 
+    def _merge_remote(self, embedding: np.ndarray, local: SearchResult,
+                      k: int) -> SearchResult:
+        """Fan out to peers and merge under the deadline
+        (search_service.rs:201-277)."""
         best: BestResults[FoundPage] = BestResults(k)
         for p in local.pages:
             best.insert((self.instance_id, p.page_id), p.distance, p)
         limit = best.worst_distance() if len(best) == k else None
-        pages, searched, contacted = self.remote.search(
-            np.asarray(embedding), limit, k)
+        pages, searched, contacted = self.remote.search(embedding, limit, k)
         for p in pages:
             best.insert((p.instance_id, p.page_id), p.distance, p)
         METRICS.inc("remote_merges", 1)
@@ -169,6 +211,8 @@ class SearchService:
 
     def shutdown(self) -> None:
         """Save and release (search_service.rs:190-196)."""
+        if self._text_batcher is not None:
+            self._text_batcher.stop()
         self._search_batcher.stop()
         with self._lock:
             self.provider.shutdown()

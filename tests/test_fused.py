@@ -1,0 +1,102 @@
+"""Fused text->embed->search path vs the split pipeline (CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dawnsearch_tpu.index.provider import SearchProvider
+from dawnsearch_tpu.models.bert import BertConfig
+from dawnsearch_tpu.models.encoder import SentenceEncoder
+from dawnsearch_tpu.models.tokenizer import (
+    WordPieceTokenizer, build_vocab_from_corpus)
+from dawnsearch_tpu.models.weights import init_params
+from dawnsearch_tpu.serving.batcher import EmbeddingBatcher
+from dawnsearch_tpu.serving.search_service import SearchService
+
+CORPUS = [
+    "the lighthouse keeper watched the storm",
+    "quantum matrix operations on tensor processors",
+    "a recipe for sourdough bread and butter",
+    "railway schedules across the mountain pass",
+    "deep sea creatures of the midnight zone",
+]
+
+CFG = BertConfig(vocab_size=2048, hidden_size=64, num_layers=2, num_heads=4,
+                 intermediate_size=128, max_position_embeddings=64)
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    vocab = build_vocab_from_corpus(CORPUS, size=2048)
+    params = init_params(jax.random.key(0), CFG)
+    return SentenceEncoder(params, WordPieceTokenizer(vocab), cfg=CFG,
+                           seq_buckets=(16, 32), batch_buckets=(1, 8, 32))
+
+
+@pytest.fixture
+def service(encoder):
+    provider = SearchProvider(data_dir=None, dim=64, verify_on_load=False)
+    batcher = EmbeddingBatcher(encoder.encode, max_batch=8, max_wait_ms=20.0)
+    svc = SearchService(provider, batcher, instance_id="fused-node")
+    yield svc
+    batcher.stop()
+    svc.shutdown()
+
+
+def test_fused_path_active(service):
+    assert service._fused is not None and service._text_batcher is not None
+
+
+def test_fused_matches_split_pipeline(service):
+    service.insert_pages([(f"https://f/{i}", f"T{i}", t)
+                          for i, t in enumerate(CORPUS)])
+    for q in CORPUS:
+        fused = service.text_search(q)  # fused path
+        emb = service.batcher.embed(q)
+        split = service.embedding_search(emb)  # split path
+        assert [p.page_id for p in fused.pages] == \
+            [p.page_id for p in split.pages]
+        np.testing.assert_allclose(
+            [p.distance for p in fused.pages],
+            [p.distance for p in split.pages], atol=1e-5)
+    # self-query ranks itself first
+    res = service.text_search(CORPUS[2])
+    assert res.pages[0].url == "https://f/2"
+
+
+def test_fused_remote_merge(service):
+    from dawnsearch_tpu.index.provider import FoundPage
+
+    class FakeRemote:
+        def search(self, embedding, distance_limit, k):
+            assert embedding.shape == (64,) or embedding.ndim == 1
+            return [FoundPage(page_id=9, distance=0.0, url="https://peer/9",
+                              title="Remote", text="", instance_id="peer")], 7, 1
+
+        def replicate(self, *a):
+            pass
+
+        def fetch_embedding(self, *a):
+            return None
+
+    service.remote = FakeRemote()
+    service.insert_pages([("https://f/a", "Alpha", CORPUS[0])],
+                         from_network=True)
+    res = service.text_search(CORPUS[0])
+    assert res.pages[0].instance_id == "peer"  # distance 0 wins
+    assert res.instances_contacted == 2
+    assert any(p.instance_id == "fused-node" for p in res.pages)
+
+
+def test_fused_disabled_for_fake_encoders():
+    provider = SearchProvider(data_dir=None, verify_on_load=False)
+
+    class Fake:
+        def __call__(self, texts):
+            return np.zeros((len(texts), 384), np.float32)
+
+    batcher = EmbeddingBatcher(Fake(), max_batch=4)
+    svc = SearchService(provider, batcher)
+    assert svc._fused is None  # falls back to the split pipeline
+    batcher.stop()
