@@ -20,6 +20,7 @@ import glob
 import gzip
 import io
 import os
+import queue
 import random
 import threading
 import time
@@ -83,6 +84,12 @@ class CommonCrawlSource:
 
 
 class ExtractionService:
+    """Two-stage pipeline: the extraction thread parses WARC records and
+    fills a bounded queue of page batches; the insert thread drains it
+    into embed+index. Host-side extraction of batch i+1 overlaps the
+    device work of batch i (the reference does everything serially,
+    one page at a time)."""
+
     def __init__(self, service, source=None, batch_size: int = 64,
                  max_pages: int | None = None):
         self.service = service
@@ -91,9 +98,14 @@ class ExtractionService:
         self.max_pages = max_pages  # stop after N (tests); None = forever
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._insert_thread: threading.Thread | None = None
+        self._batches: "queue.Queue" = queue.Queue(maxsize=4)
         self.pages_ingested = 0
 
     def start(self) -> "ExtractionService":
+        self._insert_thread = threading.Thread(
+            target=self._insert_loop, daemon=True, name="extraction-insert")
+        self._insert_thread.start()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="extraction")
         self._thread.start()
@@ -103,10 +115,28 @@ class ExtractionService:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10.0)
+        self._batches.put(None)
+        if self._insert_thread is not None:
+            self._insert_thread.join(timeout=10.0)
 
     def join(self, timeout: float | None = None) -> None:
+        """Wait until extraction AND inserts drain (tests/one-shot runs)."""
         if self._thread is not None:
             self._thread.join(timeout)
+        self._batches.join()
+
+    def _insert_loop(self) -> None:
+        while True:
+            batch = self._batches.get()
+            if batch is None:
+                self._batches.task_done()
+                return
+            try:
+                self._insert(batch)
+            except Exception:
+                log.exception("insert batch failed")
+            finally:
+                self._batches.task_done()
 
     def _insert(self, batch: list[ExtractedPage]) -> None:
         t0 = time.perf_counter()
@@ -127,21 +157,24 @@ class ExtractionService:
                 for f in self.source.files():
                     progressed = True
                     batch: list[ExtractedPage] = []
+                    produced = 0
                     for page in iter_pages(f):
                         if self._stop.is_set():
                             return
                         batch.append(page)
                         if len(batch) >= self.batch_size:
-                            self._insert(batch)
+                            produced += len(batch)
+                            self._batches.put(batch)
                             batch = []
                         if self.max_pages is not None and \
-                                self.pages_ingested + len(batch) >= \
-                                self.max_pages:
+                                self.pages_ingested + produced + \
+                                len(batch) >= self.max_pages:
                             break
                     if batch:
-                        self._insert(batch)
+                        produced += len(batch)
+                        self._batches.put(batch)
                     if self.max_pages is not None and \
-                            self.pages_ingested >= self.max_pages:
+                            self.pages_ingested + produced >= self.max_pages:
                         return
                     if self._stop.wait(
                             0 if self.max_pages else BETWEEN_FILES_S):
