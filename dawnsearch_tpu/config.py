@@ -34,7 +34,9 @@ class Config:
     model_dir: str | None = None  # safetensors + vocab for all-MiniLM-L6-v2
     embed_batch_size: int = 64  # cross-request batching cap
     embed_max_wait_ms: float = 5.0  # batcher flush deadline
-    seq_buckets: tuple[int, ...] = (16, 32, 64, 128, 256)
+    # 512 matches the reference's full BERT window (model.rs:123,147);
+    # a 2048-char page (page_source.rs:113) is ~400-500 tokens.
+    seq_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512)
     compute_dtype: str = "bf16"  # encoder matmul dtype: "bf16" | "f32"
     attn_impl: str = "xla"  # "xla" | "fused" (Pallas kernel)
     pool_impl: str = "xla"  # "xla" | "fused"

@@ -36,7 +36,7 @@ class SentenceEncoder:
         params: Params,
         tokenizer: WordPieceTokenizer,
         cfg: BertConfig = MINILM_L6,
-        seq_buckets: Sequence[int] = (16, 32, 64, 128, 256),
+        seq_buckets: Sequence[int] = (16, 32, 64, 128, 256, 512),
         batch_buckets: Sequence[int] = (1, 8, 32, 64, 128, 256),
         mask_padding: bool = True,
         include_padding_in_pool: bool = False,
