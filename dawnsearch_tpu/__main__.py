@@ -33,7 +33,41 @@ def main(argv=None) -> int:
     track.add_argument("--external-address", default=None,
                        help="advertise this address for loopback "
                             "announcers (dawntrack.rs:77-82)")
+    sidecar = sub.add_parser(
+        "sidecar", help="offline WARC -> embedding sidecar files, or bulk "
+                        "index load (reference: src/index/warc.rs)")
+    sidecar.add_argument("warcs", nargs="+",
+                         help="WARC files to embed, or .npz sidecars "
+                              "with --load")
+    sidecar.add_argument("--load", action="store_true",
+                         help="bulk-load .npz sidecars into the data dir "
+                              "instead of embedding WARCs")
+    sidecar.add_argument("--config", default="DawnSearch.toml")
     args = parser.parse_args(argv)
+
+    if args.command == "sidecar":
+        from dawnsearch_tpu.config import Config as _Config
+        cfg = _Config.load(args.config)
+        if args.load:
+            from dawnsearch_tpu.index.provider import SearchProvider
+            from dawnsearch_tpu.ingest.sidecar import index_sidecars
+            from dawnsearch_tpu.node import make_index_factory
+            provider = SearchProvider(
+                data_dir=cfg.data_dir, index_dtype=cfg.index_dtype,
+                max_pages=cfg.index_capacity,
+                index_factory=make_index_factory(cfg))
+            n = index_sidecars(provider, args.warcs)
+            provider.shutdown()
+            print(f"indexed {n} pages into {cfg.data_dir}")
+        else:
+            from dawnsearch_tpu.ingest.sidecar import write_sidecar
+            from dawnsearch_tpu.node import make_encoder
+            enc = make_encoder(cfg)
+            for w in args.warcs:
+                out = w.rsplit(".warc", 1)[0] + ".sidecar.npz"
+                n = write_sidecar(w, enc.encode, out)
+                print(f"{w}: {n} pages -> {out}")
+        return 0
 
     if args.command == "track":
         from dawnsearch_tpu.net.tracker import Tracker

@@ -87,7 +87,14 @@ class AutoIndex:
         ivf = IVFIndex(dim=self.dim, dtype=self.dtype,
                        n_centroids=self.n_centroids, nprobe=self.nprobe,
                        list_capacity=per_list)
-        ivf.train(rows, iters=10)
+        # k-means converges on a sample; training on all 8M+ rows only
+        # burns device time
+        if n > 1_000_000:
+            sample = rows[np.random.default_rng(0).choice(
+                n, 1_000_000, replace=False)]
+        else:
+            sample = rows
+        ivf.train(sample, iters=10)
         ivf.add(rows, ids=np.arange(n, dtype=np.int64))
         self.ivf = ivf
         self.flat = None
