@@ -236,3 +236,44 @@ def test_corrupt_snapshot_recovers(tmp_path):
     with DawnNode(cfg, encoder=HashEncoder()) as node2:
         res = node2.service.text_search("Keep\nme", search_remote=False)
         assert res.pages[0].url == "https://c/1"
+
+
+def test_tracker_chunks_large_peer_sets(tmp_path):
+    """>25 fresh peers split across multiple Peers packets
+    (dawntrack.rs:93-109); a node merges all chunks."""
+    import socket as socket_mod
+
+    from dawnsearch_tpu.net import packets
+    from dawnsearch_tpu.net.packets import Announce, Peers
+
+    tracker = Tracker("127.0.0.1:0").start()
+    try:
+        # register 60 fake peers straight at the tracker socket
+        socks = []
+        for i in range(60):
+            s = socket_mod.socket(socket_mod.AF_INET, socket_mod.SOCK_DGRAM)
+            s.bind(("127.0.0.1", 0))
+            s.sendto(packets.encode(Announce(f"peer{i:012d}", False, i)),
+                     ("127.0.0.1", tracker.port))
+            socks.append(s)
+        assert wait_until(lambda: len(tracker.peers) == 60)
+        # the 61st announcer should get 60 peers back in 3 chunks
+        probe = socket_mod.socket(socket_mod.AF_INET, socket_mod.SOCK_DGRAM)
+        probe.bind(("127.0.0.1", 0))
+        probe.settimeout(2.0)
+        probe.sendto(packets.encode(Announce("probe" + "x" * 11, False, 0)),
+                     ("127.0.0.1", tracker.port))
+        got: set[str] = set()
+        chunks = 0
+        while len(got) < 60:
+            data, _ = probe.recvfrom(65536)
+            pkt = packets.decode(data)
+            assert isinstance(pkt, Peers) and len(pkt.peers) <= 25
+            got.update(p.instance_id for p in pkt.peers)
+            chunks += 1
+        assert chunks == 3 and len(got) == 60
+        assert "probe" + "x" * 11 not in got  # never your own entry
+        for s in socks + [probe]:
+            s.close()
+    finally:
+        tracker.stop()
