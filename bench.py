@@ -225,23 +225,21 @@ def bench_ingest(n_pages: int = 4096) -> float:
         warc = f"{td}/bench.warc.gz"
         write_warc(warc, records)
 
+        from dawnsearch_tpu.serving.batcher import EmbeddingBatcher
+
         params = init_params(jax.random.key(0))
         vocab = build_vocab_from_corpus([body], size=4096)
         enc = SentenceEncoder(params, best_tokenizer(vocab),
                               cfg=BertConfig(dtype=jnp.bfloat16))
-
-        class DirectBatcher:
-            def embed_many(self, texts):
-                return enc.encode(texts)
-
-            def embed(self, text):
-                return enc.encode([text])[0]
-
+        batcher = EmbeddingBatcher(enc.encode)
         provider = SearchProvider(data_dir=None, verify_on_load=False)
-        service = SearchService(provider, DirectBatcher())
-        # pre-compile the (256, seq) bucket so timing measures steady
-        # state, not the one-time jit (serving warms up the same way)
-        enc.encode([body] * 256)
+        service = SearchService(provider, batcher)
+        # pre-compile the fused ingest program at the (256, seq) bucket
+        # via a throwaway service so timing measures steady state
+        scratch = SearchService(
+            SearchProvider(data_dir=None, verify_on_load=False), batcher)
+        scratch.insert_pages([(f"https://warm/{i}", "w", body)
+                              for i in range(256)])
         ex = ExtractionService(service, source=LocalWarcSource(warc),
                                batch_size=256)
         t0 = time.perf_counter()

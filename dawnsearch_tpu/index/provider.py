@@ -134,6 +134,37 @@ class SearchProvider:
             METRICS.inc("pages_inserted", len(accepted_rows))
         return out
 
+    def screen(self, urls: Sequence[str]) -> list[bool]:
+        """Which of `urls` would insert (not duplicate, not over the page
+        cap) — the pre-check the fused ingest path needs because it
+        writes the index before the store."""
+        out: list[bool] = []
+        seen: set[str] = set()
+        room = self.max_pages - len(self.store)
+        for url in urls:
+            ok = (room > 0 and url not in seen
+                  and not self.store.has_url(url))
+            if ok:
+                seen.add(url)
+                room -= 1
+            out.append(ok)
+        return out
+
+    def store_pages(
+        self,
+        urls: Sequence[str],
+        titles: Sequence[str],
+        texts: Sequence[str],
+        embeddings: np.ndarray,
+    ) -> list[int | None]:
+        """Store-only insert (the device index was already written by the
+        fused ingest program). Rows must have passed screen()."""
+        ids: list[int | None] = []
+        for url, title, text, emb in zip(urls, titles, texts, embeddings):
+            ids.append(self.store.insert(url, title, text, emb))
+        METRICS.inc("pages_inserted", sum(1 for i in ids if i is not None))
+        return ids
+
     # -- search -----------------------------------------------------------
 
     def search_embeddings(

@@ -72,3 +72,58 @@ class FusedQueryPath:
             d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)
             i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return emb[:n], d[:n, :k], i[:n, :k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mask_padding", "include_padding"),
+    donate_argnums=(3, 4))
+def _fused_ingest_program(params, input_ids, mask, codes, scales, count, *,
+                          cfg, mask_padding, include_padding):
+    """encode -> i8 quantize -> write into the (donated) index buffers at
+    row offset `count`. Rows beyond the caller's valid n are scratch:
+    they sit past `count + n`, are masked out of every search, and the
+    next insert overwrites them."""
+    from dawnsearch_tpu.index.flat import _quantize_rows_i8
+
+    emb = encode_batch(params, input_ids, mask, cfg=cfg,
+                       mask_padding=mask_padding,
+                       include_padding=include_padding)
+    qcodes, qscales = _quantize_rows_i8(emb)
+    codes = jax.lax.dynamic_update_slice(codes, qcodes, (count, 0))
+    scales = jax.lax.dynamic_update_slice(scales, qscales, (count,))
+    return codes, scales, emb
+
+
+class FusedIngestPath:
+    """Batched page ingest against an i8 FlatIndex in one dispatch."""
+
+    def __init__(self, encoder, index: FlatIndex):
+        self.encoder = encoder
+        self.index = index
+
+    @staticmethod
+    def supports(index) -> bool:
+        return isinstance(index, FlatIndex) and index.dtype == "i8"
+
+    def ingest(self, texts: list[str]) -> np.ndarray:
+        """Embed + append `texts` to the index; returns (n, H) f32
+        embeddings for durable storage. Caller must hold the provider
+        lock (buffer donation is not reentrant)."""
+        enc = self.encoder
+        ids_list = enc.tokenize_texts(texts)
+        input_ids, mask = enc.pad_batch(ids_list)
+        ix = self.index
+        bsz = input_ids.shape[0]
+        if ix.count + bsz > ix.capacity:  # reserve scratch rows too
+            ix._grow_to(ix.count + bsz)
+        with METRICS.timer("fused_ingest"):
+            ix._codes, ix._scales, emb = _fused_ingest_program(
+                enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
+                ix._codes, ix._scales, jnp.int32(ix.count),
+                cfg=enc.cfg, mask_padding=enc.mask_padding,
+                include_padding=enc.include_padding_in_pool)
+            emb = np.asarray(emb)
+        n = len(texts)
+        ix.count += n
+        return emb[:n]

@@ -83,12 +83,16 @@ class SearchService:
         self._text_batcher = None
         encoder = getattr(batcher, "_encode", None)
         encoder = getattr(encoder, "__self__", None)  # bound .encode
-        from dawnsearch_tpu.serving.fused import FusedQueryPath
-        if encoder is not None and hasattr(encoder, "tokenize_texts") \
-                and FusedQueryPath.supports(provider.index):
-            self._fused = FusedQueryPath(encoder, provider.index)
-            self._text_batcher = CoalescingBatcher(
-                self._fused_text_batch, name="text_query")
+        from dawnsearch_tpu.serving.fused import (
+            FusedIngestPath, FusedQueryPath)
+        self._fused_ingest = None
+        if encoder is not None and hasattr(encoder, "tokenize_texts"):
+            if FusedQueryPath.supports(provider.index):
+                self._fused = FusedQueryPath(encoder, provider.index)
+                self._text_batcher = CoalescingBatcher(
+                    self._fused_text_batch, name="text_query")
+            if FusedIngestPath.supports(provider.index):
+                self._fused_ingest = FusedIngestPath(encoder, provider.index)
 
     # -- queries ------------------------------------------------------------
 
@@ -186,12 +190,27 @@ class SearchService:
         if not pages:
             return []
         combined = [f"{title}\n{text}" for _, title, text in pages]
-        embs = self.batcher.embed_many(combined)
         urls = [p[0] for p in pages]
         titles = [p[1] for p in pages]
         texts = [p[2] for p in pages]
-        with self._lock:
-            ids = self.provider.insert_pages(urls, titles, texts, embs)
+        if self._fused_ingest is not None:
+            # one device program: encode -> quantize -> index write
+            with self._lock:
+                keep = self.provider.screen(urls)
+                kept = [i for i, ok in enumerate(keep) if ok]
+                ids = [None] * len(pages)
+                if kept:
+                    embs = self._fused_ingest.ingest(
+                        [combined[i] for i in kept])
+                    stored = self.provider.store_pages(
+                        [urls[i] for i in kept], [titles[i] for i in kept],
+                        [texts[i] for i in kept], embs)
+                    for i, sid in zip(kept, stored):
+                        ids[i] = sid
+        else:
+            embs = self.batcher.embed_many(combined)
+            with self._lock:
+                ids = self.provider.insert_pages(urls, titles, texts, embs)
         if not from_network and self.remote is not None:
             for (url, title, text), pid in zip(pages, ids):
                 if pid is not None:

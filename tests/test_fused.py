@@ -100,3 +100,35 @@ def test_fused_disabled_for_fake_encoders():
     svc = SearchService(provider, batcher)
     assert svc._fused is None  # falls back to the split pipeline
     batcher.stop()
+
+
+def test_fused_ingest_active_and_dedup(service):
+    assert service._fused_ingest is not None
+    # in-batch duplicate URL + cross-batch duplicate both skip cleanly
+    ids = service.insert_pages([
+        ("https://d/1", "One", CORPUS[0]),
+        ("https://d/1", "Dup", CORPUS[1]),
+        ("https://d/2", "Two", CORPUS[2]),
+    ])
+    assert ids[0] is not None and ids[1] is None and ids[2] is not None
+    again = service.insert_pages([("https://d/2", "Again", CORPUS[3])])
+    assert again == [None]
+    # store and index agree; the pages are retrievable
+    assert len(service.provider.store) == len(service.provider.index) == 2
+    res = service.text_search(CORPUS[2], search_remote=False)
+    assert res.pages[0].url == "https://d/2"
+
+
+def test_fused_ingest_capacity_cap(encoder):
+    provider = SearchProvider(data_dir=None, dim=64, max_pages=2,
+                              verify_on_load=False)
+    batcher = EmbeddingBatcher(encoder.encode, max_batch=8)
+    svc = SearchService(provider, batcher)
+    try:
+        ids = svc.insert_pages([(f"https://cap/{i}", "t", CORPUS[i % 5])
+                                for i in range(4)])
+        assert sum(1 for i in ids if i is not None) == 2  # cap enforced
+        assert len(provider.store) == 2
+    finally:
+        batcher.stop()
+        svc.shutdown()
