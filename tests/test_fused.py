@@ -132,3 +132,40 @@ def test_fused_ingest_capacity_cap(encoder):
     finally:
         batcher.stop()
         svc.shutdown()
+
+
+def test_fused_ingest_persistence(encoder, tmp_path):
+    """Pages ingested through the fused program survive a restart (both
+    snapshot reload and rebuild-from-store keep row<->id alignment)."""
+    import os
+    from dawnsearch_tpu.index.provider import INDEX_FILE
+
+    def make(data_dir):
+        provider = SearchProvider(data_dir=data_dir, dim=64,
+                                  verify_on_load=True)
+        batcher = EmbeddingBatcher(encoder.encode, max_batch=8)
+        return SearchService(provider, batcher, instance_id="p"), batcher
+
+    d = str(tmp_path / "data")
+    svc, b = make(d)
+    svc.insert_pages([(f"https://p/{i}", f"T{i}", CORPUS[i]) for i in range(4)])
+    assert svc._fused_ingest is not None
+    want = [p.page_id for p in
+            svc.text_search(CORPUS[1], search_remote=False).pages[:3]]
+    b.stop()
+    svc.shutdown()  # saves snapshot
+
+    svc2, b2 = make(d)  # snapshot path
+    got = [p.page_id for p in
+           svc2.text_search(CORPUS[1], search_remote=False).pages[:3]]
+    assert got == want
+    b2.stop()
+    svc2.shutdown()
+
+    os.remove(os.path.join(d, INDEX_FILE))  # rebuild-from-store path
+    svc3, b3 = make(d)
+    got = [p.page_id for p in
+           svc3.text_search(CORPUS[1], search_remote=False).pages[:3]]
+    assert got == want
+    b3.stop()
+    svc3.shutdown()
