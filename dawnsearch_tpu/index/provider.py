@@ -60,10 +60,17 @@ class SearchProvider:
         max_pages: int = 1_000_000,  # reference cap (search_provider.rs:164-166)
         index_factory=None,
         verify_on_load: bool = True,
+        rerank: int = 30,
     ):
         self.data_dir = data_dir
         self.max_pages = max_pages
         self.dim = dim
+        # Quantized indexes retrieve k+rerank candidates and re-rank them
+        # with the store's exact f32 embeddings (SURVEY §7 hard parts:
+        # "re-ranking top candidates at f32") — candidate ORDER becomes
+        # exact; only candidates the i8 scan missed entirely stay missed.
+        # 0 disables.
+        self.rerank = rerank
         db_path = ":memory:" if data_dir is None else os.path.join(data_dir, DB_FILE)
         self.store = PageStore(db_path, dim=dim)
         make_index = index_factory or (
@@ -173,10 +180,39 @@ class SearchProvider:
         """Batched query -> per-query top-k with metadata join
         (search_provider.rs:202-248, batched)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
+        quantized = getattr(self.index, "dtype", "f32") != "f32"
+        k_fetch = k + self.rerank if (quantized and self.rerank) else k
         t0 = time.perf_counter()
-        dists, ids = self.index.search(queries, k)
+        dists, ids = self.index.search(queries, k_fetch)
         METRICS.observe("index_search", time.perf_counter() - t0)
+        if k_fetch > k:
+            dists, ids = self._rerank_f32(queries, dists, ids, k)
         return self.results_from_ids(dists, ids, instance_id)
+
+    def _rerank_f32(self, queries: np.ndarray, dists: np.ndarray,
+                    ids: np.ndarray, k: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact-distance re-rank of quantized candidates using the
+        store's f32 embeddings; rows missing from the store keep their
+        approximate distance."""
+        cand = sorted({int(i) + 1 for i in ids.flatten() if i >= 0})
+        embs = self.store.embeddings_for(cand)
+        out_d = np.full((dists.shape[0], k), np.inf, np.float32)
+        out_i = np.full((dists.shape[0], k), -1, np.int64)
+        for b in range(dists.shape[0]):
+            pairs = []
+            for d, i in zip(dists[b], ids[b]):
+                if i < 0 or not np.isfinite(d):
+                    continue
+                e = embs.get(int(i) + 1)
+                exact = (1.0 - float(queries[b] @ e)) if e is not None \
+                    else float(d)
+                pairs.append((exact, int(i)))
+            pairs.sort()
+            for j, (d, i) in enumerate(pairs[:k]):
+                out_d[b, j] = d
+                out_i[b, j] = i
+        return out_d, out_i
 
     def results_from_ids(self, dists: np.ndarray, ids: np.ndarray,
                          instance_id: str = "") -> list[SearchResult]:

@@ -111,6 +111,18 @@ class PageStore:
             ).fetchall()
         return {r[0]: PageRecord(*r) for r in rows}
 
+    def embeddings_for(self, page_ids: list[int]) -> dict[int, np.ndarray]:
+        """Batch f32 embedding fetch (the re-rank stage's join)."""
+        if not page_ids:
+            return {}
+        q = ",".join("?" * len(page_ids))
+        with self._lock:
+            rows = self.conn.execute(
+                f"SELECT id, embedding FROM page WHERE id IN ({q})",
+                page_ids,
+            ).fetchall()
+        return {r[0]: np.frombuffer(r[1], dtype="<f4") for r in rows}
+
     def embedding_for_page(self, page_id: int) -> np.ndarray | None:
         """More-like-this lookup (search_provider.rs:183-195)."""
         with self._lock:

@@ -118,10 +118,14 @@ class SearchService:
         out: list = [None] * len(payloads)
         for k, idxs in by_k.items():
             texts = [payloads[i][0] for i in idxs]
+            prov = self.provider
+            quantized = getattr(prov.index, "dtype", "f32") != "f32"
+            k_fetch = k + prov.rerank if (quantized and prov.rerank) else k
             with self._lock:
-                embs, d, row_ids = self._fused.search_texts(texts, k)
-                results = self.provider.results_from_ids(
-                    d, row_ids, self.instance_id)
+                embs, d, row_ids = self._fused.search_texts(texts, k_fetch)
+                if k_fetch > k:  # exact f32 re-rank (same as split path)
+                    d, row_ids = prov._rerank_f32(embs, d, row_ids, k)
+                results = prov.results_from_ids(d, row_ids, self.instance_id)
             for i, emb, res in zip(idxs, embs, results):
                 out[i] = (emb, res)
         return out

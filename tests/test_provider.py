@@ -108,3 +108,33 @@ def test_embedding_for_page_roundtrip(unit_vectors):
     sp.insert_pages(urls, titles, texts, embs)
     emb = sp.embedding_for_page(2)
     np.testing.assert_allclose(emb, embs[1], atol=1e-7)
+
+
+def test_f32_rerank_restores_exact_order(unit_vectors):
+    """i8 candidates get exact f32 ordering from the store (SURVEY §7
+    'hard parts': re-ranking top candidates at f32)."""
+    import numpy as np
+    from dawnsearch_tpu.index.provider import SearchProvider
+
+    x = unit_vectors(3000)
+    urls = [f"https://r/{i}" for i in range(len(x))]
+    prov = SearchProvider(data_dir=None, verify_on_load=False, rerank=30)
+    for s in range(0, len(x), 500):
+        prov.insert_pages(urls[s:s+500], ["t"] * 500, ["x"] * 500, x[s:s+500])
+    q = x[:24]
+    exact = np.argsort(1.0 - q @ x.T, axis=1)[:, :10]
+    got = prov.search_embeddings(q, k=10)
+    reranked = np.array([[p.page_id - 1 for p in r.pages] for r in got])
+    rr = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(reranked, exact)])
+
+    prov2 = SearchProvider(data_dir=None, verify_on_load=False, rerank=0)
+    for s in range(0, len(x), 500):
+        prov2.insert_pages(urls[s:s+500], ["t"] * 500, ["x"] * 500, x[s:s+500])
+    raw = prov2.search_embeddings(q, k=10)
+    rawids = np.array([[p.page_id - 1 for p in r.pages] for r in raw])
+    nr = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(rawids, exact)])
+
+    assert rr >= nr  # re-rank never hurts
+    assert rr >= 0.99, (rr, nr)  # and is near-exact at this scale
+    # distances come back exact f32 (self-query distance ~ 0)
+    assert got[0].pages[0].page_id == 1 and got[0].pages[0].distance < 1e-6
