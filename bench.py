@@ -100,10 +100,10 @@ def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
 
     from dawnsearch_tpu.index.flat import search_kernel
 
-    rng = np.random.default_rng(1)
     build_s = 0.0
     if index is None:
         index, build_s = build_1m_index(n_rows)
+    rng = np.random.default_rng(7)
     q = rng.standard_normal((batch, 384)).astype(np.float32)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     q = jnp.asarray(q)
@@ -133,6 +133,45 @@ def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
          "build_s": round(build_s, 1),
          "index_mb": round(index.nbytes / 1e6, 1),
          "per_batch_ms": round(1000 * best, 2)})
+
+    # recall@k of the quantized device scan, raw and with the serving
+    # path's f32 re-rank (ground truth: exact numpy over the corpus)
+    try:
+        nq = 128
+        rng_gt = np.random.default_rng(1)
+        qs = np.asarray(q[:nq])
+        best_d = np.full((nq, k), np.inf)
+        best_i = np.full((nq, k), -1, np.int64)
+        corpus = {}
+        for s0 in range(0, n_rows, add_bs_gt := 131072):
+            n = min(add_bs_gt, n_rows - s0)
+            v = rng_gt.standard_normal((n, 384)).astype(np.float32)
+            v /= np.linalg.norm(v, axis=-1, keepdims=True)
+            corpus[s0] = v
+            dd = 1.0 - qs @ v.T
+            idx = np.argpartition(dd, k, axis=1)[:, :k]
+            cd = np.concatenate([best_d, np.take_along_axis(dd, idx, 1)], 1)
+            ci = np.concatenate([best_i, idx + s0], 1)
+            sel = np.argsort(cd, axis=1)[:, :k]
+            best_d = np.take_along_axis(cd, sel, 1)
+            best_i = np.take_along_axis(ci, sel, 1)
+        d_raw, i_raw = index.search(qs, k)
+        raw = float(np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                             for a, b in zip(i_raw, best_i)]))
+        d_c, i_c = index.search(qs, k + 30)
+        rr_hits = []
+        for b in range(nq):
+            cand = i_c[b][i_c[b] >= 0]
+            vecs = np.stack([corpus[(c // 131072) * 131072][c % 131072]
+                             for c in cand])
+            exact = 1.0 - qs[b] @ vecs.T
+            top = cand[np.argsort(exact)[:k]]
+            rr_hits.append(len(set(top.tolist()) & set(best_i[b].tolist())) / k)
+        log({"metric": "recall_at_10_1m_i8", "value": round(float(
+            np.mean(rr_hits)), 4), "raw_device_recall": round(raw, 4),
+            "unit": "recall", "note": "with serving-path f32 re-rank"})
+    except Exception as e:
+        log({"metric": "recall_at_10_1m_i8", "error": repr(e)})
     return qps
 
 
