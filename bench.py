@@ -25,7 +25,8 @@ def log(obj) -> None:
     print(json.dumps(obj), file=sys.stderr, flush=True)
 
 
-def bench_embed(reps: int = 2) -> float:
+def bench_embed(reps: int = 2, n_chunks: int = 16, batch: int = 2048,
+                seq: int = 128) -> float:
     """Sustained sentences/sec in bf16 at (batch=2048, seq=128); seq 128
     covers the reference's 2048-char page cap (page_source.rs:112-113).
 
@@ -41,7 +42,6 @@ def bench_embed(reps: int = 2) -> float:
     from dawnsearch_tpu.models.bert import BertConfig, encode_batch
     from dawnsearch_tpu.models.weights import init_params
 
-    n_chunks, batch, seq = 16, 2048, 128
     cfg = BertConfig(dtype=jnp.bfloat16)
     params = init_params(jax.random.key(0))
     rng = np.random.default_rng(0)
@@ -137,7 +137,7 @@ def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
     # recall@k of the quantized device scan, raw and with the serving
     # path's f32 re-rank (ground truth: exact numpy over the corpus)
     try:
-        nq = 128
+        nq = min(128, batch)
         rng_gt = np.random.default_rng(1)
         qs = np.asarray(q[:nq])
         best_d = np.full((nq, k), np.inf)
