@@ -42,10 +42,13 @@ class Config:
     pool_impl: str = "xla"  # "xla" | "fused"
     index_capacity: int = 1_000_000  # page cap (search_provider.rs:164-166)
     index_dtype: str = "i8"  # "f32" | "bf16" | "i8"
-    index_kind: str = "flat"  # "flat" | "ivf"
+    index_kind: str = "flat"  # "flat" | "ivf" | "sharded" (device-parallel)
     ivf_ncentroids: int = 256
     ivf_nprobe: int = 16
-    mesh_shards: int = 1  # device-parallel index shards
+    # copies per vector (reference inserts into the 3 nearest buckets,
+    # examples_old/search_bucket.rs:16-17) — recall lever at m-x memory
+    ivf_multi_assign: int = 1
+    mesh_shards: int = 0  # device-parallel index shards; 0 = all devices
     search_k: int = 20  # results per query (search_provider.rs:214)
     search_deadline_ms: float = 200.0  # P2P collection deadline (udp_service.rs:301)
     announce_interval_s: float = 60.0  # tracker heartbeat (dawnsearch.rs:122-128)

@@ -45,6 +45,7 @@ class AutoIndex:
         n_centroids: int = 1024,
         nprobe: int = 32,
         train_threshold: int = DEFAULT_TRAIN_THRESHOLD,
+        multi_assign: int = 1,
     ):
         self.dim = dim
         self.dtype = dtype
@@ -52,6 +53,7 @@ class AutoIndex:
         self.n_centroids = n_centroids
         self.nprobe = nprobe
         self.train_threshold = train_threshold
+        self.multi_assign = multi_assign
         # flat stage stores the configured dtype (i8 keeps the 8M-row
         # stage HBM-feasible); migration trains on dequantized rows.
         self.flat: FlatIndex | None = FlatIndex(
@@ -86,7 +88,8 @@ class AutoIndex:
         per_list = max(128, int(2 * n / self.n_centroids))
         ivf = IVFIndex(dim=self.dim, dtype=self.dtype,
                        n_centroids=self.n_centroids, nprobe=self.nprobe,
-                       list_capacity=per_list)
+                       list_capacity=per_list,
+                       multi_assign=self.multi_assign)
         # k-means converges on a sample; training on all 8M+ rows only
         # burns device time
         if n > 1_000_000:
@@ -125,6 +128,7 @@ class AutoIndex:
                  payload=np.frombuffer(payload, np.uint8),
                  n_centroids=self.n_centroids, nprobe=self.nprobe,
                  train_threshold=self.train_threshold,
+                 multi_assign=self.multi_assign,
                  dtype=self.dtype, dim=self.dim)
         os.replace(path + ".tmp.npz", path)
 
@@ -136,7 +140,10 @@ class AutoIndex:
             idx = cls(dim=int(z["dim"]), dtype=str(z["dtype"]),
                       n_centroids=int(z["n_centroids"]),
                       nprobe=int(z["nprobe"]),
-                      train_threshold=int(z["train_threshold"]), **kwargs)
+                      train_threshold=int(z["train_threshold"]),
+                      multi_assign=(int(z["multi_assign"])
+                                    if "multi_assign" in z.files else 1),
+                      **kwargs)
             buf = io.BytesIO(z["payload"].tobytes())
         if stage == "ivf":
             idx.ivf = IVFIndex.load(buf)

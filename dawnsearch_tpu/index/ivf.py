@@ -159,6 +159,24 @@ def _ivf_search(centroids, codes, scales, ids, counts, queries, *,
     return dists.reshape(B, k), out_ids.reshape(B, k)
 
 
+def _dedup_topk(d: np.ndarray, i: np.ndarray, k: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Drop duplicate ids per row (keep the first = nearest copy), then
+    truncate to k. Needed under multi_assign where a vector's copies can
+    surface from several probed lists."""
+    B = d.shape[0]
+    out_d = np.full((B, k), np.inf, d.dtype)
+    out_i = np.full((B, k), -1, i.dtype)
+    for b in range(B):
+        _, first = np.unique(i[b], return_index=True)
+        keep = np.sort(first)         # first occurrences, distance order
+        keep = keep[i[b][keep] >= 0]  # drop the -1 sentinel
+        keep = keep[: k]
+        out_d[b, : len(keep)] = d[b, keep]
+        out_i[b, : len(keep)] = i[b, keep]
+    return out_d, out_i
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _scatter_rows(codes, scales, ids, list_idx, slot_idx, rows, row_scales,
                   row_ids):
@@ -170,9 +188,15 @@ def _scatter_rows(codes, scales, ids, list_idx, slot_idx, rows, row_scales,
 
 class IVFIndex:
     """Approximate index over padded inverted lists. API mirrors
-    FlatIndex (add / search / save / load) plus train()."""
+    FlatIndex (add / search / save / load) plus train().
 
-    SPILL = 4  # candidate lists per insert (nearest-first)
+    `multi_assign` > 1 replicates every vector into its m nearest lists
+    (best-effort for the extra copies) — the reference's validated
+    recall lever (3-nearest-bucket insert, search_bucket.rs:16-17,60-67)
+    at an m-times memory cost; duplicate ids are removed at search time.
+    """
+
+    SPILL = 4  # candidate lists per primary insert (nearest-first)
 
     def __init__(
         self,
@@ -182,17 +206,22 @@ class IVFIndex:
         nprobe: int = 16,
         list_capacity: int = 128,
         query_sub_batch: int = 32,
+        multi_assign: int = 1,
     ):
         if dtype not in _JDT:
             raise ValueError(f"unsupported dtype {dtype}")
+        if multi_assign < 1 or multi_assign > n_centroids:
+            raise ValueError(f"multi_assign {multi_assign} out of range")
         self.dim = dim
         self.dtype = dtype
         self.n_centroids = n_centroids
         self.nprobe = min(nprobe, n_centroids)
         self.list_capacity = list_capacity
         self.query_sub_batch = query_sub_batch
+        self.multi_assign = multi_assign
         self.trained = False
         self._next_id = 0
+        self._n_rows = 0  # logical rows (copies counted once)
         self._centroids = jnp.zeros((n_centroids, dim), jnp.float32)
         self._alloc(list_capacity)
 
@@ -205,7 +234,7 @@ class IVFIndex:
         self.list_capacity = L
 
     def __len__(self) -> int:
-        return int(self._counts.sum())
+        return self._n_rows  # logical rows; copies from multi_assign count once
 
     @property
     def nbytes(self) -> int:
@@ -232,6 +261,41 @@ class IVFIndex:
         self._ids = jnp.pad(old_ids, ((0, 0), (0, pad)), constant_values=-1)
         self.list_capacity = L
 
+    def _assign_batch(self, cand: np.ndarray, required: bool) -> tuple:
+        """Allocate one slot per row from its candidate lists
+        (nearest-first, occupancy-driven spill), vectorized over rows.
+
+        Returns (row_sel, list_idx, slot_idx) for the rows that landed.
+        `required=True` grows the lists until every row lands (primary
+        copies); `required=False` drops rows whose candidates are all
+        full (best-effort extra copies under multi_assign)."""
+        n = cand.shape[0]
+        list_idx = np.full(n, -1, np.int64)
+        slot_idx = np.zeros(n, np.int64)
+        pending = np.arange(n)
+        while len(pending):
+            for col in range(cand.shape[1]):
+                if not len(pending):
+                    break
+                c = cand[pending, col]
+                order = np.argsort(c, kind="stable")
+                cs = c[order]
+                # rank within each equal-list run of the sorted view
+                rank = np.arange(len(cs)) - np.searchsorted(cs, cs, "left")
+                slot = self._counts[cs] + rank
+                ok = slot < self.list_capacity
+                landed = pending[order[ok]]
+                list_idx[landed] = cs[ok]
+                slot_idx[landed] = slot[ok]
+                np.add.at(self._counts, cs[ok], 1)
+                pending = pending[order[~ok]]
+            if len(pending):
+                if not required:
+                    break
+                self._grow_lists()  # rare; one recompile per doubling
+        sel = np.nonzero(list_idx >= 0)[0]
+        return sel, list_idx[sel], slot_idx[sel]
+
     def add(self, vectors: np.ndarray | jax.Array,
             ids: np.ndarray | None = None) -> np.ndarray:
         if not self.trained:
@@ -244,27 +308,28 @@ class IVFIndex:
             return np.empty((0,), np.int64)
         if ids is None:
             ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
+        if int(np.max(ids)) > np.iinfo(np.int32).max:
+            # device ids are int32; silent wraparound would corrupt results
+            raise ValueError("IVFIndex ids must fit int32")
         self._next_id = max(self._next_id, int(ids.max()) + 1)
 
-        # Nearest-first candidate lists, spill to next-nearest when full
-        # (the reference inserts into multiple nearest buckets,
-        # search_bucket.rs:16,60-67 — here spill is occupancy-driven).
+        # Candidate lists nearest-first (the reference inserts into the
+        # 3 nearest buckets, search_bucket.rs:16,60-67): copy j targets
+        # the j-th nearest, spilling to later candidates when full.
+        m = self.multi_assign
         sims = np.asarray(rows @ np.asarray(self._centroids).T)
-        cand = np.argsort(-sims, axis=1)[:, : self.SPILL]
-        list_idx = np.empty(n, np.int64)
-        slot_idx = np.empty(n, np.int64)
-        counts = self._counts
-        for r in range(n):
-            for c in cand[r]:
-                if counts[c] < self.list_capacity:
-                    list_idx[r], slot_idx[r] = c, counts[c]
-                    counts[c] += 1
-                    break
-            else:  # all candidates full: grow every list (rare; recompile)
-                self._grow_lists()
-                c = cand[r][0]
-                list_idx[r], slot_idx[r] = c, counts[c]
-                counts[c] += 1
+        n_cand = min(self.SPILL + m - 1, self.n_centroids)
+        cand = np.argsort(-sims, axis=1)[:, :n_cand]
+
+        sel_all, lists_all, slots_all, which_all = [], [], [], []
+        for copy in range(m):
+            sel, li, si = self._assign_batch(cand[:, copy:], required=copy == 0)
+            sel_all.append(sel)
+            lists_all.append(li)
+            slots_all.append(si)
+        row_sel = np.concatenate(sel_all)
+        list_idx = np.concatenate(lists_all)
+        slot_idx = np.concatenate(slots_all)
 
         if self.dtype == "i8":
             absmax = np.abs(rows).max(axis=1)
@@ -276,8 +341,10 @@ class IVFIndex:
         self._codes, self._scales, self._ids = _scatter_rows(
             self._codes, self._scales, self._ids,
             jnp.asarray(list_idx, jnp.int32), jnp.asarray(slot_idx, jnp.int32),
-            jnp.asarray(data, jnp.float32), jnp.asarray(scs),
-            jnp.asarray(ids, jnp.int32))
+            jnp.asarray(data[row_sel], jnp.float32),
+            jnp.asarray(scs[row_sel]),
+            jnp.asarray(np.asarray(ids)[row_sel], jnp.int32))
+        self._n_rows += n
         return ids
 
     # -- query ------------------------------------------------------------
@@ -294,13 +361,17 @@ class IVFIndex:
         padded = _round_up(B, sub)
         if padded != B:
             q = jnp.pad(q, ((0, padded - B), (0, 0)))
+        m = self.multi_assign
+        k_fetch = k * m if m > 1 else k  # headroom for duplicate copies
         d, i = _ivf_search(
             self._centroids, self._codes,
             self._scales, self._ids,
             jnp.asarray(self._counts, jnp.int32), q,
-            k=k, nprobe=min(nprobe or self.nprobe, self.n_centroids),
+            k=k_fetch, nprobe=min(nprobe or self.nprobe, self.n_centroids),
             sub=sub, has_scales=self.dtype == "i8")
         d, i = np.asarray(d[:B]), np.asarray(i[:B])
+        if m > 1:
+            d, i = _dedup_topk(d, i, k)
         if single:
             return d[0], i[0]
         return d, i
@@ -314,7 +385,8 @@ class IVFIndex:
                  scales=np.asarray(self._scales),
                  ids=np.asarray(self._ids), counts=self._counts,
                  dtype=self.dtype, nprobe=self.nprobe,
-                 next_id=self._next_id, trained=self.trained)
+                 next_id=self._next_id, trained=self.trained,
+                 multi_assign=self.multi_assign, n_rows=self._n_rows)
         os.replace(tmp + ".npz", path)
 
     @classmethod
@@ -325,7 +397,10 @@ class IVFIndex:
             idx = cls(dim=codes.shape[2], dtype=dtype,
                       n_centroids=codes.shape[0],
                       nprobe=int(z["nprobe"]),
-                      list_capacity=codes.shape[1], **kwargs)
+                      list_capacity=codes.shape[1],
+                      multi_assign=(int(z["multi_assign"])
+                                    if "multi_assign" in z.files else 1),
+                      **kwargs)
             idx._centroids = jnp.asarray(z["centroids"])
             idx._codes = jnp.asarray(codes, _JDT[dtype])
             idx._scales = jnp.asarray(z["scales"])
@@ -333,4 +408,6 @@ class IVFIndex:
             idx._counts = z["counts"].astype(np.int64)
             idx._next_id = int(z["next_id"])
             idx.trained = bool(z["trained"])
+            idx._n_rows = (int(z["n_rows"]) if "n_rows" in z.files
+                           else int(idx._counts.sum()))
         return idx

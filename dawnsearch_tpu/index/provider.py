@@ -75,6 +75,7 @@ class SearchProvider:
         self.store = PageStore(db_path, dim=dim)
         make_index = index_factory or (
             lambda: FlatIndex(dim=dim, dtype=index_dtype, max_capacity=max_pages))
+        self._make_index = make_index
 
         index_path = (None if data_dir is None
                       else os.path.join(data_dir, INDEX_FILE))
@@ -104,9 +105,8 @@ class SearchProvider:
         n = 0
         expected = self.store.max_id() + 1
         for ids, embs in self.store.iter_embeddings():
-            # row ids must equal sqlite ids - 1 shift? No: we keep our own
-            # mapping — device row r corresponds to insertion order. The
-            # store uses rowids starting at 1; device rows start at 0.
+            # Contract: device row r = insertion order (0-based); sqlite
+            # rowids are the same order 1-based, so store_id = row_id + 1.
             self.index.add(embs)
             n += len(ids)
         if n:
@@ -165,10 +165,48 @@ class SearchProvider:
         embeddings: np.ndarray,
     ) -> list[int | None]:
         """Store-only insert (the device index was already written by the
-        fused ingest program). Rows must have passed screen()."""
+        fused ingest program). Rows must have passed screen().
+
+        The index wrote these rows FIRST, so a mid-batch store failure
+        would silently shift the row_id -> store_id(+1) mapping for
+        every later row: on a rejected insert we roll the index back to
+        the stored prefix and route the remainder through the
+        store-first path; on an unexpected rowid (store and index
+        irreconcilably diverged) we rebuild the index from the store.
+        """
+        rows = list(zip(urls, titles, texts, embeddings))
+        n = len(rows)
+        base = len(self.index) - n  # device row of rows[0]
         ids: list[int | None] = []
-        for url, title, text, emb in zip(urls, titles, texts, embeddings):
-            ids.append(self.store.insert(url, title, text, emb))
+        for j, (url, title, text, emb) in enumerate(rows):
+            sid = self.store.insert(url, title, text, emb)
+            if sid == base + j + 1:
+                ids.append(sid)
+                continue
+            if sid is None and hasattr(self.index, "count"):
+                log.warning("store rejected %r mid-batch; rolling back "
+                            "%d index rows", url, n - j)
+                self.index.count = base + j  # tail rows become scratch
+                ids.append(None)
+                rest = rows[j + 1:]
+                if rest:
+                    ids.extend(self.insert_pages(
+                        [r[0] for r in rest], [r[1] for r in rest],
+                        [r[2] for r in rest],
+                        np.stack([np.asarray(r[3], np.float32)
+                                  for r in rest])))
+                break
+            # sid is not None but at the wrong rowid (or the index can't
+            # roll back): the store is the source of truth — finish
+            # storing, then rebuild the device index wholesale.
+            log.error("store id %s != expected %d for %r; rebuilding "
+                      "index from store", sid, base + j + 1, url)
+            ids.append(sid)
+            for url2, title2, text2, emb2 in rows[j + 1:]:
+                ids.append(self.store.insert(url2, title2, text2, emb2))
+            self.index = self._make_index()
+            self._fill_index_from_db()
+            break
         METRICS.inc("pages_inserted", sum(1 for i in ids if i is not None))
         return ids
 

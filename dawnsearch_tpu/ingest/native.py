@@ -27,9 +27,13 @@ def extract(html: str) -> ExtractedDoc:
     if lib is None:
         return _py_extract(html)
     raw = html.encode("utf-8", errors="ignore")
-    ptr = lib.dawn_extract(raw, len(raw))
+    # length comes back explicitly: string_at(ptr) would stop at the
+    # first NUL byte copied through from the input HTML
+    out_len = ctypes.c_long(0)
+    ptr = lib.dawn_extract(raw, len(raw), ctypes.byref(out_len))
     try:
-        payload = ctypes.string_at(ptr).decode("utf-8", errors="ignore")
+        payload = ctypes.string_at(ptr, out_len.value).decode(
+            "utf-8", errors="ignore")
     finally:
         lib.dawn_free(ptr)
     title, _, rest = payload.partition("\x1e")

@@ -6,7 +6,7 @@
 // src/index/extract.rs:86-117); this native pass is ~50x the Python
 // html.parser path.
 //
-// C ABI (ctypes): dawn_extract(html, len) -> malloc'd buffer
+// C ABI (ctypes): dawn_extract(html, len, &out_len) -> malloc'd buffer
 //   title \x1E text \x1E link\n link\n ...
 // freed with dawn_free(). Thread-safe (no globals).
 
@@ -263,7 +263,9 @@ const char *parse_tag(Extractor &ex, const char *p, const char *end) {
 extern "C" {
 
 // Returns malloc'd: title \x1E text \x1E links('\n'-joined). Never null.
-char *dawn_extract(const char *html, long len) {
+// *out_len receives the payload byte length (the payload may contain
+// embedded NULs copied from the input; callers must not strlen it).
+char *dawn_extract(const char *html, long len, long *out_len) {
   Extractor ex;
   const char *p = html, *end = html + len;
   while (p < end) {
@@ -292,7 +294,9 @@ char *dawn_extract(const char *html, long len) {
     out += ex.links[i];
   }
   char *ret = static_cast<char *>(malloc(out.size() + 1));
-  memcpy(ret, out.c_str(), out.size() + 1);
+  memcpy(ret, out.data(), out.size());
+  ret[out.size()] = '\0';
+  if (out_len) *out_len = static_cast<long>(out.size());
   return ret;
 }
 

@@ -83,11 +83,16 @@ def make_index_factory(cfg: Config, dim: int = 384):
             return AutoIndex(dim=dim, dtype=cfg.index_dtype,
                              max_capacity=cfg.index_capacity,
                              n_centroids=cfg.ivf_ncentroids,
-                             nprobe=cfg.ivf_nprobe)
+                             nprobe=cfg.ivf_nprobe,
+                             multi_assign=cfg.ivf_multi_assign)
         if cfg.index_kind == "sharded":
+            import jax
+
             from dawnsearch_tpu.parallel.mesh import make_mesh
             from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
-            mesh = make_mesh({"shard": cfg.mesh_shards})
+            n = (cfg.mesh_shards if cfg.mesh_shards > 0
+                 else len(jax.devices()))  # 0 = every device
+            mesh = make_mesh({"shard": n}, devices=jax.devices()[:n])
             return ShardedFlatIndex(mesh=mesh, dim=dim,
                                     dtype=cfg.index_dtype,
                                     max_capacity=cfg.index_capacity)

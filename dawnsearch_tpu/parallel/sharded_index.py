@@ -211,15 +211,26 @@ class ShardedFlatIndex:
             ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
         self._next_id = max(self._next_id, int(ids.max()) + 1)
 
-        # Balance-stripe: repeatedly give the next row to the least-full shard.
-        assign = np.zeros(n, dtype=np.int64)
-        counts = self._counts.copy()
-        for r in range(n):
-            s = int(np.argmin(counts))
-            assign[r] = s
-            counts[s] += 1
-        per_shard = [np.nonzero(assign == s)[0] for s in range(self.n_shards)]
-        max_rows = max(len(p) for p in per_shard)
+        # Balance-stripe: water-fill the least-full shards (closed form —
+        # equivalent to giving each row to the current argmin shard, but
+        # O(S log range) instead of a per-row Python loop).
+        c = self._counts
+        lo, hi = int(c.min()), int(c.max()) + n
+        while lo < hi:  # largest level L with fill-cost <= n
+            mid = (lo + hi + 1) // 2
+            if int((np.maximum(c, mid) - c).sum()) <= n:
+                lo = mid
+            else:
+                hi = mid - 1
+        adds = np.maximum(c, lo) - c
+        left = n - int(adds.sum())
+        if left > 0:  # one extra row each for the lowest-index eligible shards
+            eligible = np.nonzero(c <= lo)[0]
+            adds[eligible[:left]] += 1
+        bounds = np.concatenate([[0], np.cumsum(adds)]).astype(np.int64)
+        per_shard = [np.arange(bounds[s], bounds[s + 1])
+                     for s in range(self.n_shards)]
+        max_rows = int(adds.max())
         if (self._counts.max() + max_rows) > self.cap_per_shard:
             self._grow(int(self._counts.max()) + max_rows)
 

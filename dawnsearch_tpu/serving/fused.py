@@ -114,7 +114,19 @@ class FusedIngestPath:
         ids_list = enc.tokenize_texts(texts)
         input_ids, mask = enc.pad_batch(ids_list)
         ix = self.index
+        n = len(texts)
         bsz = input_ids.shape[0]
+        if ix.max_capacity is not None:
+            # Scratch rows (batch padding past n) must also fit in the
+            # buffer. Near max_capacity a legitimate n-page insert can
+            # need count+bsz > the growable ceiling — fall back to the
+            # split path (encode, then add only the n valid rows) rather
+            # than fail a batch that fits.
+            ceiling = -(-ix.max_capacity // ix.segment) * ix.segment
+            if ix.count + bsz > ceiling and ix.count + n <= ix.max_capacity:
+                emb = np.asarray(enc.encode(texts), np.float32)
+                ix.add(emb)
+                return emb
         if ix.count + bsz > ix.capacity:  # reserve scratch rows too
             ix._grow_to(ix.count + bsz)
         with METRICS.timer("fused_ingest"):
@@ -124,6 +136,5 @@ class FusedIngestPath:
                 cfg=enc.cfg, mask_padding=enc.mask_padding,
                 include_padding=enc.include_padding_in_pool)
             emb = np.asarray(emb)
-        n = len(texts)
         ix.count += n
         return emb[:n]

@@ -13,6 +13,7 @@ the P2P/DCN layer and external ingesters use it.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -98,13 +99,20 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if url.path == "/api/profile":
             # capture a jax.profiler trace for xprof (SURVEY.md par.5:
-            # TPU equivalent of the reference's dormant tracing spans)
-            seconds = float(qs.get("seconds", ["2"])[0])
-            out_dir = qs.get("dir", ["/tmp/dawnsearch-profile"])[0]
+            # TPU equivalent of the reference's dormant tracing spans).
+            # Debug endpoint: loopback-only, and the trace directory is
+            # server-chosen (under data_dir) — a remote caller must not
+            # pick filesystem paths or tie up handler threads.
+            if self.client_address[0] not in ("127.0.0.1", "::1"):
+                self._send_json(403, {"error": "profile is loopback-only"})
+                return
+            seconds = min(float(qs.get("seconds", ["2"])[0]), 30.0)
+            base = self.service.provider.data_dir or "/tmp"
+            out_dir = os.path.join(base, "profile")
             try:
                 import jax
                 jax.profiler.start_trace(out_dir)
-                time.sleep(min(seconds, 30.0))
+                time.sleep(seconds)
                 jax.profiler.stop_trace()
                 self._send_json(200, {"trace_dir": out_dir})
             except Exception as e:

@@ -49,7 +49,9 @@ def get() -> ctypes.CDLL | None:
             lib = ctypes.CDLL(SO)
             # extraction (extract.cpp)
             lib.dawn_extract.restype = ctypes.c_void_p
-            lib.dawn_extract.argtypes = [ctypes.c_char_p, ctypes.c_long]
+            lib.dawn_extract.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long)]
             lib.dawn_free.argtypes = [ctypes.c_void_p]
             # tokenizer (tokenizer.cpp)
             lib.dawn_tok_new.restype = ctypes.c_void_p

@@ -113,3 +113,90 @@ def test_save_load_roundtrip(tmp_path, unit_vectors):
 def test_train_centroids_normalized(unit_vectors):
     c = train_centroids(unit_vectors(512), 16, iters=4)
     np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-4)
+
+
+def test_multi_assign_improves_recall(rng):
+    # The reference's 3-nearest-bucket insert (search_bucket.rs:16-17):
+    # replicated copies make a vector findable from more probed lists.
+    x = clustered(rng, n_clusters=64, per_cluster=64, spread=0.2)
+    q = x[rng.choice(len(x), 128, replace=False)]
+
+    def recall(ix):
+        ix.train(x, iters=5, seed=1)
+        ix.add(x)
+        _, i = ix.search(q, k=10)
+        _, ei = exact_topk(q, x, 10)
+        return np.mean([len(set(i[b]) & set(ei[b])) / 10
+                        for b in range(len(q))])
+
+    r1 = recall(IVFIndex(dtype="f32", n_centroids=64, nprobe=2,
+                         list_capacity=256))
+    r3 = recall(IVFIndex(dtype="f32", n_centroids=64, nprobe=2,
+                         list_capacity=256, multi_assign=3))
+    assert r3 > r1 + 0.05, (r1, r3)
+    assert r3 > 0.3  # nprobe 2/64 probes 3% of lists; m=3 lifts ~0.24->0.38
+
+
+def test_multi_assign_no_duplicate_results(unit_vectors):
+    x = unit_vectors(500)
+    ix = IVFIndex(dtype="f32", n_centroids=8, nprobe=8, list_capacity=512,
+                  multi_assign=3)
+    ix.train(x, iters=5)
+    ids = ix.add(x)
+    assert len(ix) == 500  # logical rows count copies once
+    d, i = ix.search(x[:32], k=10)
+    for b in range(32):
+        valid = i[b][i[b] >= 0]
+        assert len(set(valid.tolist())) == len(valid), i[b]
+        assert i[b, 0] == ids[b]  # self-hit survives dedup, nearest-first
+        assert np.all(np.diff(d[b][np.isfinite(d[b])]) >= -1e-6)
+
+
+def test_multi_assign_full_probe_exact(unit_vectors):
+    # Even with duplicate copies, probing everything + dedup == brute force.
+    x = unit_vectors(800)
+    q = unit_vectors(8)
+    ix = IVFIndex(dtype="f32", n_centroids=8, nprobe=8, list_capacity=1024,
+                  multi_assign=2)
+    ix.train(x, iters=5)
+    ix.add(x)
+    d, i = ix.search(q, k=10)
+    ed, ei = exact_topk(q, x, 10)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(d, ed, atol=1e-5)
+
+
+def test_multi_assign_save_load(tmp_path, unit_vectors):
+    x = unit_vectors(300)
+    ix = IVFIndex(dtype="i8", n_centroids=8, nprobe=8, list_capacity=128,
+                  multi_assign=2)
+    ix.train(x, iters=3)
+    ix.add(x)
+    p = str(tmp_path / "ivf.npz")
+    ix.save(p)
+    ix2 = IVFIndex.load(p)
+    assert ix2.multi_assign == 2 and len(ix2) == 300
+    d1, i1 = ix.search(x[:8], k=5)
+    d2, i2 = ix2.search(x[:8], k=5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_int32_id_guard(unit_vectors):
+    ix = IVFIndex(dtype="f32", n_centroids=4, nprobe=4, list_capacity=64)
+    ix.train(unit_vectors(16), iters=2)
+    with pytest.raises(ValueError, match="int32"):
+        ix.add(unit_vectors(1), ids=np.asarray([2**31], np.int64))
+
+
+def test_vectorized_assign_matches_loop_semantics(unit_vectors):
+    # Slot allocation must respect capacity + nearest-first spill: fill a
+    # tiny index to the brim and confirm counts never exceed capacity.
+    x = unit_vectors(1000)
+    ix = IVFIndex(dtype="f32", n_centroids=4, nprobe=4, list_capacity=64)
+    ix.train(x[:100], iters=3)
+    ix.add(x)
+    assert int(ix._counts.sum()) == 1000
+    assert ix._counts.max() <= ix.list_capacity
+    # every row findable (full probe = exact)
+    _, i = ix.search(x[:16], k=1)
+    assert (i[:, 0] == np.arange(16)).all()

@@ -138,3 +138,31 @@ def test_f32_rerank_restores_exact_order(unit_vectors):
     assert rr >= 0.99, (rr, nr)  # and is near-exact at this scale
     # distances come back exact f32 (self-query distance ~ 0)
     assert got[0].pages[0].page_id == 1 and got[0].pages[0].distance < 1e-6
+
+
+def test_store_pages_rollback_on_rejected_row(unit_vectors):
+    # Fused-ingest order: index rows are written BEFORE the store. If the
+    # store rejects one mid-batch (e.g. a URL raced in), the index must
+    # roll back to the stored prefix so the row_id->store_id(+1) mapping
+    # never shifts (ADVICE r1 medium #1).
+    sp = SearchProvider(data_dir=None, index_dtype="i8")
+    urls, titles, texts, embs = make_pages(unit_vectors, 3, prefix="a")
+    sp.insert_pages(urls, titles, texts, embs)
+
+    new = unit_vectors(3)
+    # simulate the fused program: device index already holds the rows
+    sp.index.add(new)
+    # middle row collides with an existing URL -> store rejects it
+    ids = sp.store_pages(
+        ["http://b0", "http://a1", "http://b2"],
+        ["B0", "dup", "B2"], ["b0", "dup", "b2"], new)
+    assert ids[0] == 4 and ids[1] is None and ids[2] == 5
+    assert len(sp.index) == len(sp.store) == 5
+    # mapping is intact: searching each stored vector finds its own url
+    res = sp.search_embeddings(new[0], k=1)[0]
+    assert res.pages[0].url == "http://b0"
+    res = sp.search_embeddings(new[2], k=1)[0]
+    assert res.pages[0].url == "http://b2"
+    # and the original pages still resolve
+    res = sp.search_embeddings(embs[1], k=1)[0]
+    assert res.pages[0].url == "http://a1"

@@ -266,6 +266,12 @@ def test_http_save_endpoint(http, tmp_path):
 
 def test_http_profile_endpoint(http, tmp_path):
     base, _ = http
-    status, body = get(base + f"/api/profile?seconds=0.1&dir={tmp_path}")
+    # caller-supplied dir is IGNORED (remote path traversal hardening):
+    # traces land under the node's data_dir (or /tmp for :memory: nodes)
+    status, body = get(base + f"/api/profile?seconds=0.1&dir={tmp_path}/evil")
     data = json.loads(body)
-    assert "trace_dir" in data or "error" in data
+    if "trace_dir" in data:
+        assert str(tmp_path) not in data["trace_dir"]
+        assert data["trace_dir"].endswith("/profile")
+    else:
+        assert "error" in data
