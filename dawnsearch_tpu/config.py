@@ -50,6 +50,9 @@ class Config:
     ivf_multi_assign: int = 1
     mesh_shards: int = 0  # device-parallel index shards; 0 = all devices
     search_k: int = 20  # results per query (search_provider.rs:214)
+    # "dawn" (versionable msgpack) | "reference" (rmp-serde byte-compat,
+    # joins a reference swarm; decode always accepts both)
+    wire_format: str = "dawn"
     search_deadline_ms: float = 200.0  # P2P collection deadline (udp_service.rs:301)
     announce_interval_s: float = 60.0  # tracker heartbeat (dawnsearch.rs:122-128)
     jax_platform: str = ""  # "" = default; "cpu" forces host platform

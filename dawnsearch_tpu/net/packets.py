@@ -7,13 +7,22 @@ fragmentation (udp_packets.rs:22-24), embeddings quantized to the i24
 wire codec (3 B/dim, 1152 B/vector, vector.rs:48-87), inserts
 compressed (udp_service.rs:377-381).
 
-Deviations, both deliberate:
-- Encoding is `[tag, {fields}]` msgpack rather than rmp-serde's Rust
-  enum layout; this codec is self-describing and versionable.
-- Insert compression is zlib over the msgpack'd (url, title, text)
-  triple instead of per-field smaz: smaz targets very short strings,
-  while replicated pages are ~2 KB of natural language where zlib
-  compresses ~2x better, fitting more text under the MTU budget.
+Two wire formats, selected per node (`Config.wire_format`), with
+decode() auto-detecting either:
+
+- "dawn" (default): `[tag, {fields}]` msgpack — self-describing and
+  versionable. Insert compression is zlib over the msgpack'd
+  (url, title, text) triple instead of per-field smaz: smaz targets
+  very short strings, while replicated pages are ~2 KB of natural
+  language where zlib compresses ~2x better, fitting more text under
+  the MTU budget.
+- "reference": byte-compatible with the reference's rmp-serde 1.1.2
+  enum layout — a single-entry msgpack map {variant_name: [fields in
+  declaration order]} with serde-renamed variant names
+  (udp_packets.rs:27-104), f32 floats, bin-typed byte fields, structs
+  as positional arrays (PeerInfo, udp_packets.rs:107-118), and
+  per-field smaz compression of Insert (udp_service.rs:377-381). A
+  rebuilt node configured with this format can join a reference swarm.
 """
 
 from __future__ import annotations
@@ -24,9 +33,13 @@ import zlib
 import msgpack
 import numpy as np
 
+from dawnsearch_tpu.net import smaz
 from dawnsearch_tpu.ops.quant import from_i24_bytes, to_i24_bytes
 
 MAX_PACKET = 1472  # stay under typical MTU (udp_packets.rs:22-24)
+
+WIRE_DAWN = "dawn"
+WIRE_REFERENCE = "reference"
 
 # packet tags
 SEARCH, PAGE, INSERT, GET_EMBEDDING, EMBEDDING, ANNOUNCE, PEERS = range(1, 8)
@@ -184,8 +197,72 @@ _TYPES = {cls.TAG: cls
 Packet = Search | Page | Insert | GetEmbedding | Embedding | Announce | Peers
 
 
-def encode(packet: Packet) -> bytes:
-    data = msgpack.packb([packet.TAG, packet.fields()], use_bin_type=True)
+# --- reference wire format (rmp-serde 1.1.2 enum layout) --------------------
+
+# serde variant renames (udp_packets.rs:28,45,89,99; Insert/GetEmbedding/
+# Embedding keep their full names — no #[serde(rename)] on those variants)
+_REF_VARIANT = {Search: "s", Page: "pg", Insert: "Insert",
+                GetEmbedding: "GetEmbedding", Embedding: "Embedding",
+                Announce: "a", Peers: "p"}
+_REF_BY_NAME = {v: k for k, v in _REF_VARIANT.items()}
+
+
+def _ref_values(p: Packet) -> list:
+    """Field values in Rust declaration order (rmp-serde serializes
+    struct variants as positional arrays)."""
+    if isinstance(p, Search):
+        return [p.search_id, p.distance_limit, to_i24_bytes(p.embedding)]
+    if isinstance(p, Page):
+        return [p.search_id, float(p.distance), p.url, p.title, p.text,
+                p.instance_id, p.page_id]
+    if isinstance(p, Insert):
+        return [smaz.compress(p.url), smaz.compress(p.title),
+                smaz.compress(p.text)]
+    if isinstance(p, GetEmbedding):
+        return [p.search_id, p.page_id]
+    if isinstance(p, Embedding):
+        return [p.search_id, to_i24_bytes(p.embedding)]
+    if isinstance(p, Announce):
+        return [p.instance_id, p.accept_insert, p.pages_indexed]
+    if isinstance(p, Peers):
+        return [[[q.instance_id, q.addr, q.last_seen, q.accept_insert,
+                  q.pages_indexed] for q in p.peers]]
+    raise TypeError(type(p))
+
+
+def _ref_packet(name: str, v: list) -> Packet:
+    cls = _REF_BY_NAME.get(name)
+    if cls is None:
+        raise ValueError(f"unknown reference packet variant {name!r}")
+    if cls is Search:
+        return Search(v[0], v[1], from_i24_bytes(v[2]))
+    if cls is Page:
+        return Page(v[0], v[1], v[2], v[3], v[4], v[5], v[6])
+    if cls is Insert:
+        return Insert(*(smaz.decompress(x).decode("utf-8", "replace")
+                        for x in v[:3]))
+    if cls is GetEmbedding:
+        return GetEmbedding(v[0], v[1])
+    if cls is Embedding:
+        return Embedding(v[0], from_i24_bytes(v[1]))
+    if cls is Announce:
+        return Announce(v[0], v[1], v[2])
+    return Peers([PeerInfo(instance_id=w[0], addr=w[1], last_seen=w[2],
+                           accept_insert=w[3], pages_indexed=w[4])
+                  for w in v[0]])
+
+
+def _encode_unchecked(packet: Packet, wire_format: str) -> bytes:
+    if wire_format == WIRE_REFERENCE:
+        # f32 floats (0xca) and bin-typed bytes, exactly as rmp writes them
+        return msgpack.packb({_REF_VARIANT[type(packet)]:
+                              _ref_values(packet)},
+                             use_bin_type=True, use_single_float=True)
+    return msgpack.packb([packet.TAG, packet.fields()], use_bin_type=True)
+
+
+def encode(packet: Packet, wire_format: str = WIRE_DAWN) -> bytes:
+    data = _encode_unchecked(packet, wire_format)
     if len(data) > MAX_PACKET:
         raise ValueError(
             f"{type(packet).__name__} packet {len(data)} B exceeds "
@@ -194,11 +271,19 @@ def encode(packet: Packet) -> bytes:
 
 
 def decode(data: bytes) -> Packet:
-    tag, fields = msgpack.unpackb(data, raw=False)
-    cls = _TYPES.get(tag)
-    if cls is None:
-        raise ValueError(f"unknown packet tag {tag}")
-    return cls.from_fields(fields)
+    """Decode either wire format (sniffed from the frame shape: dawn is
+    a 2-array with an int tag, reference a 1-map with a str key)."""
+    obj = msgpack.unpackb(data, raw=False)
+    if isinstance(obj, dict) and len(obj) == 1:
+        ((name, values),) = obj.items()
+        if isinstance(name, str):
+            return _ref_packet(name, values)
+    if isinstance(obj, (list, tuple)) and len(obj) == 2:
+        tag, fields = obj
+        cls = _TYPES.get(tag)
+        if cls is not None:
+            return cls.from_fields(fields)
+    raise ValueError("unrecognized packet frame")
 
 
 def clip_page_text(url: str, title: str, text: str,
@@ -210,13 +295,14 @@ def clip_page_text(url: str, title: str, text: str,
 
 
 def clip_insert(url: str, title: str, text: str,
-                budget: int = MAX_PACKET) -> Insert:
+                budget: int = MAX_PACKET,
+                wire_format: str = WIRE_DAWN) -> Insert:
     """Insert packet that fits: shrink text until the compressed payload
     is under budget (reference smaz-compresses and hopes,
     udp_service.rs:377-388)."""
     while True:
         pkt = Insert(url, title, text)
-        if len(msgpack.packb([pkt.TAG, pkt.fields()])) <= budget:
+        if len(_encode_unchecked(pkt, wire_format)) <= budget:
             return pkt
         if not text:
             raise ValueError("url+title alone exceed packet budget")

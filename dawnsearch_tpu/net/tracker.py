@@ -35,9 +35,11 @@ def parse_addr(addr: str) -> tuple[str, int]:
 class Tracker:
     def __init__(self, listen: str = "0.0.0.0:7230",
                  external_address: str | None = None,
-                 fresh_s: float = PEER_FRESH_S):
+                 fresh_s: float = PEER_FRESH_S,
+                 wire_format: str = packets.WIRE_DAWN):
         self.listen = listen
         self.external_address = external_address
+        self.wire = wire_format
         self.fresh_s = fresh_s
         self.peers: dict[str, PeerInfo] = {}  # instance_id -> info
         self._lock = threading.Lock()
@@ -74,9 +76,9 @@ class Tracker:
                   pkt.instance_id, info.addr, pkt.pages_indexed, len(fresh))
         for i in range(0, len(fresh), PEERS_PER_PACKET):
             chunk = fresh[i: i + PEERS_PER_PACKET]
-            self._sock.sendto(packets.encode(Peers(chunk)), src)
+            self._sock.sendto(packets.encode(Peers(chunk), self.wire), src)
         if not fresh:  # always ack so nodes learn the tracker is alive
-            self._sock.sendto(packets.encode(Peers([])), src)
+            self._sock.sendto(packets.encode(Peers([]), self.wire), src)
 
     def _serve(self) -> None:
         while not self._stop.is_set():

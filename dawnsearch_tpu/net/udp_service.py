@@ -63,6 +63,7 @@ class UdpService:
         self.cfg = cfg
         self.instance_id = instance_id
         self.deadline_s = cfg.search_deadline_ms / 1000.0
+        self.wire = getattr(cfg, "wire_format", packets.WIRE_DAWN)
         self.trackers: list[tuple[str, int]] = [
             parse_addr(t) for t in cfg.trackers]
         self.peers: dict[str, PeerInfo] = {}  # instance_id -> info
@@ -121,7 +122,8 @@ class UdpService:
         st = _ActiveSearch()
         with self._active_lock:
             self._active[sid] = st
-        pkt = packets.encode(Search(sid, distance_limit, embedding))
+        pkt = packets.encode(Search(sid, distance_limit, embedding),
+                             self.wire)
         estimated = 0
         for p in peers:
             try:
@@ -143,7 +145,8 @@ class UdpService:
             return
         chosen = random.sample(acceptors,
                                min(INSERT_REPLICATION, len(acceptors)))
-        pkt = packets.encode(clip_insert(url, title, text))
+        pkt = packets.encode(
+            clip_insert(url, title, text, wire_format=self.wire), self.wire)
         for p in chosen:
             try:
                 self._sock.sendto(pkt, parse_addr(p.addr))
@@ -162,7 +165,8 @@ class UdpService:
         with self._emb_lock:
             self._emb_waiters[sid] = (event, slot)
         try:
-            self._sock.sendto(packets.encode(GetEmbedding(sid, page_id)),
+            self._sock.sendto(packets.encode(GetEmbedding(sid, page_id),
+                                             self.wire),
                               parse_addr(peer.addr))
             event.wait(self.deadline_s * 5)  # round-trip, not fan-out
             return slot[0] if slot else None
@@ -206,7 +210,8 @@ class UdpService:
                 emb = self.service.provider.embedding_for_page(pkt.page_id)
                 if emb is not None:
                     self._sock.sendto(
-                        packets.encode(Embedding(pkt.search_id, emb)), src)
+                        packets.encode(Embedding(pkt.search_id, emb),
+                                       self.wire), src)
         elif isinstance(pkt, Embedding):
             with self._emb_lock:
                 waiter = self._emb_waiters.get(pkt.search_id)
@@ -242,7 +247,7 @@ class UdpService:
                          clip_page_text(hit.url, hit.title, hit.text),
                          self.instance_id, hit.page_id)
             try:
-                self._sock.sendto(packets.encode(reply), src)
+                self._sock.sendto(packets.encode(reply, self.wire), src)
                 sent += 1
             except (OSError, ValueError):
                 pass
@@ -267,7 +272,8 @@ class UdpService:
             except Exception:
                 pass
         pkt = packets.encode(Announce(self.instance_id,
-                                      self.cfg.accept_insert, pages))
+                                      self.cfg.accept_insert, pages),
+                             self.wire)
         for addr in self.trackers:
             try:
                 self._sock.sendto(pkt, addr)

@@ -277,3 +277,54 @@ def test_tracker_chunks_large_peer_sets(tmp_path):
             s.close()
     finally:
         tracker.stop()
+
+
+def test_reference_wire_swarm(tmp_path):
+    # Full two-node + tracker flow over the rmp-serde-compatible wire
+    # format (wire_format="reference"): rendezvous, fan-out search,
+    # smaz-compressed insert replication — the byte layout a reference
+    # node speaks (udp_packets.rs:27-104).
+    tracker = Tracker("127.0.0.1:0", wire_format="reference").start()
+    a = DawnNode(node_cfg(tmp_path, "a", tracker.port,
+                          wire_format="reference"),
+                 encoder=HashEncoder()).start()
+    b = DawnNode(node_cfg(tmp_path, "b", tracker.port,
+                          wire_format="reference"),
+                 encoder=HashEncoder()).start()
+    try:
+        assert wait_until(lambda: a.udp.fresh_peers() and b.udp.fresh_peers())
+        a.service.insert_pages(
+            [(f"https://ref.example/{i}", f"Title {i}", f"text {i}")
+             for i in range(3)])
+        # replication (Insert packets are per-field smaz in this format)
+        assert wait_until(lambda: len(b.provider.store) == 3)
+        res = b.service.text_search("Title 1\ntext 1")
+        assert res.pages and res.pages[0].url == "https://ref.example/1"
+    finally:
+        a.stop()
+        b.stop()
+        tracker.stop()
+
+
+def test_mixed_wire_swarm(tmp_path):
+    # decode() sniffs both frames, so a dawn-format node and a
+    # reference-format node interoperate through one tracker.
+    tracker = Tracker("127.0.0.1:0").start()
+    a = DawnNode(node_cfg(tmp_path, "a", tracker.port,
+                          wire_format="reference", accept_insert=False),
+                 encoder=HashEncoder()).start()
+    b = DawnNode(node_cfg(tmp_path, "b", tracker.port,
+                          wire_format="dawn", accept_insert=False),
+                 encoder=HashEncoder()).start()
+    try:
+        assert wait_until(lambda: a.udp.fresh_peers() and b.udp.fresh_peers())
+        a.service.insert_pages([("https://mix.example/x", "Mixed", "wire")])
+        wait_until(
+            lambda: any(p.pages_indexed == 1 for p in b.udp.fresh_peers()))
+        res = b.service.text_search("Mixed\nwire")
+        assert res.pages and res.pages[0].url == "https://mix.example/x"
+        assert res.pages[0].instance_id == a.instance_id
+    finally:
+        a.stop()
+        b.stop()
+        tracker.stop()
