@@ -37,12 +37,48 @@ ERROR_BACKOFF_S = 60.0  # extraction_service.rs:54-57
 BETWEEN_FILES_S = 10.0  # extraction_service.rs:58-59
 
 
+class WarcLedger:
+    """Durable record of fully-ingested WARC files, so a restarted
+    indexer never re-reads one. The reference's random pick
+    (extraction_service.rs:52) happily re-downloads whole files and
+    relies on per-URL dedup; recording completed files skips the
+    download and the re-extraction outright."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._seen: set[str] = set()
+        self._lock = threading.Lock()
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                self._seen = {line.rstrip("\n") for line in f if line.strip()}
+
+    def seen(self, name: str) -> bool:
+        with self._lock:
+            return name in self._seen
+
+    def mark(self, name: str) -> None:
+        with self._lock:
+            if name in self._seen:
+                return
+            self._seen.add(name)
+            with open(self.path, "a", encoding="utf-8") as f:
+                f.write(name + "\n")
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._seen)
+
+
 class LocalWarcSource:
     """Round-robin over local WARC files (offline corpora, tests)."""
 
     def __init__(self, pattern: str, loop: bool = False):
         self.pattern = pattern
         self.loop = loop
+
+    @property
+    def one_shot(self) -> bool:
+        return not self.loop
 
     def files(self) -> Iterator[io.BufferedIOBase | str]:
         while True:
@@ -60,27 +96,39 @@ class CommonCrawlSource:
     (extraction_service.rs:41-52). Streams over HTTPS; in a zero-egress
     environment every fetch raises and the service backs off."""
 
-    def __init__(self, crawl: str = CRAWL):
+    BASE_URL = "https://data.commoncrawl.org"
+
+    def __init__(self, crawl: str = CRAWL, ledger=None,
+                 base_url: str | None = None):
         self.crawl = crawl
+        self.ledger = ledger  # skip fully-ingested WARCs at pick time
+        self.base_url = base_url or self.BASE_URL  # overridable for stubs
         self._paths: list[str] | None = None
 
     def _listing(self) -> list[str]:
         if self._paths is None:
             import urllib.request
-            url = (f"https://data.commoncrawl.org/crawl-data/"
-                   f"{self.crawl}/warc.paths.gz")
+            url = f"{self.base_url}/crawl-data/{self.crawl}/warc.paths.gz"
             with urllib.request.urlopen(url, timeout=60) as r:
                 self._paths = gzip.decompress(r.read()).decode().split()
             log.info("crawl %s: %d warc files", self.crawl, len(self._paths))
         return self._paths
 
-    def files(self) -> Iterator[io.BufferedIOBase]:
+    def files(self) -> Iterator[tuple[str, io.BufferedIOBase]]:
         import urllib.request
         while True:
-            path = random.choice(self._listing())  # random file (:52)
-            url = f"https://data.commoncrawl.org/{path}"
+            paths = self._listing()
+            if self.ledger is not None:
+                fresh = [p for p in paths if not self.ledger.seen(p)]
+                if not fresh:
+                    log.info("every WARC in %s already ingested", self.crawl)
+                    return
+                paths = fresh
+            path = random.choice(paths)  # random file (:52)
+            url = f"{self.base_url}/{path}"
             log.info("streaming %s", url)
-            yield io.BufferedReader(urllib.request.urlopen(url, timeout=120))
+            yield path, io.BufferedReader(
+                urllib.request.urlopen(url, timeout=120))
 
 
 class ExtractionService:
@@ -91,11 +139,20 @@ class ExtractionService:
     one page at a time)."""
 
     def __init__(self, service, source=None, batch_size: int = 64,
-                 max_pages: int | None = None):
+                 max_pages: int | None = None,
+                 ledger: WarcLedger | None = None,
+                 between_files_s: float | None = None):
         self.service = service
         self.source = source if source is not None else CommonCrawlSource()
         self.batch_size = batch_size
         self.max_pages = max_pages  # stop after N (tests); None = forever
+        self.ledger = ledger  # completed-WARC record (restart-safe ingest)
+        # pause between WARC files (extraction_service.rs:58-59); local
+        # sources don't need to be polite to a remote CDN
+        if between_files_s is None:
+            between_files_s = (0.0 if isinstance(source, LocalWarcSource)
+                               else BETWEEN_FILES_S)
+        self.between_files_s = between_files_s
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._insert_thread: threading.Thread | None = None
@@ -150,14 +207,28 @@ class ExtractionService:
                  len(batch), dt, len(batch) / max(dt, 1e-9),
                  self.pages_ingested)
 
+    @staticmethod
+    def _named(item) -> tuple[str, "io.BufferedIOBase | str"]:
+        """Sources yield paths, streams, or (name, stream) pairs."""
+        if isinstance(item, tuple):
+            return item
+        if isinstance(item, str):
+            return item, item
+        return getattr(item, "name", "") or repr(item), item
+
     def _run(self) -> None:
         while not self._stop.is_set():
             try:
                 progressed = False
-                for f in self.source.files():
+                for item in self.source.files():
+                    name, f = self._named(item)
+                    if self.ledger is not None and self.ledger.seen(name):
+                        log.debug("skipping already-ingested %s", name)
+                        continue
                     progressed = True
                     batch: list[ExtractedPage] = []
                     produced = 0
+                    drained = True  # stayed true -> whole file consumed
                     for page in iter_pages(f):
                         if self._stop.is_set():
                             return
@@ -169,21 +240,24 @@ class ExtractionService:
                         if self.max_pages is not None and \
                                 self.pages_ingested + produced + \
                                 len(batch) >= self.max_pages:
+                            drained = False  # stopped mid-file
                             break
                     if batch:
                         produced += len(batch)
                         self._batches.put(batch)
+                    if drained and self.ledger is not None and name:
+                        self.ledger.mark(name)
                     if self.max_pages is not None and \
                             self.pages_ingested + produced >= self.max_pages:
                         return
                     if self._stop.wait(
-                            0 if self.max_pages else BETWEEN_FILES_S):
+                            0 if self.max_pages else self.between_files_s):
                         return
                 if not progressed:
-                    return  # empty local source: nothing to do
-                if self.max_pages is None and isinstance(
-                        self.source, LocalWarcSource) and not self.source.loop:
-                    return  # local one-shot drained
+                    return  # source exhausted: nothing left to do
+                if self.max_pages is None and getattr(
+                        self.source, "one_shot", False):
+                    return  # finite source fully drained
             except Exception as e:
                 log.warning("ingestion error: %s; backing off %.0fs",
                             e, ERROR_BACKOFF_S)

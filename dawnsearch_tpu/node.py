@@ -157,12 +157,16 @@ class DawnNode:
             self.udp.start()
         if self.cfg.index_cc:
             from dawnsearch_tpu.ingest.extraction_service import (
-                ExtractionService, LocalWarcSource)
+                CommonCrawlSource, ExtractionService, LocalWarcSource,
+                WarcLedger)
+            ledger = WarcLedger(
+                os.path.join(self.cfg.data_dir, "ingested_warcs.txt"))
             source = (LocalWarcSource(self.cfg.warc_source)
-                      if self.cfg.warc_source else None)
+                      if self.cfg.warc_source
+                      else CommonCrawlSource(ledger=ledger))
             self.extractor = ExtractionService(
                 self.service, source=source,
-                batch_size=self.cfg.embed_batch_size)
+                batch_size=self.cfg.embed_batch_size, ledger=ledger)
             self.extractor.start()
         self._schedule_save()
         log.info("node %s up (web=%s udp=%s index_cc=%s, %d pages)",
