@@ -69,17 +69,29 @@ def bench_embed(reps: int = 2, n_chunks: int = 16, batch: int = 2048,
     return sps
 
 
-def build_1m_index(n_rows: int = 1_000_000, seed: int = 1):
+CORPUS_SEED = 1
+CORPUS_BLOCK = 131072
+
+
+def corpus_blocks(n_rows: int, seed: int = CORPUS_SEED,
+                  block: int = CORPUS_BLOCK):
+    """THE benchmark corpus: both the index build and the recall ground
+    truth stream these exact blocks, so they can never drift apart."""
+    rng = np.random.default_rng(seed)
+    for s0 in range(0, n_rows, block):
+        n = min(block, n_rows - s0)
+        v = rng.standard_normal((n, 384)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        yield s0, v
+
+
+def build_1m_index(n_rows: int = 1_000_000):
     from dawnsearch_tpu.index.flat import FlatIndex
 
-    rng = np.random.default_rng(seed)
     index = FlatIndex(dtype="i8", capacity=n_rows, max_capacity=n_rows,
                       segment=n_rows)
     t0 = time.perf_counter()
-    for s in range(0, n_rows, 131072):
-        n = min(131072, n_rows - s)
-        v = rng.standard_normal((n, 384)).astype(np.float32)
-        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    for _, v in corpus_blocks(n_rows):
         index.add(v)
     return index, time.perf_counter() - t0
 
@@ -138,15 +150,11 @@ def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
     # path's f32 re-rank (ground truth: exact numpy over the corpus)
     try:
         nq = min(128, batch)
-        rng_gt = np.random.default_rng(1)
         qs = np.asarray(q[:nq])
         best_d = np.full((nq, k), np.inf)
         best_i = np.full((nq, k), -1, np.int64)
         corpus = {}
-        for s0 in range(0, n_rows, add_bs_gt := 131072):
-            n = min(add_bs_gt, n_rows - s0)
-            v = rng_gt.standard_normal((n, 384)).astype(np.float32)
-            v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        for s0, v in corpus_blocks(n_rows):  # same stream as the build
             corpus[s0] = v
             dd = 1.0 - qs @ v.T
             idx = np.argpartition(dd, k, axis=1)[:, :k]
@@ -162,8 +170,9 @@ def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
         rr_hits = []
         for b in range(nq):
             cand = i_c[b][i_c[b] >= 0]
-            vecs = np.stack([corpus[(c // 131072) * 131072][c % 131072]
-                             for c in cand])
+            vecs = np.stack(
+                [corpus[(c // CORPUS_BLOCK) * CORPUS_BLOCK][c % CORPUS_BLOCK]
+                 for c in cand])
             exact = 1.0 - qs[b] @ vecs.T
             top = cand[np.argsort(exact)[:k]]
             rr_hits.append(len(set(top.tolist()) & set(best_i[b].tolist())) / k)
