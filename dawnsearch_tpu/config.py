@@ -38,7 +38,7 @@ class Config:
     # a 2048-char page (page_source.rs:113) is ~400-500 tokens.
     seq_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512)
     compute_dtype: str = "bf16"  # encoder matmul dtype: "bf16" | "f32"
-    attn_impl: str = "xla"  # "xla" | "fused" (Pallas kernel)
+    attn_impl: str = "fused"  # "fused" (packed Pallas) | "xla"
     pool_impl: str = "xla"  # "xla" | "fused"
     index_capacity: int = 1_000_000  # page cap (search_provider.rs:164-166)
     index_dtype: str = "i8"  # "f32" | "bf16" | "i8"

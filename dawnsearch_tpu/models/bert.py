@@ -47,9 +47,13 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     # compute dtype for matmuls; softmax/layernorm stay f32
     dtype: Any = jnp.float32
-    # "xla" = einsum attention; "fused" = Pallas kernel (scores stay in
-    # VMEM, see dawnsearch_tpu.ops.attention)
-    attn_impl: str = "xla"
+    # "fused" = packed Pallas kernel (heads stay on lanes, scores stay
+    # in VMEM — measured 19.2k vs 15.6k sentences/s end-to-end on v5e,
+    # doc/performance.md); "xla" = einsum attention fallback
+    attn_impl: str = "fused"
+    # "fused" = Pallas FFN+residual+LayerNorm single pass (ops/ffn.py);
+    # "xla" = two dense calls with an HBM intermediate
+    ffn_impl: str = "fused"
     # "xla" = jnp mean-pool; "fused" = Pallas pool+normalize kernel
     pool_impl: str = "xla"
 
@@ -89,6 +93,16 @@ def _attention(
     nh, hd = cfg.num_heads, cfg.head_dim
     qkv = _dense(x, layer["qkv_w"], layer["qkv_b"], cfg.dtype)  # (B,S,3H)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    if cfg.attn_impl == "fused" and 128 % hd == 0 and H % 128 == 0:
+        # packed kernel: heads stay on the feature axis — no
+        # (B,S,nh,hd)->(B,nh,S,hd) relayouts in or out (4 per layer on
+        # the einsum path), scores never reach HBM, and every matmul is
+        # a dense 128-lane MXU op (ops/attention.py _packed_kernel)
+        from dawnsearch_tpu.ops.attention import fused_attention_packed
+        bias2d = None if mask_bias is None else mask_bias[:, 0, 0, :]
+        ctx = fused_attention_packed(q, k, v, bias2d, nh=nh)
+        return _dense(ctx.astype(cfg.dtype), layer["attn_out_w"],
+                      layer["attn_out_b"], cfg.dtype)
     q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
@@ -126,6 +140,18 @@ def _layer_fwd(
     attn = _attention(x, layer, cfg, mask_bias)
     x = _layer_norm(x + attn, layer["attn_ln_scale"], layer["attn_ln_bias"],
                     cfg.layer_norm_eps)
+    if cfg.ffn_impl == "fused":
+        # one Pallas pass: both matmuls + gelu + residual + LayerNorm,
+        # intermediate stays in VMEM (ops/ffn.py; XLA round-trips the
+        # (B*S, I) tensor through HBM)
+        from dawnsearch_tpu.ops.ffn import fused_ffn
+        B, S, H = x.shape
+        y = fused_ffn(x.reshape(B * S, H).astype(cfg.dtype),
+                      layer["ffn_in_w"], layer["ffn_in_b"],
+                      layer["ffn_out_w"], layer["ffn_out_b"],
+                      layer["ffn_ln_scale"], layer["ffn_ln_bias"],
+                      eps=cfg.layer_norm_eps)
+        return y.reshape(B, S, H)
     inter = _dense(x, layer["ffn_in_w"], layer["ffn_in_b"], cfg.dtype)
     inter = jax.nn.gelu(inter.astype(jnp.float32), approximate=False).astype(cfg.dtype)
     out = _dense(inter, layer["ffn_out_w"], layer["ffn_out_b"], cfg.dtype)
