@@ -43,6 +43,10 @@ class Config:
     index_capacity: int = 1_000_000  # page cap (search_provider.rs:164-166)
     index_dtype: str = "i8"  # "f32" | "bf16" | "i8"
     index_kind: str = "flat"  # "flat" | "ivf" | "sharded" (device-parallel)
+    # "host" re-ranks quantized candidates with the store's f32 rows;
+    # "device" keeps an f16 shadow buffer on the chip and re-ranks inside
+    # the search program (+2 bytes/dim HBM, no host round-trip)
+    index_rerank: str = "host"
     ivf_ncentroids: int = 256
     ivf_nprobe: int = 16
     # copies per vector (reference inserts into the 3 nearest buckets,

@@ -16,6 +16,15 @@ replacement for USearch at small/medium shard sizes
   at 1M+ rows and large query batches.
 - Distance convention: "ip" = 1 - <q, x>, ascending-better, identical
   ordering to USearch MetricKind::IP on normalized vectors.
+- Optional DEVICE-SIDE exact re-rank (`exact="f16"`): a parallel f16
+  shadow buffer; search fetches k+rerank_extra candidates with the fast
+  quantized scan, gathers their f16 rows and re-scores them at f32
+  accumulation INSIDE the same device program, so the serving path gets
+  re-ranked recall without the host round-trip (SQLite fetch + numpy
+  einsum) that dominates batched serving cost (doc/performance.md
+  "re-rank cost"). f16 keeps 11 mantissa bits (~2^-12 relative error,
+  well under the i8 storage error the re-rank corrects); memory cost is
+  2 bytes/dim on top of the 1 byte/dim codes.
 """
 
 from __future__ import annotations
@@ -163,6 +172,32 @@ _search = functools.partial(
     jax.jit, static_argnames=("k", "chunk", "approx"))(search_kernel)
 
 
+def rerank_kernel(exact: jax.Array, q: jax.Array, dists: jax.Array,
+                  ids: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact re-rank of scan candidates from the f16 shadow buffer.
+
+    Gathers the (B, kf) candidate rows, re-scores at f32 accumulation,
+    and returns the top-k by exact distance. Invalid candidates
+    (id -1 / +inf) stay masked. The gather is tiny next to the scan
+    (B*kf rows vs N), so this rides in the same device program for
+    ~free."""
+    cand = exact[jnp.maximum(ids, 0)].astype(jnp.float32)  # (B, kf, D)
+    exact_d = 1.0 - jnp.einsum("bd,bkd->bk", q.astype(jnp.float32), cand)
+    valid = (ids >= 0) & jnp.isfinite(dists)
+    d = jnp.where(valid, exact_d, jnp.inf)
+    neg, sel = jax.lax.top_k(-d, min(k, d.shape[1]))
+    out_d = -neg
+    out_i = jnp.where(jnp.isfinite(out_d),
+                      jnp.take_along_axis(ids, sel, axis=1), -1)
+    return out_d, out_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "kf", "chunk", "approx"))
+def _search_rerank(codes, scales, exact, q, count, k, kf, chunk, approx):
+    d, i = search_kernel(codes, scales, q, count, kf, chunk, approx=approx)
+    return rerank_kernel(exact, q, d, i, k)
+
+
 class FlatIndex:
     """Append-only exact index on one device (sharding lives in
     dawnsearch_tpu.parallel.sharded_index)."""
@@ -176,13 +211,21 @@ class FlatIndex:
         segment: int = DEFAULT_SEGMENT,
         chunk: int = DEFAULT_CHUNK,
         selector: str = "auto",
+        exact: str | None = None,
+        rerank_extra: int = 30,
     ):
         if dtype not in ("f32", "bf16", "i8"):
             raise ValueError(f"unsupported dtype {dtype}")
         if selector not in ("auto", "exact", "approx"):
             raise ValueError(f"unsupported selector {selector}")
+        if exact not in (None, "f16"):
+            raise ValueError(f"unsupported exact dtype {exact}")
+        if exact and dtype == "f32":
+            raise ValueError("exact shadow buffer is redundant for f32 storage")
         self.dim = dim
         self.dtype = dtype
+        self.exact = exact
+        self.rerank_extra = rerank_extra
         self.segment = segment
         self.chunk = chunk
         # "auto": exact top_k for f32 (the oracle), approx_min_k for
@@ -196,15 +239,25 @@ class FlatIndex:
         self._codes = jnp.zeros((self.capacity, dim), jdt)
         self._scales = (jnp.ones((self.capacity,), jnp.float32)
                         if dtype == "i8" else None)
+        self._exact = (jnp.zeros((self.capacity, dim), jnp.float16)
+                       if exact else None)
 
     def __len__(self) -> int:
         return self.count
+
+    @property
+    def device_rerank(self) -> bool:
+        """True when search() already returns exactly re-ranked results
+        (callers can skip their own host-side f32 re-rank)."""
+        return self._exact is not None
 
     @property
     def nbytes(self) -> int:
         n = self._codes.size * self._codes.dtype.itemsize
         if self._scales is not None:
             n += self._scales.size * 4
+        if self._exact is not None:
+            n += self._exact.size * 2
         return n
 
     def _grow_to(self, needed: int) -> None:
@@ -221,6 +274,8 @@ class FlatIndex:
         if self._scales is not None:
             self._scales = jnp.pad(self._scales, ((0, pad),),
                                    constant_values=1.0)
+        if self._exact is not None:
+            self._exact = jnp.pad(self._exact, ((0, pad), (0, 0)))
         self.capacity = new_cap
 
     def add(self, vectors: np.ndarray | jax.Array) -> np.ndarray:
@@ -253,6 +308,16 @@ class FlatIndex:
             rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
             jdt = jnp.float32 if self.dtype == "f32" else jnp.bfloat16
             self._codes = _write_rows(self._codes, rows.astype(jdt), start)
+        if self._exact is not None:
+            # host inputs convert on host (f16 halves the extra transfer
+            # vs f32); device inputs cast on device.
+            if isinstance(vectors, np.ndarray):
+                f16 = jnp.asarray(
+                    np.atleast_2d(vectors).astype(np.float16))
+            else:
+                f16 = jnp.atleast_2d(
+                    jnp.asarray(vectors)).astype(jnp.float16)
+            self._exact = _write_rows(self._exact, f16, start)
         ids = np.arange(self.count, self.count + n, dtype=np.int64)
         self.count += n
         return ids
@@ -267,9 +332,15 @@ class FlatIndex:
         k_eff = min(k, self.capacity)
         approx = (self.selector == "approx"
                   or (self.selector == "auto" and self.dtype != "f32"))
-        d, i = _search(self._codes, self._scales, q,
-                       jnp.int32(self.count), k_eff, self.chunk,
-                       approx=approx)
+        if self._exact is not None:
+            kf = min(k_eff + self.rerank_extra, self.capacity)
+            d, i = _search_rerank(self._codes, self._scales, self._exact,
+                                  q, jnp.int32(self.count), k_eff, kf,
+                                  self.chunk, approx)
+        else:
+            d, i = _search(self._codes, self._scales, q,
+                           jnp.int32(self.count), k_eff, self.chunk,
+                           approx=approx)
         d, i = np.asarray(d), np.asarray(i)
         if k_eff < k:  # pad to requested k
             d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)
@@ -279,7 +350,10 @@ class FlatIndex:
         return d, i
 
     def reconstruct(self, row_id: int) -> np.ndarray:
-        """Approximate stored vector (dequantized for i8)."""
+        """Approximate stored vector (f16 shadow if kept, else
+        dequantized codes)."""
+        if self._exact is not None:
+            return np.asarray(self._exact[row_id], np.float32)
         row = np.asarray(self._codes[row_id]).astype(np.float32)
         if self._scales is not None:
             row *= float(self._scales[row_id])
@@ -295,6 +369,8 @@ class FlatIndex:
             codes=np.asarray(self._codes),
             scales=(np.asarray(self._scales)
                     if self._scales is not None else np.empty(0)),
+            exact=(np.asarray(self._exact)
+                   if self._exact is not None else np.empty(0)),
             count=self.count,
             dtype=self.dtype,
             dim=self.dim,
@@ -311,11 +387,17 @@ class FlatIndex:
             count = int(z["count"])
             codes = z["codes"]
             scales = z["scales"]
+            # "exact" key absent in round-1 snapshots — stay loadable
+            exact = z["exact"] if "exact" in z.files else np.empty(0)
+        has_exact = exact.size > 0
+        kwargs.setdefault("exact", "f16" if has_exact else None)
         idx = cls(dim=dim, dtype=dtype, capacity=codes.shape[0], **kwargs)
         jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[dtype]
         idx._codes = jnp.asarray(codes, jdt)
         if dtype == "i8":
             idx._scales = jnp.asarray(scales, jnp.float32)
+        if has_exact:
+            idx._exact = jnp.asarray(exact, jnp.float16)
         idx.count = count
         idx.capacity = codes.shape[0]
         return idx

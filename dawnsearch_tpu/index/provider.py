@@ -219,7 +219,12 @@ class SearchProvider:
         (search_provider.rs:202-248, batched)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         quantized = getattr(self.index, "dtype", "f32") != "f32"
-        k_fetch = k + self.rerank if (quantized and self.rerank) else k
+        # Indexes with a device-side exact re-rank (FlatIndex exact="f16")
+        # come back already re-ranked — the host f32 pass would only redo
+        # the same ordering at ~60 ms/batch (doc/performance.md).
+        on_device = getattr(self.index, "device_rerank", False)
+        k_fetch = (k + self.rerank
+                   if (quantized and self.rerank and not on_device) else k)
         t0 = time.perf_counter()
         dists, ids = self.index.search(queries, k_fetch)
         METRICS.observe("index_search", time.perf_counter() - t0)

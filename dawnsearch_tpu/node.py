@@ -76,8 +76,11 @@ def make_index_factory(cfg: Config, dim: int = 384):
     def factory():
         if cfg.index_kind == "flat":
             from dawnsearch_tpu.index.flat import FlatIndex
+            exact = ("f16" if (cfg.index_rerank == "device"
+                               and cfg.index_dtype != "f32") else None)
             return FlatIndex(dim=dim, dtype=cfg.index_dtype,
-                             max_capacity=cfg.index_capacity)
+                             max_capacity=cfg.index_capacity,
+                             exact=exact)
         if cfg.index_kind == "ivf":
             from dawnsearch_tpu.index.auto import AutoIndex
             return AutoIndex(dim=dim, dtype=cfg.index_dtype,
@@ -95,7 +98,11 @@ def make_index_factory(cfg: Config, dim: int = 384):
             mesh = make_mesh({"shard": n}, devices=jax.devices()[:n])
             return ShardedFlatIndex(mesh=mesh, dim=dim,
                                     dtype=cfg.index_dtype,
-                                    max_capacity=cfg.index_capacity)
+                                    max_capacity=cfg.index_capacity,
+                                    exact=("f16" if (
+                                        cfg.index_rerank == "device"
+                                        and cfg.index_dtype != "f32")
+                                        else None))
         raise ValueError(f"unknown index_kind {cfg.index_kind}")
     return factory
 

@@ -10,8 +10,14 @@ riding ICI — one XLA program, no host round-trips.
 Layout:
 - codes  (S, cap, D)  P("shard", None, None)   vector data (f32/bf16/i8)
 - scales (S, cap)     P("shard", None)         i8 per-row scales
+- exact  (S, cap, D)  P("shard", None, None)   optional f16 shadow (re-rank)
 - ids    (S, cap)     P("shard", None)         user ids, gathered at search
 - counts (S,)         P("shard")               valid rows per shard
+
+With `exact="f16"`, each shard re-ranks its local candidates from its
+own f16 shadow BEFORE the gather (index/flat.py rerank_kernel), so the
+merged global top-k is exact-ordered and only k rows per shard ever
+cross ICI — the re-rank adds no collective traffic.
 
 User ids live device-side so results need no host-side remapping and
 stay stable across capacity growth. Inserts are host-coordinated,
@@ -28,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dawnsearch_tpu.index.flat import DEFAULT_CHUNK, DEFAULT_SEGMENT, search_kernel
+from dawnsearch_tpu.index.flat import (
+    DEFAULT_CHUNK, DEFAULT_SEGMENT, rerank_kernel, search_kernel)
 from dawnsearch_tpu.ops.vector import EM_LEN
 from dawnsearch_tpu.parallel.mesh import make_mesh
 
@@ -41,24 +48,30 @@ def _round_up(n: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "chunk", "mesh", "has_scales", "approx", "dp_axis"))
-def _sharded_search(codes, scales, ids, counts, queries, *, k: int,
-                    chunk: int, mesh: Mesh, has_scales: bool,
-                    approx: bool = False, dp_axis: str | None = None):
+    static_argnames=("k", "kf", "chunk", "mesh", "has_scales", "has_exact",
+                     "approx", "dp_axis"))
+def _sharded_search(codes, scales, exact, ids, counts, queries, *, k: int,
+                    kf: int, chunk: int, mesh: Mesh, has_scales: bool,
+                    has_exact: bool, approx: bool = False,
+                    dp_axis: str | None = None):
     """Queries -> merged (distances, user ids).
 
     Rows shard over AXIS ("shard"); the merge is lax.top_k over an
     all_gather along it (ICI). With `dp_axis` set (a second mesh axis),
     the query batch ALSO shards over that axis — each dp group scans
     the same row shards for its slice of queries, multiplying QPS by
-    the dp degree. Without it queries are replicated."""
+    the dp degree. Without it queries are replicated. With `has_exact`,
+    each shard scans for kf >= k candidates and re-ranks them locally
+    from its f16 shadow before gathering only k."""
 
-    def local(codes_blk, scales_blk, ids_blk, counts_blk, q):
+    def local(codes_blk, scales_blk, exact_blk, ids_blk, counts_blk, q):
         cap = codes_blk.shape[1]
         B = q.shape[0]
         sc = scales_blk[0] if has_scales else None
-        d, i = search_kernel(codes_blk[0], sc, q, counts_blk[0], k, chunk,
+        d, i = search_kernel(codes_blk[0], sc, q, counts_blk[0], kf, chunk,
                              approx=approx)
+        if has_exact:
+            d, i = rerank_kernel(exact_blk[0], q, d, i, k)
         safe = jnp.clip(i, 0, cap - 1)
         uid = jnp.where(i >= 0, ids_blk[0][safe], -1)
         all_d = jax.lax.all_gather(d, AXIS)  # (S, B, k)
@@ -70,23 +83,27 @@ def _sharded_search(codes, scales, ids, counts, queries, *, k: int,
         return -neg, jnp.take_along_axis(all_u, sel, axis=1)
 
     scales_spec = P(AXIS, None) if has_scales else P()
+    exact_spec = P(AXIS, None, None) if has_exact else P()
     q_spec = P(dp_axis, None) if dp_axis else P(None, None)
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(AXIS, None, None), scales_spec, P(AXIS, None), P(AXIS),
-                  q_spec),
+        in_specs=(P(AXIS, None, None), scales_spec, exact_spec,
+                  P(AXIS, None), P(AXIS), q_spec),
         out_specs=(q_spec, q_spec),
         check_vma=False,
-    )(codes, scales, ids, counts, queries)
+    )(codes, scales, exact, ids, counts, queries)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "has_scales"),
-                   donate_argnums=(0, 1, 2))
-def _sharded_write(codes, scales, ids, row_blocks, scale_blocks, id_blocks,
-                   starts, *, mesh: Mesh, has_scales: bool):
+@functools.partial(jax.jit, static_argnames=("mesh", "has_scales",
+                                             "has_exact"),
+                   donate_argnums=(0, 1, 2, 3))
+def _sharded_write(codes, scales, exact, ids, row_blocks, scale_blocks,
+                   exact_blocks, id_blocks, starts, *, mesh: Mesh,
+                   has_scales: bool, has_exact: bool):
     """Each shard writes its padded block at its own row offset."""
 
-    def local(codes_blk, scales_blk, ids_blk, rows, scs, uids, start):
+    def local(codes_blk, scales_blk, exact_blk, ids_blk, rows, scs, exs,
+              uids, start):
         s = start[0]
         codes_out = jax.lax.dynamic_update_slice(codes_blk, rows, (0, s, 0))
         ids_out = jax.lax.dynamic_update_slice(ids_blk, uids, (0, s))
@@ -94,16 +111,24 @@ def _sharded_write(codes, scales, ids, row_blocks, scale_blocks, id_blocks,
             scales_out = jax.lax.dynamic_update_slice(scales_blk, scs, (0, s))
         else:
             scales_out = scales_blk
-        return codes_out, scales_out, ids_out
+        if has_exact:
+            exact_out = jax.lax.dynamic_update_slice(exact_blk, exs, (0, s, 0))
+        else:
+            exact_out = exact_blk
+        return codes_out, scales_out, exact_out, ids_out
 
     scales_spec = P(AXIS, None) if has_scales else P()
+    exact_spec = P(AXIS, None, None) if has_exact else P()
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(AXIS, None, None), scales_spec, P(AXIS, None),
-                  P(AXIS, None, None), scales_spec, P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None, None), scales_spec, P(AXIS, None)),
+        in_specs=(P(AXIS, None, None), scales_spec, exact_spec,
+                  P(AXIS, None), P(AXIS, None, None), scales_spec,
+                  exact_spec, P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None, None), scales_spec, exact_spec,
+                   P(AXIS, None)),
         check_vma=False,
-    )(codes, scales, ids, row_blocks, scale_blocks, id_blocks, starts)
+    )(codes, scales, exact, ids, row_blocks, scale_blocks, exact_blocks,
+      id_blocks, starts)
 
 
 class ShardedFlatIndex:
@@ -120,9 +145,15 @@ class ShardedFlatIndex:
         chunk: int = DEFAULT_CHUNK,
         max_capacity: int | None = None,
         dp_axis: str | None = None,
+        exact: str | None = None,
+        rerank_extra: int = 30,
     ):
         if dtype not in ("f32", "bf16", "i8"):
             raise ValueError(f"unsupported dtype {dtype}")
+        if exact not in (None, "f16"):
+            raise ValueError(f"unsupported exact dtype {exact}")
+        if exact and dtype == "f32":
+            raise ValueError("exact shadow buffer is redundant for f32 storage")
         self.mesh = mesh if mesh is not None else make_mesh()
         if AXIS not in self.mesh.shape:
             raise ValueError(f'mesh must have a "{AXIS}" axis')
@@ -148,8 +179,17 @@ class ShardedFlatIndex:
         self._scales = (jax.device_put(jnp.ones((S, cap), jnp.float32),
                                        self._shard2)
                         if dtype == "i8" else jnp.zeros((), jnp.float32))
+        self.exact = exact
+        self.rerank_extra = rerank_extra
+        self._exact = (jax.device_put(jnp.zeros((S, cap, dim), jnp.float16),
+                                      self._shard3)
+                       if exact else jnp.zeros((), jnp.float16))
         self._ids = jax.device_put(
             jnp.full((S, cap), -1, jnp.int32), self._shard2)
+
+    @property
+    def device_rerank(self) -> bool:
+        return self.exact is not None
 
     @property
     def _shard3(self) -> NamedSharding:
@@ -175,6 +215,8 @@ class ShardedFlatIndex:
         n = self._codes.size * self._codes.dtype.itemsize + self._ids.size * 4
         if self.dtype == "i8":
             n += self._scales.size * 4
+        if self.exact:
+            n += self._exact.size * 2
         return n
 
     def _grow(self, needed_per_shard: int) -> None:
@@ -194,6 +236,10 @@ class ShardedFlatIndex:
             self._scales = jax.device_put(
                 jnp.pad(self._scales, ((0, 0), (0, pad)), constant_values=1.0),
                 self._shard2)
+        if self.exact:
+            self._exact = jax.device_put(
+                jnp.pad(self._exact, ((0, 0), (0, pad), (0, 0))),
+                self._shard3)
         self._ids = jax.device_put(
             jnp.pad(self._ids, ((0, 0), (0, pad)), constant_values=-1),
             self._shard2)
@@ -241,6 +287,8 @@ class ShardedFlatIndex:
             data = np.clip(np.round(rows / scs[:, None]), -127, 127)
         row_blocks = np.zeros((S, max_rows, D), np.float32)
         scale_blocks = np.ones((S, max_rows), np.float32)
+        exact_blocks = (np.zeros((S, max_rows, D), np.float16)
+                        if self.exact else None)
         id_blocks = np.full((S, max_rows), -1, np.int32)
         starts = np.zeros((S,), np.int32)
         for s in range(S):
@@ -252,17 +300,22 @@ class ShardedFlatIndex:
                 id_blocks[s, : len(sel)] = ids[sel]
                 if self.dtype == "i8":
                     scale_blocks[s, : len(sel)] = scs[sel]
+                if exact_blocks is not None:
+                    exact_blocks[s, : len(sel)] = rows[sel].astype(np.float16)
 
         jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[self.dtype]
         has_scales = self.dtype == "i8"
-        self._codes, self._scales, self._ids = _sharded_write(
-            self._codes, self._scales, self._ids,
+        self._codes, self._scales, self._exact, self._ids = _sharded_write(
+            self._codes, self._scales, self._exact, self._ids,
             jax.device_put(jnp.asarray(row_blocks, jdt), self._shard3),
             jax.device_put(jnp.asarray(scale_blocks), self._shard2)
             if has_scales else jnp.zeros((), jnp.float32),
+            jax.device_put(jnp.asarray(exact_blocks), self._shard3)
+            if exact_blocks is not None else jnp.zeros((), jnp.float16),
             jax.device_put(jnp.asarray(id_blocks), self._shard2),
             jax.device_put(jnp.asarray(starts), self._shard1),
             mesh=self.mesh, has_scales=has_scales,
+            has_exact=self.exact is not None,
         )
         for s in range(S):
             self._counts[s] += len(per_shard[s])
@@ -282,11 +335,14 @@ class ShardedFlatIndex:
             padded_b = -(-q.shape[0] // dp) * dp
             if padded_b != q.shape[0]:
                 q = jnp.pad(q, ((0, padded_b - q.shape[0]), (0, 0)))
+        kf = (min(k_local + self.rerank_extra, self.cap_per_shard)
+              if self.exact else k_local)
         d, u = _sharded_search(
-            self._codes, self._scales, self._ids,
+            self._codes, self._scales, self._exact, self._ids,
             jnp.asarray(self._counts, jnp.int32), q,
-            k=k_local, chunk=self.chunk, mesh=self.mesh,
+            k=k_local, kf=kf, chunk=self.chunk, mesh=self.mesh,
             has_scales=self.dtype == "i8",
+            has_exact=self.exact is not None,
             approx=self.dtype != "f32", dp_axis=self.dp_axis)
         d, u = np.asarray(d)[:B], np.asarray(u)[:B]
         if k_local < k:
@@ -308,6 +364,7 @@ class ShardedFlatIndex:
             codes=np.asarray(self._codes),
             scales=(np.asarray(self._scales) if self.dtype == "i8"
                     else np.empty(0)),
+            exact=(np.asarray(self._exact) if self.exact else np.empty(0)),
             ids=np.asarray(self._ids),
             counts=self._counts,
             next_id=self._next_id,
@@ -326,12 +383,15 @@ class ShardedFlatIndex:
         with np.load(path, allow_pickle=False) as z:
             codes = z["codes"]  # (S0, cap, D)
             scales = z["scales"]
+            exact = z["exact"] if "exact" in z.files else np.empty(0)
             ids = z["ids"]
             counts = z["counts"].astype(np.int64)
             dtype = str(z["dtype"])
             next_id = int(z["next_id"])
+        has_exact = exact.size > 0
         S0, cap0, dim = codes.shape
         kwargs.setdefault("segment", cap0)  # preserve saved capacity
+        kwargs.setdefault("exact", "f16" if has_exact else None)
         idx = cls(mesh=mesh, dim=dim, dtype=dtype,
                   capacity_per_shard=cap0, **kwargs)
         if idx.n_shards == S0:
@@ -340,6 +400,9 @@ class ShardedFlatIndex:
             if dtype == "i8":
                 idx._scales = jax.device_put(jnp.asarray(scales),
                                              idx._shard2)
+            if has_exact and idx.exact:
+                idx._exact = jax.device_put(
+                    jnp.asarray(exact, jnp.float16), idx._shard3)
             idx._ids = jax.device_put(jnp.asarray(ids, jnp.int32),
                                       idx._shard2)
             idx._counts = counts
@@ -348,8 +411,9 @@ class ShardedFlatIndex:
             for s in range(S0):
                 n = int(counts[s])
                 all_ids.append(ids[s, :n].astype(np.int64))
-                rows = codes[s, :n].astype(np.float32)
-                if dtype == "i8":
+                rows = (exact[s, :n].astype(np.float32)
+                        if has_exact else codes[s, :n].astype(np.float32))
+                if dtype == "i8" and not has_exact:
                     rows = rows * scales[s, :n, None]
                 all_rows.append(rows)
             if all_rows:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dawnsearch_tpu.index.flat import FlatIndex, search_kernel
+from dawnsearch_tpu.index.flat import FlatIndex, rerank_kernel, search_kernel
 from dawnsearch_tpu.models.bert import encode_batch
 from dawnsearch_tpu.utils.logging import METRICS
 
@@ -28,13 +28,17 @@ from dawnsearch_tpu.utils.logging import METRICS
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mask_padding", "include_padding", "k", "chunk",
-                     "approx"))
+                     "approx", "kf"))
 def _fused_program(params, input_ids, mask, codes, scales, count, *,
-                   cfg, mask_padding, include_padding, k, chunk, approx):
+                   cfg, mask_padding, include_padding, k, chunk, approx,
+                   kf=None, exact=None):
     emb = encode_batch(params, input_ids, mask, cfg=cfg,
                        mask_padding=mask_padding,
                        include_padding=include_padding)
-    d, i = search_kernel(codes, scales, emb, count, k, chunk, approx=approx)
+    d, i = search_kernel(codes, scales, emb, count, kf or k, chunk,
+                         approx=approx)
+    if exact is not None:  # device-side f16 re-rank, same program
+        d, i = rerank_kernel(exact, emb, d, i, k)
     return emb, d, i
 
 
@@ -59,13 +63,16 @@ class FusedQueryPath:
         k_eff = min(k, ix.capacity)
         approx = (ix.selector == "approx"
                   or (ix.selector == "auto" and ix.dtype != "f32"))
+        kf = (min(k_eff + ix.rerank_extra, ix.capacity)
+              if ix.device_rerank else None)
         with METRICS.timer("fused_query"):
             emb, d, i = _fused_program(
                 enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
                 ix._codes, ix._scales, jnp.int32(ix.count),
                 cfg=enc.cfg, mask_padding=enc.mask_padding,
                 include_padding=enc.include_padding_in_pool,
-                k=k_eff, chunk=ix.chunk, approx=approx)
+                k=k_eff, chunk=ix.chunk, approx=approx,
+                kf=kf, exact=ix._exact)
             emb, d, i = np.asarray(emb), np.asarray(d), np.asarray(i)
         n = len(texts)
         if k_eff < k:
@@ -93,6 +100,27 @@ def _fused_ingest_program(params, input_ids, mask, codes, scales, count, *,
     codes = jax.lax.dynamic_update_slice(codes, qcodes, (count, 0))
     scales = jax.lax.dynamic_update_slice(scales, qscales, (count,))
     return codes, scales, emb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mask_padding", "include_padding"),
+    donate_argnums=(3, 4, 5))
+def _fused_ingest_program_exact(params, input_ids, mask, codes, scales,
+                                exact, count, *, cfg, mask_padding,
+                                include_padding):
+    """_fused_ingest_program + the f16 shadow write (device re-rank)."""
+    from dawnsearch_tpu.index.flat import _quantize_rows_i8
+
+    emb = encode_batch(params, input_ids, mask, cfg=cfg,
+                       mask_padding=mask_padding,
+                       include_padding=include_padding)
+    qcodes, qscales = _quantize_rows_i8(emb)
+    codes = jax.lax.dynamic_update_slice(codes, qcodes, (count, 0))
+    scales = jax.lax.dynamic_update_slice(scales, qscales, (count,))
+    exact = jax.lax.dynamic_update_slice(
+        exact, emb.astype(jnp.float16), (count, 0))
+    return codes, scales, exact, emb
 
 
 class FusedIngestPath:
@@ -130,11 +158,20 @@ class FusedIngestPath:
         if ix.count + bsz > ix.capacity:  # reserve scratch rows too
             ix._grow_to(ix.count + bsz)
         with METRICS.timer("fused_ingest"):
-            ix._codes, ix._scales, emb = _fused_ingest_program(
-                enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
-                ix._codes, ix._scales, jnp.int32(ix.count),
-                cfg=enc.cfg, mask_padding=enc.mask_padding,
-                include_padding=enc.include_padding_in_pool)
+            if ix.device_rerank:
+                ix._codes, ix._scales, ix._exact, emb = \
+                    _fused_ingest_program_exact(
+                        enc.params, jnp.asarray(input_ids),
+                        jnp.asarray(mask), ix._codes, ix._scales,
+                        ix._exact, jnp.int32(ix.count),
+                        cfg=enc.cfg, mask_padding=enc.mask_padding,
+                        include_padding=enc.include_padding_in_pool)
+            else:
+                ix._codes, ix._scales, emb = _fused_ingest_program(
+                    enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
+                    ix._codes, ix._scales, jnp.int32(ix.count),
+                    cfg=enc.cfg, mask_padding=enc.mask_padding,
+                    include_padding=enc.include_padding_in_pool)
             emb = np.asarray(emb)
         ix.count += n
         return emb[:n]

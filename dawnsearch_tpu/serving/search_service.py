@@ -120,7 +120,12 @@ class SearchService:
             texts = [payloads[i][0] for i in idxs]
             prov = self.provider
             quantized = getattr(prov.index, "dtype", "f32") != "f32"
-            k_fetch = k + prov.rerank if (quantized and prov.rerank) else k
+            # device-rerank indexes come back pre-ranked (fused program
+            # runs the f16 re-rank itself)
+            on_device = getattr(prov.index, "device_rerank", False)
+            k_fetch = (k + prov.rerank
+                       if (quantized and prov.rerank and not on_device)
+                       else k)
             with self._lock:
                 embs, d, row_ids = self._fused.search_texts(texts, k_fetch)
                 if k_fetch > k:  # exact f32 re-rank (same as split path)

@@ -129,3 +129,92 @@ def test_reconstruct(unit_vectors):
     r = idx.reconstruct(3)
     cos = float(r @ x[3] / np.linalg.norm(r))
     assert cos > 0.999
+
+
+# -- device-side f16 re-rank (exact="f16") ------------------------------
+
+
+def test_device_rerank_exact_order(unit_vectors):
+    """i8 scan + on-device f16 re-rank must return the exact-f32 order
+    (f16 error ~2^-12 is far below neighbor margins on random data)."""
+    x = unit_vectors(3000)
+    q = unit_vectors(16)
+    idx = FlatIndex(dtype="i8", capacity=4096, exact="f16")
+    assert idx.device_rerank
+    idx.add(x)
+    d, i = idx.search(q, 10)
+    bd, bi = brute_force(q, x, 10)
+    hits = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, bi)])
+    assert hits >= 0.99
+    np.testing.assert_allclose(d, bd, atol=2e-3)
+    # candidate ORDER is exact: distances ascend
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+
+
+def test_device_rerank_beats_raw_i8(unit_vectors):
+    """Re-rank must not be worse than the raw i8 scan on the same data."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4000, 384)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:8] + 0.02 * rng.standard_normal((8, 384)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    _, bi = brute_force(q, x, 10)
+
+    def recall(index):
+        _, i = index.search(q, 10)
+        return np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, bi)])
+
+    raw = FlatIndex(dtype="i8", capacity=4096)
+    raw.add(x)
+    rr = FlatIndex(dtype="i8", capacity=4096, exact="f16")
+    rr.add(x)
+    assert recall(rr) >= recall(raw)
+
+
+def test_device_rerank_growth_and_masking(unit_vectors):
+    idx = FlatIndex(dtype="i8", capacity=64, segment=64, exact="f16")
+    x = unit_vectors(200)
+    idx.add(x[:50])
+    idx.add(x[50:])  # forces growth; exact buffer must grow too
+    assert idx._exact.shape[0] == idx.capacity
+    d, i = idx.search(x[7:8], 300)
+    valid = i[0] >= 0
+    assert valid.sum() == min(200, idx.capacity - idx.rerank_extra) \
+        or valid.sum() == 200
+    assert i[0, 0] == 7 and d[0, 0] < 1e-3
+
+
+def test_device_rerank_save_load(tmp_path, unit_vectors):
+    x = unit_vectors(100)
+    idx = FlatIndex(dtype="i8", capacity=128, exact="f16")
+    idx.add(x)
+    p = str(tmp_path / "ix.npz")
+    idx.save(p)
+    idx2 = FlatIndex.load(p)
+    assert idx2.device_rerank and len(idx2) == 100
+    d1, i1 = idx.search(x[:4], 5)
+    d2, i2 = idx2.search(x[:4], 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+
+
+def test_device_rerank_rejects_f32():
+    with pytest.raises(ValueError):
+        FlatIndex(dtype="f32", exact="f16")
+
+
+def test_old_snapshot_still_loads(tmp_path, unit_vectors):
+    """Round-1 snapshots have no `exact` key."""
+    x = unit_vectors(50)
+    idx = FlatIndex(dtype="i8", capacity=64)
+    idx.add(x)
+    p = str(tmp_path / "old.npz")
+    idx.save(p)
+    # strip the exact key to simulate a round-1 file
+    with np.load(p) as z:
+        arrs = {n: z[n] for n in z.files if n != "exact"}
+    np.savez(p + ".tmp.npz", **arrs)
+    import os
+    os.replace(p + ".tmp.npz", p)
+    idx2 = FlatIndex.load(p)
+    assert not idx2.device_rerank and len(idx2) == 50

@@ -169,3 +169,42 @@ def test_fused_ingest_persistence(encoder, tmp_path):
     assert got == want
     b3.stop()
     svc3.shutdown()
+
+
+def test_fused_with_device_rerank(encoder):
+    """Fused query + ingest against a device-rerank (exact="f16") index:
+    ingest writes the shadow buffer in-program, query re-ranks
+    in-program, and the split pipeline agrees."""
+    from dawnsearch_tpu.index.flat import FlatIndex
+
+    provider = SearchProvider(
+        data_dir=None, dim=64, verify_on_load=False,
+        index_factory=lambda: FlatIndex(
+            dim=64, dtype="i8", exact="f16", max_capacity=1_000_000))
+    batcher = EmbeddingBatcher(encoder.encode, max_batch=8, max_wait_ms=20.0)
+    svc = SearchService(provider, batcher, instance_id="rr-node")
+    try:
+        assert svc._fused is not None and svc._fused_ingest is not None
+        svc.insert_pages([(f"https://rr/{i}", f"T{i}", t)
+                          for i, t in enumerate(CORPUS)])
+        ix = provider.index
+        assert ix.device_rerank and len(ix) == len(CORPUS)
+        # shadow buffer holds the same embeddings the store persisted
+        # (the service embeds the combined title+text)
+        stored = provider.store.embeddings_for(
+            list(range(1, len(CORPUS) + 1)))
+        emb = np.stack([stored[i + 1] for i in range(len(CORPUS))])
+        shadow = np.asarray(ix._exact[: len(CORPUS)], np.float32)
+        np.testing.assert_allclose(shadow, emb, atol=2e-3)
+        for q in CORPUS:
+            fused = svc.text_search(q, search_remote=False)
+            split = svc.embedding_search(batcher.embed(q))
+            assert [p.page_id for p in fused.pages] == \
+                [p.page_id for p in split.pages]
+            ds = [p.distance for p in fused.pages]
+            assert ds == sorted(ds)
+        res = svc.text_search(CORPUS[1], search_remote=False)
+        assert res.pages[0].url == "https://rr/1"
+    finally:
+        batcher.stop()
+        svc.shutdown()

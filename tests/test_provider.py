@@ -166,3 +166,39 @@ def test_store_pages_rollback_on_rejected_row(unit_vectors):
     # and the original pages still resolve
     res = sp.search_embeddings(embs[1], k=1)[0]
     assert res.pages[0].url == "http://a1"
+
+
+def test_device_rerank_index_skips_host_rerank(unit_vectors, monkeypatch):
+    """A FlatIndex with the f16 device re-rank comes back pre-ranked:
+    the provider must not redo the host f32 pass, and results stay
+    exact-ordered."""
+    from dawnsearch_tpu.index.flat import FlatIndex
+
+    sp = SearchProvider(
+        data_dir=None,
+        index_factory=lambda: FlatIndex(dtype="i8", exact="f16",
+                                        max_capacity=1_000_000))
+    urls, titles, texts, embs = make_pages(unit_vectors, 300)
+    sp.insert_pages(urls, titles, texts, embs)
+
+    called = []
+    monkeypatch.setattr(
+        sp, "_rerank_f32",
+        lambda *a, **kw: called.append(1) or (_ for _ in ()).throw(
+            AssertionError("host rerank must be skipped")))
+    res = sp.search_embeddings(embs[42], k=5)[0]
+    assert not called
+    assert res.pages[0].url == "http://p42"
+    assert res.pages[0].distance < 1e-3
+    ds = [p.distance for p in res.pages]
+    assert ds == sorted(ds)
+
+
+def test_node_config_selects_device_rerank(unit_vectors):
+    from dawnsearch_tpu.config import Config
+    from dawnsearch_tpu.node import make_index_factory
+
+    ix = make_index_factory(Config(index_rerank="device"))()
+    assert ix.device_rerank
+    ix_host = make_index_factory(Config())()
+    assert not getattr(ix_host, "device_rerank", False)

@@ -191,3 +191,42 @@ def test_dp_sharded_queries(unit_vectors):
     ix2.add(x)
     d2, u2 = ix2.search(x[:5], k=1)
     np.testing.assert_array_equal(u2[:, 0], np.arange(5))
+
+
+def test_sharded_device_rerank_exact_order(mesh, unit_vectors):
+    """Per-shard f16 re-rank before the ICI merge: global top-k comes
+    back exact-ordered at i8 memory + 2 bytes/dim."""
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    x = unit_vectors(2000)
+    q = unit_vectors(8)
+    ix = ShardedFlatIndex(mesh=mesh, dtype="i8", exact="f16",
+                          capacity_per_shard=512, segment=256, chunk=256)
+    assert ix.device_rerank
+    ix.add(x)
+    d, u = ix.search(q, 10)
+    ref = 1.0 - q @ x.T
+    bi = np.argsort(ref, axis=1, kind="stable")[:, :10]
+    hits = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                    for a, b in zip(u, bi)])
+    assert hits >= 0.99
+    bd = np.take_along_axis(ref, bi, axis=1)
+    np.testing.assert_allclose(d, bd, atol=2e-3)
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+
+
+def test_sharded_device_rerank_save_load(mesh, tmp_path, unit_vectors):
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    x = unit_vectors(300)
+    ix = ShardedFlatIndex(mesh=mesh, dtype="i8", exact="f16",
+                          capacity_per_shard=128, segment=64, chunk=64)
+    ix.add(x)
+    p = str(tmp_path / "sharded.npz")
+    ix.save(p)
+    ix2 = ShardedFlatIndex.load(p, mesh=mesh)
+    assert ix2.device_rerank and len(ix2) == 300
+    d1, u1 = ix.search(x[:4], 5)
+    d2, u2 = ix2.search(x[:4], 5)
+    np.testing.assert_array_equal(u1, u2)
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
