@@ -1,12 +1,14 @@
-"""AutoIndex: exact flat index that upgrades itself to IVF at scale.
+"""AutoIndex: exact flat index with an *opt-in* IVF migration at scale.
 
 USearch gives the reference one growable object with good behavior at
 every size (search_provider.rs:35-42,280-284). On TPU, measured brute
-force stays the fastest engine far beyond USearch's comfort zone (see
-DEFAULT_TRAIN_THRESHOLD below); AutoIndex starts as a FlatIndex and,
-when `train_threshold` rows accumulate, trains centroids on the
-resident vectors and migrates them into an IVFIndex — transparently to
-the SearchProvider.
+force stays the fastest engine at every size we could test — including
+8M rows, where IVF loses both QPS and recall outright (see
+DEFAULT_TRAIN_THRESHOLD below and doc/performance.md). AutoIndex is a
+FlatIndex by default forever; pass an explicit `train_threshold` to
+make it train centroids on the resident vectors at that size and
+migrate into an IVFIndex (for corpora with real cluster structure) —
+transparently to the SearchProvider.
 
 Row ids are global insertion order in both stages (FlatIndex row ids
 are already that; the IVF stage carries them as user ids).
@@ -25,15 +27,20 @@ from dawnsearch_tpu.utils.logging import service_logger
 
 log = service_logger("AutoIndex")
 
-# Measured on v5e at 1M x 384: exact brute force (i8 codes, bf16 MXU
-# matmul, approx_min_k) runs ~50k QPS at recall 0.984, while
-# gather-based IVF manages ~4.6k QPS at recall 0.930 — per-query HBM
-# gathers are ~10x slower than the sequential scan the MXU eats. So on
-# TPU the flat index stays optimal far beyond USearch's comfort zone;
-# IVF only pays once the corpus outgrows the time/memory budget of a
-# full scan (multi-10M rows per chip). On CPU the crossover is much
-# earlier (matmuls are the expensive part there).
-DEFAULT_TRAIN_THRESHOLD = 8_000_000
+# Measured on v5e (doc/performance.md): at 1M x 384 exact brute force
+# (i8 codes, bf16 MXU matmul, approx_min_k) runs ~50k QPS at recall
+# 0.984 while gather-based IVF manages ~4.6k QPS at recall 0.930; at
+# 8M rows — the regime auto-migration was designed for — flat still
+# wins BOTH axes (7.6k QPS, recall 1.0 with re-rank, vs IVF's <=1.1k
+# QPS at recall <=0.095 across nprobe 8-64; examples/bench_ivf_8m.py).
+# Per-query HBM gathers are ~10x slower than the sequential scan the
+# MXU eats, and on isotropic embedding-like data the coarse partition
+# carries little signal. Auto-migration is therefore DISABLED by
+# default (None): the scale story on TPU is the device-sharded flat
+# index (parallel/sharded_index.py), not IVF. IVFIndex remains for
+# explicitly clustered corpora (the reference's own bucket experiment,
+# examples_old/search_bucket.rs) via an explicit train_threshold.
+DEFAULT_TRAIN_THRESHOLD: int | None = None
 
 
 class AutoIndex:
@@ -107,7 +114,8 @@ class AutoIndex:
         if self.ivf is not None:
             return self.ivf.add(rows)
         ids = self.flat.add(rows)
-        if len(self.flat) >= self.train_threshold:
+        if (self.train_threshold is not None
+                and len(self.flat) >= self.train_threshold):
             self._upgrade()
         return ids
 
@@ -127,7 +135,9 @@ class AutoIndex:
                  stage="ivf" if self.ivf is not None else "flat",
                  payload=np.frombuffer(payload, np.uint8),
                  n_centroids=self.n_centroids, nprobe=self.nprobe,
-                 train_threshold=self.train_threshold,
+                 train_threshold=(self.train_threshold
+                                  if self.train_threshold is not None
+                                  else -1),
                  multi_assign=self.multi_assign,
                  dtype=self.dtype, dim=self.dim)
         os.replace(path + ".tmp.npz", path)
@@ -140,7 +150,9 @@ class AutoIndex:
             idx = cls(dim=int(z["dim"]), dtype=str(z["dtype"]),
                       n_centroids=int(z["n_centroids"]),
                       nprobe=int(z["nprobe"]),
-                      train_threshold=int(z["train_threshold"]),
+                      train_threshold=(int(z["train_threshold"])
+                                       if int(z["train_threshold"]) >= 0
+                                       else None),
                       multi_assign=(int(z["multi_assign"])
                                     if "multi_assign" in z.files else 1),
                       **kwargs)

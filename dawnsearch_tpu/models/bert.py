@@ -56,6 +56,14 @@ class BertConfig:
     ffn_impl: str = "fused"
     # "xla" = jnp mean-pool; "fused" = Pallas pool+normalize kernel
     pool_impl: str = "xla"
+    # "layer" (default) = the whole-layer Pallas kernel (ops/layer.py):
+    # QKV + attention + out-proj + LN + FFN + LN in ONE pass, one HBM
+    # round trip per layer — measured 24.1k -> 31.3k sentences/s over
+    # the per-op kernels at B=2048 S=128 on v5e and faster at every
+    # probed shape (doc/performance.md). "ops" = per-op kernels per
+    # attn_impl/ffn_impl above (also the automatic fallback when
+    # head_dim/hidden don't fit the packed-lane envelope).
+    layer_impl: str = "layer"
 
     @property
     def head_dim(self) -> int:
@@ -137,6 +145,19 @@ def _layer_fwd(
     x: jax.Array, layer: Params, cfg: BertConfig, mask_bias: jax.Array | None
 ) -> jax.Array:
     """One transformer layer (reference model.rs:467-499): post-LN BERT."""
+    H, hd = cfg.hidden_size, cfg.head_dim
+    if cfg.layer_impl == "layer" and 128 % hd == 0 and H % 128 == 0:
+        from dawnsearch_tpu.ops.layer import fused_bert_layer
+        bias2d = None if mask_bias is None else mask_bias[:, 0, 0, :]
+        return fused_bert_layer(
+            x.astype(cfg.dtype), bias2d,
+            layer["qkv_w"], layer["qkv_b"],
+            layer["attn_out_w"], layer["attn_out_b"],
+            layer["attn_ln_scale"], layer["attn_ln_bias"],
+            layer["ffn_in_w"], layer["ffn_in_b"],
+            layer["ffn_out_w"], layer["ffn_out_b"],
+            layer["ffn_ln_scale"], layer["ffn_ln_bias"],
+            nh=cfg.num_heads, eps=cfg.layer_norm_eps)
     attn = _attention(x, layer, cfg, mask_bias)
     x = _layer_norm(x + attn, layer["attn_ln_scale"], layer["attn_ln_bias"],
                     cfg.layer_norm_eps)

@@ -46,7 +46,8 @@ def make_encoder(cfg: Config):
 
     base_cfg = BertConfig(
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32,
-        attn_impl=cfg.attn_impl, pool_impl=cfg.pool_impl)
+        attn_impl=cfg.attn_impl, pool_impl=cfg.pool_impl,
+        layer_impl=cfg.layer_impl)
     params, pretrained, bert_cfg = load_params(cfg.model_dir, cfg=base_cfg)
     vocab_path = (os.path.join(cfg.model_dir, "vocab.txt")
                   if cfg.model_dir else None)

@@ -1,0 +1,211 @@
+"""Whole-transformer-layer Pallas kernel: one HBM round trip per layer.
+
+After the packed attention (ops/attention.py) and fused FFN (ops/ffn.py)
+kernels, the remaining encoder time is XLA's dense projections and the
+activation traffic BETWEEN the fused regions: per layer the hidden
+states stream HBM->VMEM->HBM six times (QKV dense, attention, out-proj,
+LN, FFN-in, FFN-out). At B=2048 S=128 bf16 that is ~2.8 GB/layer of
+HBM traffic for ~0.93 TFLOP of matmul — bandwidth-bound at ~45% MXU.
+
+This kernel computes the ENTIRE post-LN BERT layer
+(reference: BertLayer, /root/reference/src/embedding/model.rs:467-499)
+
+    qkv  = x @ Wqkv + bqkv                       (one fused projection)
+    ctx  = packed_attention(q, k, v, bias)       (scores stay in VMEM)
+    x1   = LayerNorm(x + ctx @ Wo + bo)
+    h    = gelu(x1 @ W1 + b1)
+    y    = LayerNorm(x1 + h @ W2 + b2)
+
+per (tb sequences x S tokens) block with EVERY intermediate resident in
+VMEM: per layer, HBM sees one read of x and one write of y (~0.4
+GB/layer at the shape above, a 7x traffic cut). All seven weight
+operands ride constant BlockSpecs (loaded once, ~3.6 MB bf16 total —
+MiniLM's 384-wide layers fit VMEM with room for a deep activation
+block). Matmuls accumulate f32 on the MXU; softmax/LayerNorm run f32;
+gelu uses the A&S 7.1.26 erf polynomial (|err|<=1.5e-7, Mosaic lowers
+no erf) — numerics match the unfused path at the encoder tests' f32
+tolerances.
+
+Attention inside the block is the block-diagonal packed formulation of
+ops/attention.py::_packed_kernel (heads stay on the 128-lane axis; one
+dense (S,128)x(gS,128) MXU contraction scores g=128/hd heads at once),
+so the layer needs NO (B,S,nh,hd) relayouts anywhere.
+
+Requires 128 % head_dim == 0 and hidden % 128 == 0 (all-MiniLM shapes);
+models outside that envelope use the per-op kernels via
+BertConfig(layer_impl="ops").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _erf(x: jax.Array) -> jax.Array:
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ln(y32: jax.Array, scale_ref, bias_ref, eps: float) -> jax.Array:
+    mean = jnp.mean(y32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
+    y = (y32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale_ref[...].astype(jnp.float32) + \
+        bias_ref[...].astype(jnp.float32)
+
+
+def _packed_attention_block(q, k, v, bias, *, nh: int, hd: int,
+                            scale: float):
+    """(TB, S, H) q/k/v + (TB, 1, S) bias -> (TB, S, H) context.
+
+    Identical math to ops/attention.py::_packed_kernel, inlined so the
+    whole layer shares one VMEM residency."""
+    TB, S, H = q.shape
+    g = 128 // hd
+    bias_t = jnp.concatenate([bias] * g, axis=-1)  # (TB, 1, gS)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g * S, 128), 0) // S
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (g * S, 128), 1) // hd
+    bd_mask = (rows == lanes)
+    outs = []
+    for gi in range(nh // g):
+        lo = gi * 128
+        qg = q[:, :, lo: lo + 128]
+        kg = k[:, :, lo: lo + 128]
+        vg = v[:, :, lo: lo + 128]
+        k_bd = jnp.where(bd_mask, jnp.concatenate([kg] * g, axis=1), 0)
+        v_bd = jnp.where(bd_mask, jnp.concatenate([vg] * g, axis=1), 0)
+        s = jax.lax.dot_general(
+            qg, k_bd, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (TB, S, gS)
+        s = s + bias_t
+        parts, invs = [], []
+        for h in range(g):
+            sh = s[:, :, h * S: (h + 1) * S]
+            m = jnp.max(sh, axis=-1, keepdims=True)
+            p = jnp.exp(sh - m)
+            parts.append(p.astype(qg.dtype))
+            inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            invs.append(jnp.broadcast_to(inv, (TB, S, hd)))
+        p_cat = jnp.concatenate(parts, axis=-1)
+        o = jax.lax.dot_general(
+            p_cat, v_bd, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append(o * jnp.concatenate(invs, axis=-1))
+    return jnp.concatenate(outs, axis=-1)  # (TB, S, H) f32
+
+
+def _layer_kernel(x_ref, bias_ref, qkv_w_ref, qkv_b_ref, ao_w_ref,
+                  ao_b_ref, aln_s_ref, aln_b_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref, fln_s_ref, fln_b_ref, o_ref, *,
+                  nh: int, hd: int, eps: float):
+    TB, S, H = x_ref.shape
+    x = x_ref[...]                      # (TB, S, H) compute dtype
+    x2d = x.reshape(TB * S, H)
+    dt = x.dtype
+
+    qkv = jax.lax.dot_general(
+        x2d, qkv_w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + qkv_b_ref[...].astype(jnp.float32)).astype(dt)
+    q = qkv[:, :H].reshape(TB, S, H)
+    k = qkv[:, H: 2 * H].reshape(TB, S, H)
+    v = qkv[:, 2 * H:].reshape(TB, S, H)
+
+    ctx = _packed_attention_block(
+        q, k, v, bias_ref[...], nh=nh, hd=hd,
+        scale=1.0 / (hd ** 0.5)).astype(dt).reshape(TB * S, H)
+
+    att = jax.lax.dot_general(
+        ctx, ao_w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    att = att + ao_b_ref[...].astype(jnp.float32) + x2d.astype(jnp.float32)
+    x1 = _ln(att, aln_s_ref, aln_b_ref, eps).astype(dt)  # (TB*S, H)
+
+    h = jax.lax.dot_general(
+        x1, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = (0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))).astype(dt)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + b2_ref[...].astype(jnp.float32) + x1.astype(jnp.float32)
+    y = _ln(y, fln_s_ref, fln_b_ref, eps)
+    o_ref[...] = y.reshape(TB, S, H).astype(o_ref.dtype)
+
+
+def _tile_rows(B: int, S: int, H: int, I: int, hd: int) -> int:
+    """Sequences per grid step under a VMEM activation budget.
+
+    Live f32-equivalent elements per sequence row: qkv 3*S*H, scores
+    S*(128//hd)*S per lane group, FFN intermediate S*I, plus x/ctx/x1.
+    Budget ~4M f32 elements (~16 MB) leaves room for weights (~3.6 MB)
+    and double-buffered x blocks."""
+    g = 128 // hd
+    per_seq = S * (3 * H + g * S + I + 3 * H)
+    budget = 1 << 22
+    tb = 1
+    while tb * 2 * per_seq <= budget and B % (tb * 2) == 0 and tb < 128:
+        tb *= 2
+    return tb
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "eps"))
+def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
+                     ao_w, ao_b, aln_s, aln_b, w1, b1, w2, b2, fln_s,
+                     fln_b, *, nh: int, eps: float = 1e-12) -> jax.Array:
+    """(B, S, H) x + (B, S) additive bias -> (B, S, H): one BERT layer,
+    one kernel, one HBM round trip."""
+    B, S, H = x.shape
+    hd = H // nh
+    I = w1.shape[1]
+    assert 128 % hd == 0 and H % 128 == 0
+    if bias is None:
+        bias = jnp.zeros((B, S), jnp.float32)
+    tb = _tile_rows(B, S, H, I, hd)
+    dt = x.dtype
+
+    xspec = pl.BlockSpec((tb, S, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_layer_kernel, nh=nh, hd=hd, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, S, H), dt),
+        grid=(B // tb,),
+        in_specs=[
+            xspec,
+            pl.BlockSpec((tb, 1, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((H, 3 * H)), const((1, 3 * H)),
+            const((H, H)), const((1, H)),
+            const((1, H)), const((1, H)),
+            const((H, I)), const((1, I)),
+            const((I, H)), const((1, H)),
+            const((1, H)), const((1, H)),
+        ],
+        out_specs=xspec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, bias[:, None, :].astype(jnp.float32),
+      qkv_w.astype(dt), qkv_b[None, :], ao_w.astype(dt), ao_b[None, :],
+      aln_s[None, :], aln_b[None, :], w1.astype(dt), b1[None, :],
+      w2.astype(dt), b2[None, :], fln_s[None, :], fln_b[None, :])

@@ -86,3 +86,35 @@ def test_full_model_fused_matches_xla():
         params, ids, mask,
         cfg=BertConfig(attn_impl="fused", pool_impl="fused")))
     np.testing.assert_allclose(fused, ref, atol=1e-4)
+
+
+def test_fused_layer_matches_xla():
+    """The whole-layer kernel (ops/layer.py) == pure-XLA encoder output."""
+    params = init_params(jax.random.key(0))
+    r = np.random.default_rng(9)
+    ids = jnp.asarray(r.integers(100, 30000, (4, 32)), jnp.int32)
+    mask = np.ones((4, 32), np.int32)
+    mask[1, 10:] = 0
+    mask[3, 5:] = 0
+    mask = jnp.asarray(mask)
+    ref = np.asarray(encode_batch(
+        params, ids, mask,
+        cfg=BertConfig(attn_impl="xla", ffn_impl="xla")))
+    fused = np.asarray(encode_batch(
+        params, ids, mask, cfg=BertConfig(layer_impl="layer")))
+    np.testing.assert_allclose(fused, ref, atol=1e-4)
+
+
+def test_fused_layer_bf16_close_to_f32():
+    """bf16 whole-layer kernel stays within bf16 tolerance of f32 XLA."""
+    params = init_params(jax.random.key(0))
+    r = np.random.default_rng(11)
+    ids = jnp.asarray(r.integers(100, 30000, (8, 32)), jnp.int32)
+    mask = jnp.asarray(np.ones((8, 32), np.int32))
+    ref = np.asarray(encode_batch(
+        params, ids, mask, cfg=BertConfig(attn_impl="xla", ffn_impl="xla")))
+    fused = np.asarray(encode_batch(
+        params, ids, mask,
+        cfg=BertConfig(layer_impl="layer", dtype=jnp.bfloat16)))
+    cos = np.sum(fused * ref, axis=-1)
+    assert np.all(cos > 0.999)
