@@ -88,8 +88,11 @@ def corpus_blocks(n_rows: int, seed: int = CORPUS_SEED,
 def build_1m_index(n_rows: int = 1_000_000):
     from dawnsearch_tpu.index.flat import FlatIndex
 
-    index = FlatIndex(dtype="i8", capacity=n_rows, max_capacity=n_rows,
-                      segment=n_rows)
+    # capacity rounds to the fused-selector tile (16384) so the serving
+    # default (Pallas score+select) engages; rows past count are masked
+    cap = -(-n_rows // 16384) * 16384
+    index = FlatIndex(dtype="i8", capacity=cap, max_capacity=n_rows,
+                      segment=cap)
     t0 = time.perf_counter()
     for _, v in corpus_blocks(n_rows):
         index.add(v)
@@ -111,6 +114,7 @@ def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
     import jax.numpy as jnp
 
     from dawnsearch_tpu.index.flat import search_kernel
+    from dawnsearch_tpu.ops import scan_select
 
     build_s = 0.0
     if index is None:
@@ -120,12 +124,22 @@ def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     q = jnp.asarray(q)
 
-    @functools.partial(jax.jit, static_argnames=("k", "chunk", "reps"))
-    def many(codes, scales, count, q, k, chunk, reps):
+    # mirror FlatIndex's serving default: the fused score+select kernel
+    # when the shape/count qualify, the chunked approx scan otherwise
+    fused_sel = (index.count >= index.fused_min_rows
+                 and scan_select.supports(index.capacity, index.dim,
+                                          index.dtype))
+
+    @functools.partial(jax.jit, static_argnames=("k", "chunk", "reps",
+                                                 "fused_sel"))
+    def many(codes, scales, count, q, k, chunk, reps, fused_sel):
         def body(carry, _):
             qq = q + carry[:, :1] * 1e-12  # data dependency, value-neutral
-            d, i = search_kernel(codes, scales, qq, count, k, chunk,
-                                 approx=True)
+            if fused_sel:
+                d, i = scan_select.search_select(codes, scales, qq, count, k)
+            else:
+                d, i = search_kernel(codes, scales, qq, count, k, chunk,
+                                     approx=True)
             return jnp.pad(d, ((0, 0), (0, q.shape[1] - k))), (d, i)
         _, (d, i) = jax.lax.scan(
             body, jnp.zeros((q.shape[0], q.shape[1]), jnp.float32),
@@ -133,11 +147,11 @@ def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
         return d[-1], i[-1]
 
     args = (index._codes, index._scales, jnp.int32(index.count), q)
-    np.asarray(many(*args, k=k, chunk=index.chunk, reps=reps)[0])
+    np.asarray(many(*args, k=k, chunk=index.chunk, reps=reps, fused_sel=fused_sel)[0])
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        float(many(*args, k=k, chunk=index.chunk, reps=reps)[0][0, 0])
+        float(many(*args, k=k, chunk=index.chunk, reps=reps, fused_sel=fused_sel)[0][0, 0])
         best = min(best, (time.perf_counter() - t0) / reps)
     qps = batch / best
     log({"metric": "search_qps_1m_i8", "value": round(qps, 1), "unit": "qps",

@@ -38,7 +38,10 @@ import numpy as np
 
 from dawnsearch_tpu.ops.vector import EM_LEN
 
-DEFAULT_SEGMENT = 8192
+# Segment granularity = the fused score+select kernel's row-tile
+# (ops/scan_select.py DEFAULT_TN), so every grown capacity qualifies
+# for the fused path.
+DEFAULT_SEGMENT = 16384
 DEFAULT_CHUNK = 65536
 
 
@@ -198,6 +201,19 @@ def _search_rerank(codes, scales, exact, q, count, k, kf, chunk, approx):
     return rerank_kernel(exact, q, d, i, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fused_select(codes, scales, q, count, k):
+    from dawnsearch_tpu.ops.scan_select import search_select
+    return search_select(codes, scales, q, count, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "kf"))
+def _fused_select_rerank(codes, scales, exact, q, count, k, kf):
+    from dawnsearch_tpu.ops.scan_select import search_select
+    d, i = search_select(codes, scales, q, count, kf)
+    return rerank_kernel(exact, q.astype(jnp.float32), d, i, k)
+
+
 class FlatIndex:
     """Append-only exact index on one device (sharding lives in
     dawnsearch_tpu.parallel.sharded_index)."""
@@ -216,7 +232,7 @@ class FlatIndex:
     ):
         if dtype not in ("f32", "bf16", "i8"):
             raise ValueError(f"unsupported dtype {dtype}")
-        if selector not in ("auto", "exact", "approx"):
+        if selector not in ("auto", "exact", "approx", "fused"):
             raise ValueError(f"unsupported selector {selector}")
         if exact not in (None, "f16"):
             raise ValueError(f"unsupported exact dtype {exact}")
@@ -232,6 +248,7 @@ class FlatIndex:
         # quantized storage — ~2x faster at 1M rows, recall-neutral
         # next to the quantization error.
         self.selector = selector
+        self.fused_min_rows = 262_144  # see search(): windowed-candidate gate
         self.max_capacity = max_capacity
         self.count = 0
         self.capacity = _round_up(max(capacity, segment), segment)
@@ -332,7 +349,21 @@ class FlatIndex:
         k_eff = min(k, self.capacity)
         approx = (self.selector == "approx"
                   or (self.selector == "auto" and self.dtype != "f32"))
-        if self._exact is not None:
+        # The fused score+select kernel (87k vs 53k QPS at 1M rows,
+        # doc/performance.md) emits one candidate per 128-row window, so
+        # it needs count >> k*128 for the windowed approximation to hold
+        # (collision odds ~k^2*64/count); below the gate — where the XLA
+        # chunked path is already fast — or at unsupported shapes, fall
+        # through. "auto" prefers it for quantized storage; recall
+        # measured identical to approx_min_k (0.982 raw at 1M).
+        fused = False
+        if (self.selector in ("fused", "auto") and self.dtype != "f32"
+                and self.count >= self.fused_min_rows):
+            from dawnsearch_tpu.ops import scan_select
+            fused = scan_select.supports(self.capacity, self.dim, self.dtype)
+        if fused:
+            d, i = self._search_fused(q, k_eff)
+        elif self._exact is not None:
             kf = min(k_eff + self.rerank_extra, self.capacity)
             d, i = _search_rerank(self._codes, self._scales, self._exact,
                                   q, jnp.int32(self.count), k_eff, kf,
@@ -348,6 +379,18 @@ class FlatIndex:
         if single:
             return d[0], i[0]
         return d, i
+
+    def _search_fused(self, q: jax.Array, k: int
+                      ) -> tuple[jax.Array, jax.Array]:
+        """Fused score+select Pallas path (ops/scan_select.py): scores
+        never reach HBM; composes with the f16 device re-rank. One
+        jitted program -> one (tunneled) dispatch."""
+        count = jnp.int32(self.count)
+        if self._exact is not None:
+            kf = min(k + self.rerank_extra, self.capacity)
+            return _fused_select_rerank(self._codes, self._scales,
+                                        self._exact, q, count, k, kf)
+        return _fused_select(self._codes, self._scales, q, count, k)
 
     def reconstruct(self, row_id: int) -> np.ndarray:
         """Approximate stored vector (f16 shadow if kept, else

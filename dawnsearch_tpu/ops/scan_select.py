@@ -1,0 +1,155 @@
+"""Fused score+select Pallas kernel for exact/approx top-k search.
+
+The XLA search path (index/flat.py::search_kernel) materializes the
+(B, chunk) f32 score matrix in HBM for every chunk — at 1M rows and
+batch 1024 that is ~4 GB of score traffic per batch, and the chunked
+approx_min_k + merge scan costs more than the scoring matmul
+(doc/performance.md "the selector, not the matmul, bounds exact
+search"; measured 20 ms/batch -> ~51k QPS).
+
+This kernel keeps scores IN VMEM for their whole life: per grid step it
+scores a (TB, TN) tile on the MXU (i8 codes upcast to bf16, f32
+accumulation, per-row scales) and immediately reduces every W=128-row
+window to its (min, argmin) — so HBM sees only the i8 codes once
+(~0.4 GB) plus a (B, N/W) candidate array (~64 MB), a ~50x traffic
+cut. A final EXACT lax.top_k over the N/W candidates (8192 at 1M rows,
+~1/16 of the old selector work) finishes outside the kernel.
+
+Accuracy: one candidate per W-row window is the same class of
+approximation as lax.approx_min_k (which also reduces per 128-lane
+block); two true top-k rows landing in one window shadow each other
+with probability ~k^2·W/2N (~0.1% per query at k=10, W=128, N=1M) —
+measured recall matches the approx_min_k path (tests; bench). The f32
+oracle path (dtype="f32") keeps the exact XLA kernel.
+
+Grid is fully parallel: (B tiles) x (N tiles), each step owning its
+(TB, R) output block — no scratch, no sequential merge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+W = 128          # rows per candidate window (the reduce granularity)
+DEFAULT_TN = 16384  # index rows per grid step (TN/W = 128 lanes out)
+DEFAULT_TB = 128    # queries per grid step
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _select_kernel(q_ref, codes_ref, scales_ref, count_ref, vals_ref,
+                   ids_ref, *, has_scales: bool):
+    """One (TB, TN) score tile -> (TB, TN/W) window minima + argmins.
+
+    Grid is (N tiles, B tiles) — N MAJOR — so the big codes block is
+    DMA'd once and revisited by every query tile (B-major re-streamed
+    the whole index per query tile: measured 3.2 GB vs 0.4 GB at 1M
+    rows, batch 1024). Windows are STRIDED (window r = rows {r, R+r,
+    2R+r, ...}): any partition into N/W groups is equally valid for a
+    candidate-generating reduce, and this one puts the reduction on the
+    sublane axis where the VPU is fast, instead of across lanes."""
+    TB, D = q_ref.shape
+    TN = codes_ref.shape[0]
+    R = TN // W  # windows in this tile = output lanes
+    ni = pl.program_id(0)
+    base = ni * TN  # global row of codes_ref[0]
+
+    x = codes_ref[...].astype(jnp.bfloat16)
+    dots = jax.lax.dot_general(
+        q_ref[...].astype(jnp.bfloat16), x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (TB, TN)
+    if has_scales:
+        d = 1.0 - dots * scales_ref[...]             # scales (1, TN)
+    else:
+        d = 1.0 - dots
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, TN), 1) + base
+    d = jnp.where(rows < count_ref[0], d, jnp.inf)
+
+    dw = d.reshape(TB, W, R)                         # window = lane r
+    mins = jnp.min(dw, axis=1)                       # (TB, R) sublane reduce
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TB, W, R), 1)
+    amin = jnp.min(jnp.where(dw == mins[:, None, :], sub, W), axis=1)
+    ids = base + jnp.minimum(amin, W - 1) * R + \
+        jax.lax.broadcasted_iota(jnp.int32, (TB, R), 1)
+    vals_ref[...] = mins
+    ids_ref[...] = jnp.where(jnp.isfinite(mins), ids, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "tn"))
+def _candidates(codes: jax.Array, scales: jax.Array | None, q: jax.Array,
+                count: jax.Array, tb: int, tn: int
+                ) -> tuple[jax.Array, jax.Array]:
+    B = q.shape[0]
+    N = codes.shape[0]
+    R = tn // W
+    has_scales = scales is not None
+    sc = (scales[None, :] if has_scales
+          else jnp.zeros((1, N), jnp.float32))
+    vals, ids = pl.pallas_call(
+        functools.partial(_select_kernel, has_scales=has_scales),
+        out_shape=(jax.ShapeDtypeStruct((B, N // W), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N // W), jnp.int32)),
+        grid=(N // tn, B // tb),   # N MAJOR: codes DMA'd once, revisited
+        in_specs=[
+            pl.BlockSpec((tb, q.shape[1]), lambda ni, bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, codes.shape[1]), lambda ni, bi: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda ni, bi: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, R), lambda ni, bi: (bi, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, R), lambda ni, bi: (bi, ni),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(q.astype(jnp.float32), codes, sc, count.reshape(1).astype(jnp.int32))
+    return vals, ids
+
+
+def supports(capacity: int, dim: int, dtype: str,
+             tn: int = DEFAULT_TN) -> bool:
+    """Shapes the fused kernel handles; callers fall back to the XLA
+    chunked scan otherwise. f32 keeps the exact-oracle XLA path."""
+    return (dtype in ("i8", "bf16") and capacity % tn == 0
+            and capacity >= tn and dim % 128 == 0)
+
+
+def search_select(codes: jax.Array, scales: jax.Array | None,
+                  queries: jax.Array, count: jax.Array, k: int,
+                  tb: int = DEFAULT_TB, tn: int = DEFAULT_TN
+                  ) -> tuple[jax.Array, jax.Array]:
+    """(B, D) queries vs (N, D) codes -> (B, k) dists asc + global ids.
+
+    Pads the batch up to a tile multiple; invalid slots come back
+    (+inf, -1) like search_kernel."""
+    B = queries.shape[0]
+    tb = min(tb, max(8, 1 << (B - 1).bit_length()))  # small batches
+    padded = -(-B // tb) * tb
+    q = queries.astype(jnp.float32)
+    if padded != B:
+        q = jnp.pad(q, ((0, padded - B), (0, 0)))
+    vals, ids = _candidates(codes, scales, q, count, tb, tn)
+    k_eff = min(k, vals.shape[1])
+    neg, sel = jax.lax.top_k(-vals, k_eff)
+    d = -neg
+    i = jnp.take_along_axis(ids, sel, axis=1)
+    i = jnp.where(jnp.isfinite(d), i, -1)
+    if k_eff < k:
+        d = jnp.pad(d, ((0, 0), (0, k - k_eff)), constant_values=jnp.inf)
+        i = jnp.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return d[:B], i[:B]

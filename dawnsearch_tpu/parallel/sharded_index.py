@@ -49,11 +49,11 @@ def _round_up(n: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "kf", "chunk", "mesh", "has_scales", "has_exact",
-                     "approx", "dp_axis"))
+                     "approx", "dp_axis", "fused_sel"))
 def _sharded_search(codes, scales, exact, ids, counts, queries, *, k: int,
                     kf: int, chunk: int, mesh: Mesh, has_scales: bool,
                     has_exact: bool, approx: bool = False,
-                    dp_axis: str | None = None):
+                    dp_axis: str | None = None, fused_sel: bool = False):
     """Queries -> merged (distances, user ids).
 
     Rows shard over AXIS ("shard"); the merge is lax.top_k over an
@@ -68,8 +68,12 @@ def _sharded_search(codes, scales, exact, ids, counts, queries, *, k: int,
         cap = codes_blk.shape[1]
         B = q.shape[0]
         sc = scales_blk[0] if has_scales else None
-        d, i = search_kernel(codes_blk[0], sc, q, counts_blk[0], kf, chunk,
-                             approx=approx)
+        if fused_sel:  # Pallas score+select per shard (ops/scan_select.py)
+            from dawnsearch_tpu.ops.scan_select import search_select
+            d, i = search_select(codes_blk[0], sc, q, counts_blk[0], kf)
+        else:
+            d, i = search_kernel(codes_blk[0], sc, q, counts_blk[0], kf,
+                                 chunk, approx=approx)
         if has_exact:
             d, i = rerank_kernel(exact_blk[0], q, d, i, k)
         safe = jnp.clip(i, 0, cap - 1)
@@ -168,6 +172,7 @@ class ShardedFlatIndex:
         self.dtype = dtype
         self.segment = segment
         self.chunk = chunk
+        self.fused_min_rows = 262_144  # per-shard score+select gate
         self.max_capacity = max_capacity
         self.cap_per_shard = _round_up(max(capacity_per_shard, segment), segment)
         self._counts = np.zeros(self.n_shards, dtype=np.int64)
@@ -337,13 +342,19 @@ class ShardedFlatIndex:
                 q = jnp.pad(q, ((0, padded_b - q.shape[0]), (0, 0)))
         kf = (min(k_local + self.rerank_extra, self.cap_per_shard)
               if self.exact else k_local)
+        from dawnsearch_tpu.ops import scan_select
+        fused_sel = (self.dtype != "f32"
+                     and int(self._counts.min()) >= self.fused_min_rows
+                     and scan_select.supports(self.cap_per_shard, self.dim,
+                                              self.dtype))
         d, u = _sharded_search(
             self._codes, self._scales, self._exact, self._ids,
             jnp.asarray(self._counts, jnp.int32), q,
             k=k_local, kf=kf, chunk=self.chunk, mesh=self.mesh,
             has_scales=self.dtype == "i8",
             has_exact=self.exact is not None,
-            approx=self.dtype != "f32", dp_axis=self.dp_axis)
+            approx=self.dtype != "f32", dp_axis=self.dp_axis,
+            fused_sel=fused_sel)
         d, u = np.asarray(d)[:B], np.asarray(u)[:B]
         if k_local < k:
             d = np.pad(d, ((0, 0), (0, k - k_local)), constant_values=np.inf)

@@ -28,15 +28,19 @@ from dawnsearch_tpu.utils.logging import METRICS
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mask_padding", "include_padding", "k", "chunk",
-                     "approx", "kf"))
+                     "approx", "kf", "fused_sel"))
 def _fused_program(params, input_ids, mask, codes, scales, count, *,
                    cfg, mask_padding, include_padding, k, chunk, approx,
-                   kf=None, exact=None):
+                   kf=None, exact=None, fused_sel=False):
     emb = encode_batch(params, input_ids, mask, cfg=cfg,
                        mask_padding=mask_padding,
                        include_padding=include_padding)
-    d, i = search_kernel(codes, scales, emb, count, kf or k, chunk,
-                         approx=approx)
+    if fused_sel:  # Pallas score+select (ops/scan_select.py)
+        from dawnsearch_tpu.ops.scan_select import search_select
+        d, i = search_select(codes, scales, emb, count, kf or k)
+    else:
+        d, i = search_kernel(codes, scales, emb, count, kf or k, chunk,
+                             approx=approx)
     if exact is not None:  # device-side f16 re-rank, same program
         d, i = rerank_kernel(exact, emb, d, i, k)
     return emb, d, i
@@ -65,6 +69,11 @@ class FusedQueryPath:
                   or (ix.selector == "auto" and ix.dtype != "f32"))
         kf = (min(k_eff + ix.rerank_extra, ix.capacity)
               if ix.device_rerank else None)
+        from dawnsearch_tpu.ops import scan_select
+        fused_sel = (ix.selector in ("fused", "auto")
+                     and ix.dtype != "f32"
+                     and ix.count >= ix.fused_min_rows
+                     and scan_select.supports(ix.capacity, ix.dim, ix.dtype))
         with METRICS.timer("fused_query"):
             emb, d, i = _fused_program(
                 enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
@@ -72,7 +81,7 @@ class FusedQueryPath:
                 cfg=enc.cfg, mask_padding=enc.mask_padding,
                 include_padding=enc.include_padding_in_pool,
                 k=k_eff, chunk=ix.chunk, approx=approx,
-                kf=kf, exact=ix._exact)
+                kf=kf, exact=ix._exact, fused_sel=fused_sel)
             emb, d, i = np.asarray(emb), np.asarray(d), np.asarray(i)
         n = len(texts)
         if k_eff < k:

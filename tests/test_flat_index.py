@@ -218,3 +218,71 @@ def test_old_snapshot_still_loads(tmp_path, unit_vectors):
     os.replace(p + ".tmp.npz", p)
     idx2 = FlatIndex.load(p)
     assert not idx2.device_rerank and len(idx2) == 50
+
+
+# -- fused score+select kernel (selector="fused") -----------------------
+
+
+def test_fused_selector_matches_brute_force(unit_vectors):
+    """Windowed-candidate recall at small N is bounded by window
+    collisions (~k^2*64/N) — assert the small-N bound here; 1M-row
+    recall is measured on the real chip (doc/performance.md)."""
+    x = unit_vectors(16384)
+    q = unit_vectors(16)
+    idx = FlatIndex(dtype="i8", capacity=16384, segment=16384,
+                    selector="fused")
+    idx.fused_min_rows = 0
+    idx.add(x)
+    d, i = idx.search(q, 10)
+    bd, bi = brute_force(q, x, 10)
+    hits = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, bi)])
+    assert hits >= 0.85
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+    # top-1 is never shadowed-and-lost at these odds
+    assert (i[:, 0] == bi[:, 0]).mean() >= 0.9
+
+
+def test_fused_selector_with_device_rerank(unit_vectors):
+    x = unit_vectors(16384)
+    q = unit_vectors(8)
+    idx = FlatIndex(dtype="i8", capacity=16384, segment=16384,
+                    selector="fused", exact="f16")
+    idx.fused_min_rows = 0
+    idx.add(x)
+    d, i = idx.search(q, 10)
+    # re-ranked distances are exact (f16) for found candidates
+    for b in range(8):
+        for dd, ii in zip(d[b], i[b]):
+            if ii >= 0:
+                assert abs(dd - (1.0 - q[b] @ x[ii])) < 2e-3
+
+
+def test_fused_selector_gates_and_falls_back(unit_vectors):
+    x = unit_vectors(100)
+    # below fused_min_rows: the XLA path serves small counts exactly
+    idx = FlatIndex(dtype="i8", capacity=16384, segment=16384,
+                    selector="fused")
+    idx.add(x)
+    d, i = idx.search(x[:2], 20)
+    assert (i >= 0).sum() == 40 and i[0, 0] == 0 and d[0, 0] < 1e-2
+    # unsupported capacity (not a TN multiple) falls back too
+    idx2 = FlatIndex(dtype="i8", capacity=4096, segment=4096,
+                     selector="fused")
+    idx2.fused_min_rows = 0
+    idx2.add(x)
+    d2, i2 = idx2.search(x[:1], 5)
+    assert i2[0, 0] == 0
+
+
+def test_fused_selector_partial_fill_masks_tail(unit_vectors):
+    """count < capacity: window candidates past count come back inf/-1."""
+    x = unit_vectors(300)
+    idx = FlatIndex(dtype="i8", capacity=16384, segment=16384,
+                    selector="fused")
+    idx.fused_min_rows = 0
+    idx.add(x)
+    d, i = idx.search(x[:2], 10)
+    valid = i >= 0
+    assert np.all(i[valid] < 300)
+    assert np.all(np.isinf(d[~valid]))
+    assert i[0, 0] == 0 and d[0, 0] < 1e-2

@@ -230,3 +230,19 @@ def test_sharded_device_rerank_save_load(mesh, tmp_path, unit_vectors):
     d2, u2 = ix2.search(x[:4], 5)
     np.testing.assert_array_equal(u1, u2)
     np.testing.assert_allclose(d1, d2, atol=1e-6)
+
+
+def test_sharded_fused_selector(mesh, unit_vectors):
+    """Per-shard Pallas score+select under shard_map (gate lowered for
+    the CPU test; 1M-scale behavior measured on chip)."""
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    x = unit_vectors(4096)
+    ix = ShardedFlatIndex(mesh=mesh, dtype="i8", exact="f16",
+                          capacity_per_shard=16384, segment=16384)
+    ix.fused_min_rows = 0
+    ix.add(x)
+    d, u = ix.search(x[:8], 5)
+    assert (u[:, 0] == np.arange(8)).all()
+    assert np.all(d[:, 0] < 1e-2)
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
