@@ -2,13 +2,32 @@
 
 The reference filters to English via the `whichlang` trigram classifier
 (page_source.rs:119-121). Here: a stopword-ratio + script-ratio
-heuristic — zero-dependency, ~µs per page, and conservative in the same
-direction (prefer dropping a borderline page over indexing junk).
+heuristic — zero-dependency and conservative in the same direction
+(prefer dropping a borderline page over indexing junk).
+
+Performance: this filter sits on the ingest hot path and was measured
+as its bottleneck — slower than the C++ HTML extraction — in every
+Python formulation tried (per-char loops 2.9k pages/s; regex findall
+1.6k/s; regex sub with Unicode classes 2.2k/s — CPython's re pays a
+per-char Unicode-property lookup for \\W). This version runs entirely
+on C fast paths:
+
+- ratios are computed over a bounded ~1 KB start/middle/end sample
+  (mixed-language pages still show their non-English parts; the
+  sample bounds the estimate error well below the thresholds);
+- the script ratio counts BYTES of the UTF-8 encoding with
+  bytes.translate deletion tables: ASCII letters vs non-ASCII lead
+  bytes (= non-ASCII chars). Accented Latin letters count as
+  non-ASCII, so French/German prose scores ~0.95 (still above the
+  0.85 gate — as before, the stopword gate is what rejects them);
+- the stopword ratio uses str.split + a frozenset, with a cheap
+  punctuation strip per token.
+
+Measured: ~9.9k pages/s on the bench corpus (was 2.9k) — off the
+ingest critical path (C++ extraction 18k/s, tokenization 6.7k/s).
 """
 
 from __future__ import annotations
-
-import re
 
 _STOPWORDS = frozenset(
     "the of and a to in is was for on that with as by at it from be are "
@@ -17,24 +36,55 @@ _STOPWORDS = frozenset(
     "them some into only other time new may these than most also".split()
 )
 
-_WORD = re.compile(r"[a-z']+")
+_SAMPLE = 1024
+_PUNCT = ",.;:!?\"'()[]{}<>«»“”‘’—–-_/\\|*&%$#@~`+="
+
+# bytes.translate deletion tables: keep only the class of interest
+_ASCII_LETTERS = (bytes(range(ord("a"), ord("z") + 1))
+                  + bytes(range(ord("A"), ord("Z") + 1)))
+_DEL_NON_LETTER = bytes(b for b in range(256) if b not in _ASCII_LETTERS)
+# UTF-8 lead bytes of non-ASCII chars are 0xC0-0xFF; continuation
+# bytes 0x80-0xBF. Counting lead bytes counts non-ASCII CHARS.
+_DEL_NON_LEAD = bytes(b for b in range(256) if b < 0xC0)
+
+
+def _sample(text: str) -> str:
+    """Start + middle + end slices, ~_SAMPLE chars total."""
+    if len(text) <= _SAMPLE:
+        return text
+    third = _SAMPLE // 3
+    mid = len(text) // 2
+    return (text[:third] + " " + text[mid - third // 2: mid + third // 2]
+            + " " + text[-third:])
 
 
 def english_score(text: str) -> float:
     """Fraction of words that are common-English stopwords (0..1)."""
-    words = _WORD.findall(text.lower())
+    words = _sample(text).lower().split()
     if not words:
         return 0.0
-    hits = sum(1 for w in words if w in _STOPWORDS)
+    sw = _STOPWORDS
+    hits = 0
+    for w in words:
+        if w in sw or w.strip(_PUNCT) in sw:
+            hits += 1
     return hits / len(words)
 
 
 def latin_ratio(text: str) -> float:
-    """Fraction of alphabetic chars in the basic-Latin range."""
-    alpha = [c for c in text if c.isalpha()]
-    if not alpha:
+    """ASCII letters / (ASCII letters + non-ASCII chars) of the sample.
+
+    A byte-level stand-in for "fraction of alphabetic chars that are
+    Latin": non-ASCII chars in foreign-script text are almost all
+    letters, and the rare accented Latin letter costs English/French/
+    German prose only a few percent — far from the 0.85 gate."""
+    b = _sample(text).encode("utf-8", "ignore")
+    letters = len(b.translate(None, _DEL_NON_LETTER))
+    non_ascii = len(b.translate(None, _DEL_NON_LEAD))
+    total = letters + non_ascii
+    if not total:
         return 0.0
-    return sum(1 for c in alpha if ord(c) < 0x250) / len(alpha)
+    return letters / total
 
 
 def is_english(text: str, min_stopword_ratio: float = 0.12,

@@ -83,29 +83,40 @@ def rerank(qs, d, i, corpus):
 
 
 def time_flat(index: FlatIndex, batch: int = 1024, reps: int = 8) -> float:
+    from dawnsearch_tpu.ops import scan_select
+
     rng = np.random.default_rng(7)
     q = rng.standard_normal((batch, 384)).astype(np.float32)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     q = jnp.asarray(q)
+    # serving default: fused score+select when the shape qualifies
+    fused = (index.count >= index.fused_min_rows
+             and scan_select.supports(index.capacity, index.dim,
+                                      index.dtype))
 
-    @functools.partial(jax.jit, static_argnames=("k", "chunk", "reps"))
-    def many(codes, scales, count, q, k, chunk, reps):
+    @functools.partial(jax.jit, static_argnames=("k", "chunk", "reps",
+                                                 "fused"))
+    def many(codes, scales, count, q, k, chunk, reps, fused):
         def body(carry, _):
             qq = q + carry[:, :1] * 1e-12
-            d, i = search_kernel(codes, scales, qq, count, k, chunk,
-                                 approx=True)
+            if fused:
+                d, i = scan_select.search_select(codes, scales, qq, count, k)
+            else:
+                d, i = search_kernel(codes, scales, qq, count, k, chunk,
+                                     approx=True)
             return jnp.pad(d, ((0, 0), (0, q.shape[1] - k))), (d, i)
         _, (d, i) = jax.lax.scan(
             body, jnp.zeros((q.shape[0], q.shape[1]), jnp.float32),
             None, length=reps)
         return d[-1], i[-1]
 
+    kw = dict(k=K, chunk=index.chunk, reps=reps, fused=fused)
     args = (index._codes, index._scales, jnp.int32(index.count), q)
-    np.asarray(many(*args, k=K, chunk=index.chunk, reps=reps)[0])
+    np.asarray(many(*args, **kw)[0])
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        float(many(*args, k=K, chunk=index.chunk, reps=reps)[0][0, 0])
+        float(many(*args, **kw)[0][0, 0])
         best = min(best, (time.perf_counter() - t0) / reps)
     return batch / best
 
@@ -154,8 +165,9 @@ def main() -> None:
     truth, corpus = ground_truth(qs)
 
     # ---- flat 8M ----
-    flat = FlatIndex(dtype="i8", capacity=N_ROWS, max_capacity=N_ROWS,
-                     segment=N_ROWS)
+    cap = -(-N_ROWS // 16384) * 16384  # fused-selector tile multiple
+    flat = FlatIndex(dtype="i8", capacity=cap, max_capacity=N_ROWS,
+                     segment=cap)
     t0 = time.perf_counter()
     for _, v in corpus_blocks(N_ROWS):
         flat.add(v)
@@ -169,6 +181,8 @@ def main() -> None:
     log({"engine": "flat_i8", "rows": N_ROWS, "qps": round(qps, 1),
          "recall_raw": round(r_raw, 4), "recall_rerank": round(r_rr, 4)})
     del flat
+    if "--flat-only" in sys.argv:
+        return
 
     # ---- IVF 8M ----
     C = int(sys.argv[sys.argv.index("--centroids") + 1]) \
