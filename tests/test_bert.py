@@ -197,3 +197,40 @@ def test_config_from_hf_and_load(tmp_path):
     W.save_safetensors(params, str(tmp_path / "model.safetensors"), cfg)
     params2, pretrained2, cfg2 = W.load_params(str(tmp_path))
     assert pretrained2 and cfg2.hidden_size == 64
+
+
+@pytest.mark.parametrize("shape", [
+    dict(hidden_size=768, num_layers=2, num_heads=12,
+         intermediate_size=3072),          # bert-base family (head_dim 64)
+    dict(hidden_size=384, num_layers=3, num_heads=12,
+         intermediate_size=1536),          # paraphrase-MiniLM-L3 family
+    dict(hidden_size=512, num_layers=2, num_heads=8,
+         intermediate_size=2048),          # distiluse-ish (head_dim 64)
+])
+def test_bert_family_shapes(shape, rng):
+    """The encoder generalizes across BERT-family checkpoint shapes
+    (config.json-driven, models/weights.py config_from_hf): the
+    whole-layer kernel must agree with the XLA path at every shape
+    whose head_dim divides 128."""
+    import jax
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.models.bert import BertConfig, encode_batch
+    from dawnsearch_tpu.models.weights import init_params
+
+    cfg_xla = BertConfig(vocab_size=1000, max_position_embeddings=64,
+                         attn_impl="xla", ffn_impl="xla",
+                         layer_impl="ops", **shape)
+    cfg_krn = BertConfig(vocab_size=1000, max_position_embeddings=64,
+                         **shape)  # defaults: layer kernel
+    params = init_params(jax.random.key(1), cfg_xla)
+    ids = jnp.asarray(rng.integers(10, 1000, (4, 32)), jnp.int32)
+    mask = np.ones((4, 32), np.int32)
+    mask[2, 9:] = 0
+    mask = jnp.asarray(mask)
+    ref = np.asarray(encode_batch(params, ids, mask, cfg=cfg_xla))
+    out = np.asarray(encode_batch(params, ids, mask, cfg=cfg_krn))
+    assert ref.shape == (4, shape["hidden_size"])
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(out, ref, atol=1e-4)

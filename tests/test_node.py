@@ -97,3 +97,25 @@ def test_node_ivf_config(tmp_path):
             for i in range(5)]})
         data = get_json(base + "/api/search?q=T2%0Ab+2")
         assert data["results"][0]["url"] == "https://e.com/2"
+
+
+def test_node_device_rerank_config(tmp_path):
+    """index_rerank="device" end-to-end through the product surface:
+    insert -> search (pre-ranked on device) -> snapshot reload keeps
+    the f16 shadow."""
+    cfg = make_cfg(tmp_path, index_rerank="device")
+    with DawnNode(cfg, encoder=HashEncoder()) as node:
+        assert node.provider.index.device_rerank
+        base = f"http://127.0.0.1:{node.http_port}"
+        post_json(base + "/api/insert", {"pages": [
+            {"url": f"https://r.com/{i}", "title": f"T{i}", "text": f"body {i}"}
+            for i in range(12)]})
+        data = get_json(base + "/api/search?q=T5%0Abody+5")
+        assert data["results"][0]["url"] == "https://r.com/5"
+        ds = [r["distance"] for r in data["results"]]
+        assert ds == sorted(ds)
+    with DawnNode(cfg, encoder=HashEncoder()) as node2:
+        assert node2.provider.index.device_rerank  # shadow survived reload
+        base = f"http://127.0.0.1:{node2.http_port}"
+        data = get_json(base + "/api/search?q=T5%0Abody+5")
+        assert data["results"][0]["url"] == "https://r.com/5"
