@@ -211,6 +211,7 @@ def bench_e2e(index=None, n_rows: int = 1_000_000, batch: int = 256,
     from dawnsearch_tpu.index.flat import search_kernel
     from dawnsearch_tpu.models.bert import BertConfig, encode_batch
     from dawnsearch_tpu.models.weights import init_params
+    from dawnsearch_tpu.ops import scan_select
 
     rng = np.random.default_rng(2)
     if index is None:
@@ -219,15 +220,22 @@ def bench_e2e(index=None, n_rows: int = 1_000_000, batch: int = 256,
     cfg = BertConfig(dtype=jnp.bfloat16)
     ids = jnp.asarray(rng.integers(1000, 30000, (batch, seq)), jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
+    fused_sel = (index.count >= index.fused_min_rows
+                 and scan_select.supports(index.capacity, index.dim,
+                                          index.dtype))
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "k", "chunk", "reps"))
+    @functools.partial(jax.jit, static_argnames=("cfg", "k", "chunk", "reps",
+                                                 "fused_sel"))
     def pipeline(params, ids, mask, codes, scales, count, cfg, k, chunk,
-                 reps):
+                 reps, fused_sel):
         def body(carry, _):
             cur = (ids + carry) % 30000 + 100  # data dependency
             emb = encode_batch(params, cur, mask, cfg=cfg)
-            d, i = search_kernel(codes, scales, emb, count, k, chunk,
-                                 approx=True)
+            if fused_sel:
+                d, i = scan_select.search_select(codes, scales, emb, count, k)
+            else:
+                d, i = search_kernel(codes, scales, emb, count, k, chunk,
+                                     approx=True)
             return i[:, :1].astype(jnp.int32), (d, i)
         _, (d, i) = jax.lax.scan(body, jnp.zeros((batch, 1), jnp.int32),
                                  None, length=reps)
@@ -235,7 +243,8 @@ def bench_e2e(index=None, n_rows: int = 1_000_000, batch: int = 256,
 
     args = (params, ids, mask, index._codes, index._scales,
             jnp.int32(index.count))
-    kw = dict(cfg=cfg, k=k, chunk=index.chunk, reps=reps)
+    kw = dict(cfg=cfg, k=k, chunk=index.chunk, reps=reps,
+              fused_sel=fused_sel)
     np.asarray(pipeline(*args, **kw)[0])
     best = 1e9
     for _ in range(3):
