@@ -328,3 +328,35 @@ def test_mixed_wire_swarm(tmp_path):
         a.stop()
         b.stop()
         tracker.stop()
+
+
+@pytest.mark.parametrize("wire", ["dawn", "reference"])
+def test_raw_udp_client_example(tmp_path, wire):
+    """examples/search_udp.py (the search_udp.rs twin): a raw client
+    datagram — in either wire format — gets Page replies from a live
+    node, sorted by distance."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        from search_udp import search_once
+    finally:
+        sys.path.pop(0)
+
+    tracker = Tracker("127.0.0.1:0").start()
+    enc = HashEncoder()
+    node = DawnNode(node_cfg(tmp_path, "solo", tracker.port),
+                    encoder=enc).start()
+    try:
+        node.service.insert_pages(
+            [(f"https://u.com/{i}", f"T{i}", f"page body {i}")
+             for i in range(8)])
+        q = enc.encode(["T3. page body 3"])[0]
+        hits = search_once(q, ("127.0.0.1", node.udp.port), wire=wire,
+                           deadline=1.0)
+        assert hits and hits[0].url == "https://u.com/3"
+        ds = [p.distance for p in hits]
+        assert ds == sorted(ds)
+    finally:
+        node.stop()
+        tracker.stop()
