@@ -81,3 +81,26 @@ def test_persistence(tmp_path, unit_vectors):
     s2 = PageStore(p)
     assert len(s2) == 1
     s2.close()
+
+
+def test_insert_batch_duplicates_and_ids(tmp_path, unit_vectors):
+    """insert_batch: one transaction, per-row ids, duplicates -> None
+    without aborting the rest (the on-disk ingest hot path — per-row
+    commits measured 1.2k/s vs 38k/s batched+WAL)."""
+    from dawnsearch_tpu.index.store import PageStore
+
+    st = PageStore(str(tmp_path / "p.sqlite"))
+    v = unit_vectors(4)
+    ids = st.insert_batch([
+        ("https://b/1", "A", "x", v[0]),
+        ("https://b/2", "B", "y", v[1]),
+        ("https://b/1", "DupeOfA", "z", v[2]),   # in-batch duplicate
+        ("https://b/3", "C", "w", v[3]),
+    ])
+    assert ids == [1, 2, None, 3]
+    assert len(st) == 3
+    # rows are durable and readable through the normal paths
+    rec, emb = st.get(3)
+    assert rec.url == "https://b/3"
+    # cross-batch duplicate also rejected
+    assert st.insert_batch([("https://b/2", "Again", "q", v[0])]) == [None]
