@@ -124,11 +124,10 @@ def bench_search(index=None, n_rows: int = 1_000_000, batch: int = 1024,
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     q = jnp.asarray(q)
 
-    # mirror FlatIndex's serving default: the fused score+select kernel
-    # when the shape/count qualify, the chunked approx scan otherwise
-    fused_sel = (index.count >= index.fused_min_rows
-                 and scan_select.supports(index.capacity, index.dim,
-                                          index.dtype))
+    # THE serving-default gate (scan_select.eligible): the bench always
+    # measures exactly the path FlatIndex.search would run
+    fused_sel = scan_select.eligible(index.count, index.capacity,
+                                     index.dim, index.dtype)
 
     @functools.partial(jax.jit, static_argnames=("k", "chunk", "reps",
                                                  "fused_sel"))
@@ -220,9 +219,8 @@ def bench_e2e(index=None, n_rows: int = 1_000_000, batch: int = 256,
     cfg = BertConfig(dtype=jnp.bfloat16)
     ids = jnp.asarray(rng.integers(1000, 30000, (batch, seq)), jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
-    fused_sel = (index.count >= index.fused_min_rows
-                 and scan_select.supports(index.capacity, index.dim,
-                                          index.dtype))
+    fused_sel = scan_select.eligible(index.count, index.capacity,
+                                     index.dim, index.dtype)
 
     @functools.partial(jax.jit, static_argnames=("cfg", "k", "chunk", "reps",
                                                  "fused_sel"))

@@ -50,6 +50,11 @@ class Config:
     index_rerank: str = "host"
     ivf_ncentroids: int = 256
     ivf_nprobe: int = 16
+    # rows at which index_kind="ivf" trains centroids and migrates
+    # flat->IVF (AutoIndex); IVF measured worse than flat on isotropic
+    # data even at 8M rows (doc/performance.md) so this only matters
+    # for corpora with real cluster structure
+    ivf_train_threshold: int = 100_000
     # copies per vector (reference inserts into the 3 nearest buckets,
     # examples_old/search_bucket.rs:16-17) — recall lever at m-x memory
     ivf_multi_assign: int = 1

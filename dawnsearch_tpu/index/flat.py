@@ -247,8 +247,9 @@ class FlatIndex:
         # "auto": exact top_k for f32 (the oracle), approx_min_k for
         # quantized storage — ~2x faster at 1M rows, recall-neutral
         # next to the quantization error.
+        from dawnsearch_tpu.ops.scan_select import MIN_ROWS
         self.selector = selector
-        self.fused_min_rows = 262_144  # see search(): windowed-candidate gate
+        self.fused_min_rows = MIN_ROWS  # see scan_select.eligible
         self.max_capacity = max_capacity
         self.count = 0
         self.capacity = _round_up(max(capacity, segment), segment)
@@ -350,17 +351,14 @@ class FlatIndex:
         approx = (self.selector == "approx"
                   or (self.selector == "auto" and self.dtype != "f32"))
         # The fused score+select kernel (87k vs 53k QPS at 1M rows,
-        # doc/performance.md) emits one candidate per 128-row window, so
-        # it needs count >> k*128 for the windowed approximation to hold
-        # (collision odds ~k^2*64/count); below the gate — where the XLA
-        # chunked path is already fast — or at unsupported shapes, fall
-        # through. "auto" prefers it for quantized storage; recall
-        # measured identical to approx_min_k (0.982 raw at 1M).
-        fused = False
-        if (self.selector in ("fused", "auto") and self.dtype != "f32"
-                and self.count >= self.fused_min_rows):
-            from dawnsearch_tpu.ops import scan_select
-            fused = scan_select.supports(self.capacity, self.dim, self.dtype)
+        # doc/performance.md); the shared gate (scan_select.eligible)
+        # falls through to the XLA chunked path at small counts or
+        # unsupported shapes. Recall measured identical to approx_min_k
+        # (0.982 raw at 1M).
+        from dawnsearch_tpu.ops import scan_select
+        fused = scan_select.eligible(self.count, self.capacity, self.dim,
+                                     self.dtype, self.selector,
+                                     self.fused_min_rows)
         if fused:
             d, i = self._search_fused(q, k_eff)
         elif self._exact is not None:

@@ -59,16 +59,28 @@ def _sample(text: str) -> str:
 
 
 def english_score(text: str) -> float:
-    """Fraction of words that are common-English stopwords (0..1)."""
-    words = _sample(text).lower().split()
-    if not words:
-        return 0.0
+    """Fraction of WORDS that are common-English stopwords (0..1).
+
+    The denominator counts only letter-bearing tokens — matching the
+    original [a-z']+ formulation — so numbers, dates, prices, and
+    punctuation runs don't deflate the score (a stats-heavy English
+    page must not fall under the 0.12 gate just for containing a score
+    table)."""
+    tokens = _sample(text).lower().split()
     sw = _STOPWORDS
     hits = 0
-    for w in words:
-        if w in sw or w.strip(_PUNCT) in sw:
+    words = 0
+    for w in tokens:
+        ws = w.strip(_PUNCT)
+        # letter check short-circuits on the first char for real words
+        if not ws or not any(c.isalpha() for c in ws):
+            continue
+        words += 1
+        if ws in sw:
             hits += 1
-    return hits / len(words)
+    if not words:
+        return 0.0
+    return hits / words
 
 
 def latin_ratio(text: str) -> float:

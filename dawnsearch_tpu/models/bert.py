@@ -146,7 +146,11 @@ def _layer_fwd(
 ) -> jax.Array:
     """One transformer layer (reference model.rs:467-499): post-LN BERT."""
     H, hd = cfg.hidden_size, cfg.head_dim
-    if cfg.layer_impl == "layer" and 128 % hd == 0 and H % 128 == 0:
+    # an explicit attn_impl/ffn_impl="xla" override routes around ALL
+    # Pallas kernels (e.g. to sidestep a platform Mosaic bug or A/B) —
+    # the whole-layer kernel must not silently ignore it
+    if (cfg.layer_impl == "layer" and cfg.attn_impl != "xla"
+            and cfg.ffn_impl != "xla" and 128 % hd == 0 and H % 128 == 0):
         from dawnsearch_tpu.ops.layer import fused_bert_layer
         bias2d = None if mask_bias is None else mask_bias[:, 0, 0, :]
         return fused_bert_layer(

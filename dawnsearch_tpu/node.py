@@ -88,7 +88,10 @@ def make_index_factory(cfg: Config, dim: int = 384):
                              max_capacity=cfg.index_capacity,
                              n_centroids=cfg.ivf_ncentroids,
                              nprobe=cfg.ivf_nprobe,
-                             multi_assign=cfg.ivf_multi_assign)
+                             multi_assign=cfg.ivf_multi_assign,
+                             # index_kind="ivf" must actually reach IVF:
+                             # AutoIndex's own default is None (never)
+                             train_threshold=cfg.ivf_train_threshold)
         if cfg.index_kind == "sharded":
             import jax
 

@@ -91,8 +91,13 @@ def _candidates(codes: jax.Array, scales: jax.Array | None, q: jax.Array,
     N = codes.shape[0]
     R = tn // W
     has_scales = scales is not None
-    sc = (scales[None, :] if has_scales
-          else jnp.zeros((1, N), jnp.float32))
+    # scale-less (bf16) indexes pass a (1, tn) dummy on a constant
+    # index_map — a (1, N) dummy would stream O(N) zeros per search
+    sc = scales[None, :] if has_scales else jnp.zeros((1, tn), jnp.float32)
+    sc_spec = (pl.BlockSpec((1, tn), lambda ni, bi: (0, ni),
+                            memory_space=pltpu.VMEM) if has_scales
+               else pl.BlockSpec((1, tn), lambda ni, bi: (0, 0),
+                                 memory_space=pltpu.VMEM))
     vals, ids = pl.pallas_call(
         functools.partial(_select_kernel, has_scales=has_scales),
         out_shape=(jax.ShapeDtypeStruct((B, N // W), jnp.float32),
@@ -103,8 +108,7 @@ def _candidates(codes: jax.Array, scales: jax.Array | None, q: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, codes.shape[1]), lambda ni, bi: (ni, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda ni, bi: (0, ni),
-                         memory_space=pltpu.VMEM),
+            sc_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -129,6 +133,20 @@ def supports(capacity: int, dim: int, dtype: str,
             and capacity >= tn and dim % 128 == 0)
 
 
+# The windowed-candidate approximation needs count >> k*W (shadowing
+# odds ~k^2*W/2N); below this the XLA chunked path is already fast.
+MIN_ROWS = 262_144
+
+
+def eligible(count: int, capacity: int, dim: int, dtype: str,
+             selector: str = "auto", min_rows: int = MIN_ROWS) -> bool:
+    """THE serving-default gate, shared by FlatIndex, ShardedFlatIndex,
+    the fused query program, and the benchmarks — one predicate so the
+    benches always measure exactly what serving runs."""
+    return (selector in ("fused", "auto") and count >= min_rows
+            and supports(capacity, dim, dtype))
+
+
 def search_select(codes: jax.Array, scales: jax.Array | None,
                   queries: jax.Array, count: jax.Array, k: int,
                   tb: int = DEFAULT_TB, tn: int = DEFAULT_TN
@@ -144,6 +162,17 @@ def search_select(codes: jax.Array, scales: jax.Array | None,
     if padded != B:
         q = jnp.pad(q, ((0, padded - B), (0, 0)))
     vals, ids = _candidates(codes, scales, q, count, tb, tn)
+    # The candidate array is N/W columns — linear in N, so at 10M+ rows
+    # the final top_k would re-create the selector bottleneck. Fold
+    # pairwise (min + id select, pure XLA elementwise) until <= 16384
+    # columns; each fold doubles the effective window (at 16M rows the
+    # final window is 1024: shadowing odds ~k^2*W/2N ~ 0.3%/query).
+    while vals.shape[1] > 16384:
+        v = vals.reshape(vals.shape[0], -1, 2)
+        i2 = ids.reshape(ids.shape[0], -1, 2)
+        left = v[:, :, 0] <= v[:, :, 1]
+        vals = jnp.where(left, v[:, :, 0], v[:, :, 1])
+        ids = jnp.where(left, i2[:, :, 0], i2[:, :, 1])
     k_eff = min(k, vals.shape[1])
     neg, sel = jax.lax.top_k(-vals, k_eff)
     d = -neg

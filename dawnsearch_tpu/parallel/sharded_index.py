@@ -172,7 +172,8 @@ class ShardedFlatIndex:
         self.dtype = dtype
         self.segment = segment
         self.chunk = chunk
-        self.fused_min_rows = 262_144  # per-shard score+select gate
+        from dawnsearch_tpu.ops.scan_select import MIN_ROWS
+        self.fused_min_rows = MIN_ROWS  # per-shard score+select gate
         self.max_capacity = max_capacity
         self.cap_per_shard = _round_up(max(capacity_per_shard, segment), segment)
         self._counts = np.zeros(self.n_shards, dtype=np.int64)
@@ -343,10 +344,9 @@ class ShardedFlatIndex:
         kf = (min(k_local + self.rerank_extra, self.cap_per_shard)
               if self.exact else k_local)
         from dawnsearch_tpu.ops import scan_select
-        fused_sel = (self.dtype != "f32"
-                     and int(self._counts.min()) >= self.fused_min_rows
-                     and scan_select.supports(self.cap_per_shard, self.dim,
-                                              self.dtype))
+        fused_sel = scan_select.eligible(
+            int(self._counts.min()), self.cap_per_shard, self.dim,
+            self.dtype, min_rows=self.fused_min_rows)
         d, u = _sharded_search(
             self._codes, self._scales, self._exact, self._ids,
             jnp.asarray(self._counts, jnp.int32), q,

@@ -70,10 +70,9 @@ class FusedQueryPath:
         kf = (min(k_eff + ix.rerank_extra, ix.capacity)
               if ix.device_rerank else None)
         from dawnsearch_tpu.ops import scan_select
-        fused_sel = (ix.selector in ("fused", "auto")
-                     and ix.dtype != "f32"
-                     and ix.count >= ix.fused_min_rows
-                     and scan_select.supports(ix.capacity, ix.dim, ix.dtype))
+        fused_sel = scan_select.eligible(ix.count, ix.capacity, ix.dim,
+                                         ix.dtype, ix.selector,
+                                         ix.fused_min_rows)
         with METRICS.timer("fused_query"):
             emb, d, i = _fused_program(
                 enc.params, jnp.asarray(input_ids), jnp.asarray(mask),

@@ -89,10 +89,9 @@ def time_flat(index: FlatIndex, batch: int = 1024, reps: int = 8) -> float:
     q = rng.standard_normal((batch, 384)).astype(np.float32)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     q = jnp.asarray(q)
-    # serving default: fused score+select when the shape qualifies
-    fused = (index.count >= index.fused_min_rows
-             and scan_select.supports(index.capacity, index.dim,
-                                      index.dtype))
+    # serving default: the shared scan_select.eligible gate
+    fused = scan_select.eligible(index.count, index.capacity, index.dim,
+                                 index.dtype)
 
     @functools.partial(jax.jit, static_argnames=("k", "chunk", "reps",
                                                  "fused"))

@@ -60,21 +60,32 @@ def search_once(embedding: np.ndarray, peer: tuple[str, int],
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # flags may appear anywhere; their VALUES must not leak into the
+    # positionals (query, peer)
+    opts = {"wire": "dawn", "deadline": "0.5", "model-dir": ""}
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            name = a[2:]
+            if name not in opts or i + 1 >= len(argv):
+                print(__doc__)
+                raise SystemExit(2)
+            opts[name] = argv[i + 1]
+            i += 2
+        else:
+            args.append(a)
+            i += 1
     if len(args) < 2:
         print(__doc__)
         raise SystemExit(2)
     query, peer = args[0], args[1]
     host, _, port = peer.partition(":")
-
-    def opt(name: str, default: str) -> str:
-        flag = f"--{name}"
-        return (sys.argv[sys.argv.index(flag) + 1]
-                if flag in sys.argv else default)
-
-    wire = opt("wire", "dawn")
-    deadline = float(opt("deadline", "0.5"))
-    model_dir = opt("model-dir", "") or None
+    wire = opts["wire"]
+    deadline = float(opts["deadline"])
+    model_dir = opts["model-dir"] or None
 
     from dawnsearch_tpu.config import Config
     from dawnsearch_tpu.node import make_encoder
