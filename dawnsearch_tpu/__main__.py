@@ -37,8 +37,10 @@ def main(argv=None) -> int:
         "sidecar", help="offline WARC -> embedding sidecar files, or bulk "
                         "index load (reference: src/index/warc.rs)")
     sidecar.add_argument("warcs", nargs="+",
-                         help="WARC files to embed, or .npz sidecars "
-                              "with --load")
+                         help="WARC files, URLs, or Common Crawl "
+                              "crawl-data/... keys to embed "
+                              "(examples_old/index_url.rs), or .npz "
+                              "sidecars with --load")
     sidecar.add_argument("--load", action="store_true",
                          help="bulk-load .npz sidecars into the data dir "
                               "instead of embedding WARCs")
@@ -60,12 +62,13 @@ def main(argv=None) -> int:
             provider.shutdown()
             print(f"indexed {n} pages into {cfg.data_dir}")
         else:
-            from dawnsearch_tpu.ingest.sidecar import write_sidecar
+            from dawnsearch_tpu.ingest.sidecar import open_warc, write_sidecar
             from dawnsearch_tpu.node import make_encoder
             enc = make_encoder(cfg)
             for w in args.warcs:
-                out = w.rsplit(".warc", 1)[0] + ".sidecar.npz"
-                n = write_sidecar(w, enc.encode, out)
+                name, src = open_warc(w)
+                out = name.rsplit(".warc", 1)[0] + ".sidecar.npz"
+                n = write_sidecar(src, enc.encode, out)
                 print(f"{w}: {n} pages -> {out}")
         return 0
 

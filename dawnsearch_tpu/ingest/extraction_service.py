@@ -132,11 +132,13 @@ class CommonCrawlSource:
 
 
 class ExtractionService:
-    """Two-stage pipeline: the extraction thread parses WARC records and
-    fills a bounded queue of page batches; the insert thread drains it
-    into embed+index. Host-side extraction of batch i+1 overlaps the
-    device work of batch i (the reference does everything serially,
-    one page at a time)."""
+    """Three-stage pipeline: the extraction thread parses WARC records
+    and fills a bounded queue of page batches; the tokenize thread
+    pre-tokenizes each batch (the C++ WordPiece tokenizer releases the
+    GIL, so this genuinely overlaps both neighbors); the insert thread
+    drains ready batches into embed+index. Host-side extraction and
+    tokenization of batches i+1/i+2 overlap the device work of batch i
+    (the reference does everything serially, one page at a time)."""
 
     def __init__(self, service, source=None, batch_size: int = 64,
                  max_pages: int | None = None,
@@ -155,14 +157,20 @@ class ExtractionService:
         self.between_files_s = between_files_s
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._tokenize_thread: threading.Thread | None = None
         self._insert_thread: threading.Thread | None = None
         self._batches: "queue.Queue" = queue.Queue(maxsize=4)
+        self._ready: "queue.Queue" = queue.Queue(maxsize=4)
         self.pages_ingested = 0
 
     def start(self) -> "ExtractionService":
         self._insert_thread = threading.Thread(
             target=self._insert_loop, daemon=True, name="extraction-insert")
         self._insert_thread.start()
+        self._tokenize_thread = threading.Thread(
+            target=self._tokenize_loop, daemon=True,
+            name="extraction-tokenize")
+        self._tokenize_thread.start()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="extraction")
         self._thread.start()
@@ -172,7 +180,9 @@ class ExtractionService:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10.0)
-        self._batches.put(None)
+        self._batches.put(None)  # tokenize loop forwards the sentinel
+        if self._tokenize_thread is not None:
+            self._tokenize_thread.join(timeout=10.0)
         if self._insert_thread is not None:
             self._insert_thread.join(timeout=10.0)
 
@@ -181,30 +191,54 @@ class ExtractionService:
         if self._thread is not None:
             self._thread.join(timeout)
         self._batches.join()
+        self._ready.join()
 
-    def _insert_loop(self) -> None:
+    def _tokenize_loop(self) -> None:
+        tokenize = getattr(self.service, "tokenize_pages", None)
         while True:
             batch = self._batches.get()
             if batch is None:
+                self._ready.put(None)
                 self._batches.task_done()
                 return
+            triples = [(p.url, p.title, p.text) for p in batch]
+            token_ids = None
+            if callable(tokenize):
+                try:
+                    token_ids = tokenize(triples)
+                except Exception:
+                    log.exception("tokenize batch failed; inserting raw")
+            # put BEFORE task_done so _batches.join() implies everything
+            # extracted is visible to _ready.join()
+            self._ready.put((triples, token_ids))
+            self._batches.task_done()
+
+    def _insert_loop(self) -> None:
+        while True:
+            item = self._ready.get()
+            if item is None:
+                self._ready.task_done()
+                return
             try:
-                self._insert(batch)
+                self._insert(*item)
             except Exception:
                 log.exception("insert batch failed")
             finally:
-                self._batches.task_done()
+                self._ready.task_done()
 
-    def _insert(self, batch: list[ExtractedPage]) -> None:
+    def _insert(self, triples: list[tuple[str, str, str]],
+                token_ids: list[list[int]] | None) -> None:
         t0 = time.perf_counter()
-        self.service.insert_pages(
-            [(p.url, p.title, p.text) for p in batch])
+        # kwargs only when pre-tokenized, so duck-typed test services
+        # with the plain insert_pages(pages) signature keep working
+        kw = {"token_ids": token_ids} if token_ids is not None else {}
+        self.service.insert_pages(triples, **kw)
         dt = time.perf_counter() - t0
-        self.pages_ingested += len(batch)
-        METRICS.inc("pages_extracted", len(batch))
+        self.pages_ingested += len(triples)
+        METRICS.inc("pages_extracted", len(triples))
         # throughput meter like the reference's (warc.rs:107-114)
         log.info("ingested %d pages in %.2fs (%.1f pages/s, total %d)",
-                 len(batch), dt, len(batch) / max(dt, 1e-9),
+                 len(triples), dt, len(triples) / max(dt, 1e-9),
                  self.pages_ingested)
 
     @staticmethod

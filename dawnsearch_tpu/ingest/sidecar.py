@@ -69,6 +69,30 @@ def write_sidecar(warc_path: str, encode_fn, out_path: str,
     return n
 
 
+def open_warc(spec: str):
+    """Local path, URL, or Common Crawl key -> (name, path-or-stream)
+    consumable by iter_pages / write_sidecar.
+
+    The URL form is the examples_old/index_url.rs capability (fetch ONE
+    named WARC from the crawl bucket and sidecar it); a bare
+    `crawl-data/...` key resolves against the Common Crawl CDN the same
+    way index_url.rs prefixes data.commoncrawl.org."""
+    import io
+    import os
+    import urllib.request
+
+    url = None
+    if spec.startswith(("http://", "https://")):
+        url = spec
+    elif not os.path.exists(spec) and spec.startswith("crawl-data/"):
+        url = f"https://data.commoncrawl.org/{spec}"
+    if url is not None:
+        name = url.rsplit("/", 1)[-1]
+        return name, io.BufferedReader(
+            urllib.request.urlopen(url, timeout=120))
+    return os.path.basename(spec), spec
+
+
 def load_sidecar(path: str):
     """-> (embeddings (N, D) f32, urls, titles, texts) numpy arrays."""
     z = np.load(path if path.endswith(".npz") else path + ".npz",

@@ -142,12 +142,16 @@ class FusedIngestPath:
     def supports(index) -> bool:
         return isinstance(index, FlatIndex) and index.dtype == "i8"
 
-    def ingest(self, texts: list[str]) -> np.ndarray:
+    def ingest(self, texts: list[str],
+               token_ids: list[list[int]] | None = None) -> np.ndarray:
         """Embed + append `texts` to the index; returns (n, H) f32
         embeddings for durable storage. Caller must hold the provider
-        lock (buffer donation is not reentrant)."""
+        lock (buffer donation is not reentrant). `token_ids` (one list
+        per text, from encoder.tokenize_texts) skips tokenization —
+        the ingest pipeline computes it on a separate thread."""
         enc = self.encoder
-        ids_list = enc.tokenize_texts(texts)
+        ids_list = (token_ids if token_ids is not None
+                    else enc.tokenize_texts(texts))
         input_ids, mask = enc.pad_batch(ids_list)
         ix = self.index
         n = len(texts)

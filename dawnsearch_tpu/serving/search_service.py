@@ -190,12 +190,29 @@ class SearchService:
 
     # -- ingestion ------------------------------------------------------------
 
+    def tokenize_pages(self, pages: Sequence[tuple[str, str, str]]
+                       ) -> list[list[int]] | None:
+        """Pre-tokenize (url, title, text) triples for
+        `insert_pages(token_ids=...)` — lets an ingest pipeline run the
+        tokenizer on its own thread, overlapped with WARC extraction and
+        device work, instead of serializing it under the provider lock.
+        None when no encoder-backed fused path exists (the split path
+        re-tokenizes internally anyway)."""
+        if self._fused_ingest is None:
+            return None
+        # must match insert_pages' combined formula exactly
+        combined = [f"{title}\n{text}" for _, title, text in pages]
+        return self._fused_ingest.encoder.tokenize_texts(combined)
+
     def insert_pages(self, pages: Sequence[tuple[str, str, str]],
-                     from_network: bool = False) -> list[int | None]:
+                     from_network: bool = False,
+                     token_ids: list[list[int]] | None = None
+                     ) -> list[int | None]:
         """Batch-embed and insert (url, title, text) triples; locally
         originated pages replicate to the network
         (search_service.rs:158-181). The reference embeds one page per
-        message — batching here is the ingest-throughput fix."""
+        message — batching here is the ingest-throughput fix.
+        `token_ids` (from tokenize_pages) skips in-lock tokenization."""
         if not pages:
             return []
         combined = [f"{title}\n{text}" for _, title, text in pages]
@@ -209,8 +226,10 @@ class SearchService:
                 kept = [i for i, ok in enumerate(keep) if ok]
                 ids = [None] * len(pages)
                 if kept:
+                    tk = ([token_ids[i] for i in kept]
+                          if token_ids is not None else None)
                     embs = self._fused_ingest.ingest(
-                        [combined[i] for i in kept])
+                        [combined[i] for i in kept], token_ids=tk)
                     stored = self.provider.store_pages(
                         [urls[i] for i in kept], [titles[i] for i in kept],
                         [texts[i] for i in kept], embs)

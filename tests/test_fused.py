@@ -119,6 +119,27 @@ def test_fused_ingest_active_and_dedup(service):
     assert res.pages[0].url == "https://d/2"
 
 
+def test_pretokenized_insert_matches(service):
+    """insert_pages(token_ids=...) — the ingest pipeline's tokenize
+    stage — stores bit-identical embeddings to in-lock tokenization."""
+    pages_a = [(f"https://tk/a{i}", f"T{i}", t) for i, t in enumerate(CORPUS)]
+    pages_b = [(f"https://tk/b{i}", f"T{i}", t) for i, t in enumerate(CORPUS)]
+    token_ids = service.tokenize_pages(pages_a)
+    assert token_ids is not None and len(token_ids) == len(pages_a)
+    ids_a = service.insert_pages(pages_a, token_ids=token_ids)
+    ids_b = service.insert_pages(pages_b)  # same texts, in-lock tokenize
+    assert all(i is not None for i in ids_a + ids_b)
+    store = service.provider.store
+    for ia, ib in zip(ids_a, ids_b):
+        ea = store.embeddings_for([ia])[ia]
+        eb = store.embeddings_for([ib])[ib]
+        np.testing.assert_array_equal(ea, eb)
+    # dedup still applies to pre-tokenized inserts (kept-subset slicing)
+    dup = [pages_a[0], (f"https://tk/new", "N", CORPUS[1])]
+    ids = service.insert_pages(dup, token_ids=service.tokenize_pages(dup))
+    assert ids[0] is None and ids[1] is not None
+
+
 def test_fused_ingest_capacity_cap(encoder):
     provider = SearchProvider(data_dir=None, dim=64, max_pages=2,
                               verify_on_load=False)
