@@ -45,8 +45,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _select_kernel(q_ref, codes_ref, scales_ref, count_ref, vals_ref,
-                   ids_ref, *, has_scales: bool):
+def _select_kernel(q_ref, qscale_ref, codes_ref, scales_ref, count_ref,
+                   vals_ref, ids_ref, *, has_scales: bool, qi8: bool):
     """One (TB, TN) score tile -> (TB, TN/W) window minima + argmins.
 
     Grid is (N tiles, B tiles) — N MAJOR — so the big codes block is
@@ -55,21 +55,34 @@ def _select_kernel(q_ref, codes_ref, scales_ref, count_ref, vals_ref,
     rows, batch 1024). Windows are STRIDED (window r = rows {r, R+r,
     2R+r, ...}): any partition into N/W groups is equally valid for a
     candidate-generating reduce, and this one puts the reduction on the
-    sublane axis where the VPU is fast, instead of across lanes."""
+    sublane axis where the VPU is fast, instead of across lanes.
+
+    qi8: queries arrive pre-quantized to i8 with a per-row scale, and
+    the matmul runs s8xs8->s32 on the MXU — 2x the bf16 rate — with the
+    two scales folded back in f32. The query quantization error
+    (~0.4% of the row max per element) is the same order as the bf16
+    query cast it replaces, and the stored-code i8 error dominates
+    both; the default f32/f16 re-rank erases all three."""
     TB, D = q_ref.shape
     TN = codes_ref.shape[0]
     R = TN // W  # windows in this tile = output lanes
     ni = pl.program_id(0)
     base = ni * TN  # global row of codes_ref[0]
 
-    x = codes_ref[...].astype(jnp.bfloat16)
-    dots = jax.lax.dot_general(
-        q_ref[...].astype(jnp.bfloat16), x, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (TB, TN)
-    if has_scales:
-        d = 1.0 - dots * scales_ref[...]             # scales (1, TN)
+    if qi8:
+        dots = jax.lax.dot_general(
+            q_ref[...], codes_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)        # (TB, TN) s32
+        scaled = dots.astype(jnp.float32) * qscale_ref[...]  # (TB, 1)
     else:
-        d = 1.0 - dots
+        x = codes_ref[...].astype(jnp.bfloat16)
+        scaled = jax.lax.dot_general(
+            q_ref[...].astype(jnp.bfloat16), x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (TB, TN)
+    if has_scales:
+        d = 1.0 - scaled * scales_ref[...]           # scales (1, TN)
+    else:
+        d = 1.0 - scaled
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, TN), 1) + base
     d = jnp.where(rows < count_ref[0], d, jnp.inf)
 
@@ -83,9 +96,9 @@ def _select_kernel(q_ref, codes_ref, scales_ref, count_ref, vals_ref,
     ids_ref[...] = jnp.where(jnp.isfinite(mins), ids, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "tn"))
+@functools.partial(jax.jit, static_argnames=("tb", "tn", "qi8"))
 def _candidates(codes: jax.Array, scales: jax.Array | None, q: jax.Array,
-                count: jax.Array, tb: int, tn: int
+                count: jax.Array, tb: int, tn: int, qi8: bool = False
                 ) -> tuple[jax.Array, jax.Array]:
     B = q.shape[0]
     N = codes.shape[0]
@@ -98,13 +111,25 @@ def _candidates(codes: jax.Array, scales: jax.Array | None, q: jax.Array,
                             memory_space=pltpu.VMEM) if has_scales
                else pl.BlockSpec((1, tn), lambda ni, bi: (0, 0),
                                  memory_space=pltpu.VMEM))
+    if qi8:
+        # per-row i8 quantization of the queries (s8xs8->s32 MXU path);
+        # zero rows (batch padding) quantize to all-zero codes
+        qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True),
+                           1e-30)
+        qs = qmax / 127.0                                # (B, 1) f32
+        qq = jnp.round(q / qs).astype(jnp.int8)
+    else:
+        qs = jnp.ones((B, 1), jnp.float32)
+        qq = q.astype(jnp.float32)
     vals, ids = pl.pallas_call(
-        functools.partial(_select_kernel, has_scales=has_scales),
+        functools.partial(_select_kernel, has_scales=has_scales, qi8=qi8),
         out_shape=(jax.ShapeDtypeStruct((B, N // W), jnp.float32),
                    jax.ShapeDtypeStruct((B, N // W), jnp.int32)),
         grid=(N // tn, B // tb),   # N MAJOR: codes DMA'd once, revisited
         in_specs=[
             pl.BlockSpec((tb, q.shape[1]), lambda ni, bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda ni, bi: (bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, codes.shape[1]), lambda ni, bi: (ni, 0),
                          memory_space=pltpu.VMEM),
@@ -121,7 +146,7 @@ def _candidates(codes: jax.Array, scales: jax.Array | None, q: jax.Array,
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(q.astype(jnp.float32), codes, sc, count.reshape(1).astype(jnp.int32))
+    )(qq, qs, codes, sc, count.reshape(1).astype(jnp.int32))
     return vals, ids
 
 
@@ -137,6 +162,9 @@ def supports(capacity: int, dim: int, dtype: str,
 # odds ~k^2*W/2N); below this the XLA chunked path is already fast.
 MIN_ROWS = 262_144
 
+# s8xs8 MXU scoring for i8 indexes (search_select(qi8=...) overrides).
+QI8_DEFAULT = False
+
 
 def eligible(count: int, capacity: int, dim: int, dtype: str,
              selector: str = "auto", min_rows: int = MIN_ROWS) -> bool:
@@ -149,19 +177,25 @@ def eligible(count: int, capacity: int, dim: int, dtype: str,
 
 def search_select(codes: jax.Array, scales: jax.Array | None,
                   queries: jax.Array, count: jax.Array, k: int,
-                  tb: int = DEFAULT_TB, tn: int = DEFAULT_TN
+                  tb: int = DEFAULT_TB, tn: int = DEFAULT_TN,
+                  qi8: bool | None = None
                   ) -> tuple[jax.Array, jax.Array]:
     """(B, D) queries vs (N, D) codes -> (B, k) dists asc + global ids.
 
     Pads the batch up to a tile multiple; invalid slots come back
-    (+inf, -1) like search_kernel."""
+    (+inf, -1) like search_kernel. qi8 quantizes queries per-row to i8
+    so scoring runs on the MXU's s8xs8->s32 path at 2x the bf16 rate;
+    QI8_DEFAULT gates it for i8 codes (see doc/performance.md for the
+    measured A/B before flipping it)."""
     B = queries.shape[0]
+    if qi8 is None:
+        qi8 = QI8_DEFAULT and codes.dtype == jnp.int8
     tb = min(tb, max(8, 1 << (B - 1).bit_length()))  # small batches
     padded = -(-B // tb) * tb
     q = queries.astype(jnp.float32)
     if padded != B:
         q = jnp.pad(q, ((0, padded - B), (0, 0)))
-    vals, ids = _candidates(codes, scales, q, count, tb, tn)
+    vals, ids = _candidates(codes, scales, q, count, tb, tn, qi8=qi8)
     # The candidate array is N/W columns — linear in N, so at 10M+ rows
     # the final top_k would re-create the selector bottleneck. Fold
     # pairwise (min + id select, pure XLA elementwise) until <= 16384

@@ -242,6 +242,34 @@ def test_fused_selector_matches_brute_force(unit_vectors):
     assert (i[:, 0] == bi[:, 0]).mean() >= 0.9
 
 
+def test_fused_selector_qi8_scoring(unit_vectors):
+    """s8xs8 MXU scoring (search_select(qi8=True)): distances track the
+    bf16 path within query-quantization error and recall holds."""
+    from dawnsearch_tpu.ops.scan_select import search_select
+    import jax.numpy as jnp
+
+    x = unit_vectors(16384)
+    q = unit_vectors(16)
+    idx = FlatIndex(dtype="i8", capacity=16384, segment=16384)
+    idx.add(x)
+    args = (idx._codes, idx._scales, jnp.asarray(q), jnp.int32(idx.count))
+    d0, i0 = search_select(*args, 10, qi8=False)
+    d1, i1 = search_select(*args, 10, qi8=True)
+    d0, i0, d1, i1 = map(np.asarray, (d0, i0, d1, i1))
+    # same candidates up to near-tie permutations within quant noise
+    overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i0, i1)])
+    assert overlap >= 0.8
+    np.testing.assert_allclose(d0[:, 0], d1[:, 0], atol=5e-3)
+    bd, bi = brute_force(q, x, 10)
+    hits = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i1, bi)])
+    assert hits >= 0.85
+    # batch-padding rows (zero queries) stay harmless
+    d2, i2 = search_select(idx._codes, idx._scales,
+                           jnp.asarray(q[:3]), jnp.int32(idx.count),
+                           5, qi8=True)
+    assert np.asarray(i2).shape == (3, 5) and (np.asarray(i2) >= 0).all()
+
+
 def test_fused_selector_with_device_rerank(unit_vectors):
     x = unit_vectors(16384)
     q = unit_vectors(8)
