@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 W = 128          # rows per candidate window (the reduce granularity)
 DEFAULT_TN = 16384  # index rows per grid step (TN/W = 128 lanes out)
-DEFAULT_TB = 128    # queries per grid step
+DEFAULT_TB = 256    # queries per grid step (A/B'd vs 128: 5.9 vs 6.5 ms
+#                     per 1024-query batch at 1M rows; small batches
+#                     still downshift in search_select)
 
 
 def _interpret() -> bool:
@@ -86,14 +88,26 @@ def _select_kernel(q_ref, qscale_ref, codes_ref, scales_ref, count_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, TN), 1) + base
     d = jnp.where(rows < count_ref[0], d, jnp.inf)
 
-    dw = d.reshape(TB, W, R)                         # window = lane r
-    mins = jnp.min(dw, axis=1)                       # (TB, R) sublane reduce
-    sub = jax.lax.broadcasted_iota(jnp.int32, (TB, W, R), 1)
-    amin = jnp.min(jnp.where(dw == mins[:, None, :], sub, W), axis=1)
-    ids = base + jnp.minimum(amin, W - 1) * R + \
+    # Packed-key window argmin. The bit pattern of a POSITIVE f32 is
+    # order-preserving under integer compare, so bias d positive (+1;
+    # d >= -0.05 even with quant error), clear the low 7 mantissa bits
+    # (perturbs the value by < 3e-5 — far under i8 quantization error)
+    # and fold the window id w < W=128 into them: ONE integer min over
+    # static lane-block slices then yields value AND argmin together.
+    # This replaced a (TB, TN) -> (TB, W, R) reshape (a full cross-vreg
+    # relayout) + equality re-scan, which cost more than the scoring
+    # matmul itself (A/B in doc/performance.md).
+    # +inf survives: its bit pattern's low bits are already clear, and
+    # masked-key ints (0x7f8000xx) still compare above every real d.
+    keys = jax.lax.bitcast_convert_type(d + 1.0, jnp.int32) & ~0x7F
+    best = keys[:, :R]
+    for w in range(1, W):
+        best = jnp.minimum(best, keys[:, w * R:(w + 1) * R] | w)
+    vals = jax.lax.bitcast_convert_type(best & ~0x7F, jnp.float32) - 1.0
+    ids = base + (best & 0x7F) * R + \
         jax.lax.broadcasted_iota(jnp.int32, (TB, R), 1)
-    vals_ref[...] = mins
-    ids_ref[...] = jnp.where(jnp.isfinite(mins), ids, -1)
+    vals_ref[...] = vals
+    ids_ref[...] = jnp.where(jnp.isfinite(vals), ids, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("tb", "tn", "qi8"))
@@ -162,8 +176,10 @@ def supports(capacity: int, dim: int, dtype: str,
 # odds ~k^2*W/2N); below this the XLA chunked path is already fast.
 MIN_ROWS = 262_144
 
-# s8xs8 MXU scoring for i8 indexes (search_select(qi8=...) overrides).
-QI8_DEFAULT = False
+# s8xs8 MXU scoring for i8 indexes (search_select(qi8=...) overrides):
+# measured 6.5 -> 5.9 ms/batch at 1M rows with recall unchanged
+# (doc/performance.md).
+QI8_DEFAULT = True
 
 
 def eligible(count: int, capacity: int, dim: int, dtype: str,
@@ -196,12 +212,17 @@ def search_select(codes: jax.Array, scales: jax.Array | None,
     if padded != B:
         q = jnp.pad(q, ((0, padded - B), (0, 0)))
     vals, ids = _candidates(codes, scales, q, count, tb, tn, qi8=qi8)
-    # The candidate array is N/W columns — linear in N, so at 10M+ rows
-    # the final top_k would re-create the selector bottleneck. Fold
-    # pairwise (min + id select, pure XLA elementwise) until <= 16384
-    # columns; each fold doubles the effective window (at 16M rows the
-    # final window is 1024: shadowing odds ~k^2*W/2N ~ 0.3%/query).
-    while vals.shape[1] > 16384:
+    # The candidate array is N/W columns — linear in N, so the final
+    # top_k would re-create the selector bottleneck (measured 0.6
+    # ms/batch of the 6.5 at 1M rows). Fold pairwise (min + id select,
+    # pure XLA elementwise) down to 4096 columns; each fold doubles the
+    # effective window, so stop at 1024 effective rows per candidate —
+    # the recall floor (shadowing odds ~k^2*W_eff/2N: 0.13%/query at
+    # 1M rows / W_eff 256; 0.3% at 16M / W_eff 1024, measured recall
+    # 0.981 raw).
+    eff_w = W
+    while vals.shape[1] > 4096 and eff_w < 1024:
+        eff_w *= 2
         v = vals.reshape(vals.shape[0], -1, 2)
         i2 = ids.reshape(ids.shape[0], -1, 2)
         left = v[:, :, 0] <= v[:, :, 1]
