@@ -308,9 +308,9 @@ def bench_ingest(n_pages: int = 4096) -> float:
         scratch = SearchService(
             SearchProvider(data_dir=None, verify_on_load=False), batcher)
         scratch.insert_pages([(f"https://warm/{i}", "w", body)
-                              for i in range(256)])
+                              for i in range(1024)])
         ex = ExtractionService(service, source=LocalWarcSource(warc),
-                               batch_size=256)
+                               batch_size=1024)
         t0 = time.perf_counter()
         ex.start()
         ex.join(timeout=600)

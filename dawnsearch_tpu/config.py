@@ -33,6 +33,11 @@ class Config:
     # --- TPU engine section (new) ---
     model_dir: str | None = None  # safetensors + vocab for all-MiniLM-L6-v2
     embed_batch_size: int = 64  # cross-request batching cap
+    # pages per ingest batch (tokenize + one fused device program +
+    # one store transaction); large batches amortize the dispatch
+    # round-trip (~80 ms through a tunnel) — measured 3.2k -> 4.3k
+    # pages/s standalone going 256 -> 1024
+    ingest_batch_size: int = 1024
     embed_max_wait_ms: float = 5.0  # batcher flush deadline
     # 512 matches the reference's full BERT window (model.rs:123,147);
     # a 2048-char page (page_source.rs:113) is ~400-500 tokens.

@@ -37,7 +37,10 @@ class SentenceEncoder:
         tokenizer: WordPieceTokenizer,
         cfg: BertConfig = MINILM_L6,
         seq_buckets: Sequence[int] = (16, 32, 64, 128, 256, 512),
-        batch_buckets: Sequence[int] = (1, 8, 32, 64, 128, 256),
+        # 512/1024 exist for BULK INGEST (amortizing the dispatch
+        # round-trip, ~80 ms through a tunnel); warmup() skips them so
+        # serving startup stays bounded — they compile on first use.
+        batch_buckets: Sequence[int] = (1, 8, 32, 64, 128, 256, 512, 1024),
         mask_padding: bool = True,
         include_padding_in_pool: bool = False,
     ):
@@ -124,10 +127,13 @@ class SentenceEncoder:
         return self._jitted(self.params, jax.numpy.asarray(input_ids),
                             jax.numpy.asarray(mask))
 
-    def warmup(self) -> None:
-        """Pre-compile the (batch, seq) bucket grid to avoid serving stalls."""
+    def warmup(self, max_batch: int = 256) -> None:
+        """Pre-compile the (batch, seq) bucket grid to avoid serving
+        stalls. Buckets past `max_batch` (the bulk-ingest sizes) are
+        skipped — a first ingest batch tolerates a compile stall, a
+        first query shouldn't."""
         for seq in self.seq_buckets:
-            for bsz in self.batch_buckets:
+            for bsz in (b for b in self.batch_buckets if b <= max_batch):
                 ids = np.full((bsz, seq), self.tokenizer.pad_id, np.int32)
                 ids[:, 0] = self.tokenizer.cls_id
                 ids[:, 1] = self.tokenizer.sep_id
@@ -137,4 +143,5 @@ class SentenceEncoder:
                     self._jitted(self.params, jax.numpy.asarray(ids),
                                  jax.numpy.asarray(m)))
         log.info("encoder warmup complete (%d shapes)",
-                 len(self.seq_buckets) * len(self.batch_buckets))
+                 len(self.seq_buckets) *
+                 sum(1 for b in self.batch_buckets if b <= max_batch))

@@ -177,7 +177,7 @@ class DawnNode:
                       else CommonCrawlSource(ledger=ledger))
             self.extractor = ExtractionService(
                 self.service, source=source,
-                batch_size=self.cfg.embed_batch_size, ledger=ledger)
+                batch_size=self.cfg.ingest_batch_size, ledger=ledger)
             self.extractor.start()
         self._schedule_save()
         log.info("node %s up (web=%s udp=%s index_cc=%s, %d pages)",

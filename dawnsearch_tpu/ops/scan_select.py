@@ -8,12 +8,15 @@ approx_min_k + merge scan costs more than the scoring matmul
 search"; measured 20 ms/batch -> ~51k QPS).
 
 This kernel keeps scores IN VMEM for their whole life: per grid step it
-scores a (TB, TN) tile on the MXU (i8 codes upcast to bf16, f32
-accumulation, per-row scales) and immediately reduces every W=128-row
-window to its (min, argmin) — so HBM sees only the i8 codes once
-(~0.4 GB) plus a (B, N/W) candidate array (~64 MB), a ~50x traffic
-cut. A final EXACT lax.top_k over the N/W candidates (8192 at 1M rows,
-~1/16 of the old selector work) finishes outside the kernel.
+scores a (TB, TN) tile on the MXU (s8xs8->s32 for i8 codes with
+per-query i8 quantization, bf16 otherwise; scales folded back in f32)
+and immediately reduces every W=128-row window to its (min, argmin)
+with a packed-key integer min (window id in the low 7 mantissa bits of
+the biased distance — no relayout, no second scan) — so HBM sees only
+the i8 codes once (~0.4 GB) plus a (B, N/W) candidate array. Outside
+the kernel, pairwise folds shrink the candidates to <=4096 columns and
+an EXACT lax.top_k finishes. 141k QPS / 6.5 ms per 1024-query batch at
+1M rows; the optimization trail is in doc/performance.md.
 
 Accuracy: one candidate per W-row window is the same class of
 approximation as lax.approx_min_k (which also reduces per 128-lane
@@ -81,12 +84,20 @@ def _select_kernel(q_ref, qscale_ref, codes_ref, scales_ref, count_ref,
         scaled = jax.lax.dot_general(
             q_ref[...].astype(jnp.bfloat16), x, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)      # (TB, TN)
+    # d + 1 computed directly (bias folded into the subtract — one
+    # fewer full-tile VPU pass); callers' d comes back from the -1.0
+    # in the decode below.
     if has_scales:
-        d = 1.0 - scaled * scales_ref[...]           # scales (1, TN)
+        db = 2.0 - scaled * scales_ref[...]          # scales (1, TN)
     else:
-        d = 1.0 - scaled
+        db = 2.0 - scaled
+
+    # Count masking every tile. (Tried: lax.cond-gating the mask to the
+    # one tile crossing `count` — it REGRESSED 6.5 -> 8.8 ms/batch;
+    # Mosaic's branch handling costs more than the three elementwise
+    # passes it saves.)
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, TN), 1) + base
-    d = jnp.where(rows < count_ref[0], d, jnp.inf)
+    db = jnp.where(rows < count_ref[0], db, jnp.inf)
 
     # Packed-key window argmin. The bit pattern of a POSITIVE f32 is
     # order-preserving under integer compare, so bias d positive (+1;
@@ -99,7 +110,7 @@ def _select_kernel(q_ref, qscale_ref, codes_ref, scales_ref, count_ref,
     # matmul itself (A/B in doc/performance.md).
     # +inf survives: its bit pattern's low bits are already clear, and
     # masked-key ints (0x7f8000xx) still compare above every real d.
-    keys = jax.lax.bitcast_convert_type(d + 1.0, jnp.int32) & ~0x7F
+    keys = jax.lax.bitcast_convert_type(db, jnp.int32) & ~0x7F
     best = keys[:, :R]
     for w in range(1, W):
         best = jnp.minimum(best, keys[:, w * R:(w + 1) * R] | w)
@@ -204,6 +215,16 @@ def search_select(codes: jax.Array, scales: jax.Array | None,
     QI8_DEFAULT gates it for i8 codes (see doc/performance.md for the
     measured A/B before flipping it)."""
     B = queries.shape[0]
+    N, D = codes.shape
+    if N % tn != 0 or D % 128 != 0:
+        # A non-multiple capacity would floor-truncate the grid AND
+        # leave N//W - grid*R output columns uninitialized — garbage
+        # that silently steals top-k slots (observed as recall 0.77 on
+        # a capacity-1e6 index). FlatIndex allocates segment multiples;
+        # direct callers must too (see supports()).
+        raise ValueError(
+            f"search_select needs capacity % {tn} == 0 and dim % 128 == 0,"
+            f" got codes {codes.shape}; pad the buffer (see supports())")
     if qi8 is None:
         qi8 = QI8_DEFAULT and codes.dtype == jnp.int8
     tb = min(tb, max(8, 1 << (B - 1).bit_length()))  # small batches

@@ -150,6 +150,16 @@ class FusedIngestPath:
         per text, from encoder.tokenize_texts) skips tokenization —
         the ingest pipeline computes it on a separate thread."""
         enc = self.encoder
+        # batches past the encoder's largest bucket chunk down — any
+        # caller-chosen ingest batch size is safe regardless of the
+        # encoder's bucket grid
+        maxb = getattr(enc, "batch_buckets", [len(texts)])[-1]
+        if len(texts) > maxb:
+            outs = []
+            for s in range(0, len(texts), maxb):
+                tk = token_ids[s:s + maxb] if token_ids is not None else None
+                outs.append(self.ingest(texts[s:s + maxb], token_ids=tk))
+            return np.concatenate(outs)
         ids_list = (token_ids if token_ids is not None
                     else enc.tokenize_texts(texts))
         input_ids, mask = enc.pad_batch(ids_list)

@@ -1,9 +1,9 @@
 """Device-side f16 re-rank A/B at 1M rows (flat i8, batch 1024, k=10).
 
 Compares, on the real chip:
-  (a) device-only scan (approx_min_k, no re-rank)      — round-1 52k QPS row
-  (b) scan + DEVICE f16 re-rank in the same program    — this round
-  (c) scan + HOST f32 re-rank (store fetch + einsum)   — prior serving default
+  (a) fused score+select only (serving default, no re-rank)
+  (b) fused score+select (kf=k+30) + DEVICE f16 re-rank, one program
+  (c) the round-1 approx_min_k scan, with and without the re-rank
 and reports recall@10 vs exact f32 ground truth for each.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python examples/bench_device_rerank.py
@@ -60,7 +60,9 @@ def main() -> None:
                               for a, b in zip(ids[:NQ], best_i)]))
 
     t0 = time.perf_counter()
-    ix = FlatIndex(dtype="i8", capacity=N, max_capacity=N, segment=N,
+    # capacity must stay a segment (TN) multiple for the fused selector
+    cap = 1 << 20
+    ix = FlatIndex(dtype="i8", capacity=cap, max_capacity=cap, segment=cap,
                    exact="f16")
     for v in blocks:
         ix.add(v)
@@ -70,12 +72,19 @@ def main() -> None:
 
     q = jnp.asarray(qs)
 
+    from dawnsearch_tpu.ops.scan_select import search_select
+
     @functools.partial(jax.jit,
                        static_argnames=("k", "kf", "chunk", "reps", "mode"))
     def many(codes, scales, exact, count, q, k, kf, chunk, reps, mode):
         def body(carry, _):
             qq = q + carry[:, :1] * 1e-12
-            if mode == "device_rerank":
+            if mode == "fused_rerank":
+                d, i = search_select(codes, scales, qq, count, kf)
+                d, i = rerank_kernel(exact, qq, d, i, k)
+            elif mode == "fused_only":
+                d, i = search_select(codes, scales, qq, count, k)
+            elif mode == "approx_rerank":
                 d, i = search_kernel(codes, scales, qq, count, kf, chunk,
                                      approx=True)
                 d, i = rerank_kernel(exact, qq, d, i, k)
@@ -88,7 +97,8 @@ def main() -> None:
             None, length=reps)
         return d[-1], i[-1]
 
-    for mode, k_args in (("device_only", {}), ("device_rerank", {})):
+    for mode in ("fused_only", "fused_rerank", "approx_only",
+                 "approx_rerank"):
         kw = dict(k=K, kf=K + 30, chunk=ix.chunk, reps=8, mode=mode)
         args = (ix._codes, ix._scales, ix._exact, jnp.int32(ix.count), q)
         d, i = many(*args, **kw)

@@ -242,6 +242,20 @@ def test_fused_selector_matches_brute_force(unit_vectors):
     assert (i[:, 0] == bi[:, 0]).mean() >= 0.9
 
 
+def test_search_select_rejects_unpadded_capacity(unit_vectors):
+    """A capacity that isn't a TN multiple must raise, not silently
+    floor-truncate the grid and emit garbage candidate columns (the
+    failure mode observed as recall 0.77 on a 1e6-capacity buffer)."""
+    from dawnsearch_tpu.ops.scan_select import search_select
+    import jax.numpy as jnp
+
+    q = jnp.asarray(unit_vectors(8))
+    bad = jnp.zeros((100_000, 384), jnp.int8)
+    with pytest.raises(ValueError, match="capacity"):
+        search_select(bad, jnp.ones((100_000,), jnp.float32), q,
+                      jnp.int32(100_000), 10)
+
+
 def test_fused_selector_qi8_scoring(unit_vectors):
     """s8xs8 MXU scoring (search_select(qi8=True)): distances track the
     bf16 path within query-quantization error and recall holds."""

@@ -140,6 +140,33 @@ def test_pretokenized_insert_matches(service):
     assert ids[0] is None and ids[1] is not None
 
 
+def test_fused_ingest_chunks_past_max_bucket(encoder):
+    """Batches larger than the encoder's biggest batch bucket chunk
+    down inside FusedIngestPath — any ingest_batch_size is safe."""
+    provider = SearchProvider(data_dir=None, dim=64, verify_on_load=False)
+    batcher = EmbeddingBatcher(encoder.encode, max_batch=8)
+    svc = SearchService(provider, batcher)
+    try:
+        assert svc._fused_ingest is not None
+        assert encoder.batch_buckets[-1] == 32
+        pages = [(f"https://big/{i}", "t", CORPUS[i % 5] + f" {i}")
+                 for i in range(80)]  # 2.5x the max bucket
+        ids = svc.insert_pages(pages, token_ids=svc.tokenize_pages(pages))
+        assert all(i is not None for i in ids)
+        assert len(provider.store) == len(provider.index) == 80
+        # chunk-boundary rows (0 | 31/32 | 79) hold exactly the
+        # embeddings a direct encode produces — no row got shifted or
+        # dropped across the internal 32-page chunks
+        probe = (0, 31, 32, 79)
+        stored = provider.store.embeddings_for([ids[i] for i in probe])
+        direct = encoder.encode([f"t\n{pages[i][2]}" for i in probe])
+        got = np.stack([stored[ids[i]] for i in probe])
+        np.testing.assert_allclose(got, direct, atol=1e-4)
+    finally:
+        batcher.stop()
+        svc.shutdown()
+
+
 def test_fused_ingest_capacity_cap(encoder):
     provider = SearchProvider(data_dir=None, dim=64, max_pages=2,
                               verify_on_load=False)
