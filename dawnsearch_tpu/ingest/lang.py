@@ -20,8 +20,10 @@ on C fast paths:
   bytes (= non-ASCII chars). Accented Latin letters count as
   non-ASCII, so French/German prose scores ~0.95 (still above the
   0.85 gate — as before, the stopword gate is what rejects them);
-- the stopword ratio uses str.split + a frozenset, with a cheap
-  punctuation strip per token.
+- the stopword ratio uses str.split + a frozenset; the letter-bearing
+  word check (denominator must not count numbers/punctuation runs)
+  rides str.isalpha as its common case — the per-char any(isalpha)
+  formulation of the same check measured 2.4k texts/s vs 10.0k here.
 
 Measured: ~9.9k pages/s on the bench corpus (was 2.9k) — off the
 ingest critical path (C++ extraction 18k/s, tokenization 6.7k/s).
@@ -71,13 +73,20 @@ def english_score(text: str) -> float:
     hits = 0
     words = 0
     for w in tokens:
-        ws = w.strip(_PUNCT)
-        # letter check short-circuits on the first char for real words
-        if not ws or not any(c.isalpha() for c in ws):
+        if w.isalpha():  # common case: ONE C call, no strip
+            words += 1
+            if w in sw:
+                hits += 1
             continue
-        words += 1
-        if ws in sw:
-            hits += 1
+        ws = w.strip(_PUNCT)
+        if not ws:
+            continue
+        # rare path: punctuation-adjacent or mixed tokens ("don't",
+        # "word."); a per-char scan here is off the hot path
+        if ws.isalpha() or any(c.isalpha() for c in ws):
+            words += 1
+            if ws in sw:
+                hits += 1
     if not words:
         return 0.0
     return hits / words
