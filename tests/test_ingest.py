@@ -95,6 +95,19 @@ def test_language_filter():
     assert english_score("") == 0.0
 
 
+def test_language_filter_number_heavy_english():
+    """Numbers/dates/prices must not deflate the stopword denominator:
+    a stats-heavy English page is still English (english_score counts
+    only letter-bearing words)."""
+    stats = ("The score was 42 to 17 on 2023-06-12 and the price " +
+             "rose to $13.50, up 3.2% from 11.08 in the last 14 days. ") * 20
+    assert is_english(stats)
+    # punctuation-adjacent words still count ("don't" is a word,
+    # "---" and "3.5" are not)
+    assert english_score("don't stop the music, it's the best") > 0.2
+    assert english_score("12 34 --- 5.6 ... 78") == 0.0
+
+
 def test_native_matches_python(warc_file):
     if not native.available():
         pytest.skip("native library not built")
