@@ -251,21 +251,12 @@ class ShardedFlatIndex:
             self._shard2)
         self.cap_per_shard = new_cap
 
-    def add(self, vectors: np.ndarray | jax.Array,
-            ids: np.ndarray | None = None) -> np.ndarray:
-        rows = np.asarray(vectors, np.float32)
-        if rows.ndim == 1:
-            rows = rows[None, :]
-        n = rows.shape[0]
-        if n == 0:
-            return np.empty((0,), np.int64)
-        if ids is None:
-            ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
-        self._next_id = max(self._next_id, int(ids.max()) + 1)
-
-        # Balance-stripe: water-fill the least-full shards (closed form —
-        # equivalent to giving each row to the current argmin shard, but
-        # O(S log range) instead of a per-row Python loop).
+    def _stripe_plan(self, n: int) -> tuple[list[np.ndarray], int]:
+        """Balance-stripe: water-fill n new rows onto the least-full
+        shards (closed form — equivalent to giving each row to the
+        current argmin shard, but O(S log range) instead of a per-row
+        Python loop). -> (per-shard index arrays into the batch,
+        max rows any shard receives)."""
         c = self._counts
         lo, hi = int(c.min()), int(c.max()) + n
         while lo < hi:  # largest level L with fill-cost <= n
@@ -282,7 +273,21 @@ class ShardedFlatIndex:
         bounds = np.concatenate([[0], np.cumsum(adds)]).astype(np.int64)
         per_shard = [np.arange(bounds[s], bounds[s + 1])
                      for s in range(self.n_shards)]
-        max_rows = int(adds.max())
+        return per_shard, int(adds.max())
+
+    def add(self, vectors: np.ndarray | jax.Array,
+            ids: np.ndarray | None = None) -> np.ndarray:
+        rows = np.asarray(vectors, np.float32)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        n = rows.shape[0]
+        if n == 0:
+            return np.empty((0,), np.int64)
+        if ids is None:
+            ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
+        self._next_id = max(self._next_id, int(ids.max()) + 1)
+
+        per_shard, max_rows = self._stripe_plan(n)
         if (self._counts.max() + max_rows) > self.cap_per_shard:
             self._grow(int(self._counts.max()) + max_rows)
 

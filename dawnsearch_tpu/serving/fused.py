@@ -131,6 +131,136 @@ def _fused_ingest_program_exact(params, input_ids, mask, codes, scales,
     return codes, scales, exact, emb
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "mask_padding", "include_padding",
+                     "has_exact"),
+    donate_argnums=(3, 4, 5, 6))
+def _sharded_fused_ingest_program(params, input_ids, mask, codes, scales,
+                                  exact, idsbuf, sel, uids, starts, *,
+                                  mesh, cfg, mask_padding, include_padding,
+                                  has_exact):
+    """encode -> i8 quantize -> every shard writes its slice at its own
+    offset, ONE program over the mesh. The per-shard row assignment
+    (`sel`, from ShardedFlatIndex._stripe_plan) is host-computed; the
+    embeddings are replicated and each device gathers only its rows.
+    Block rows past a shard's fill (uid -1) land beyond its count as
+    scratch, exactly like FusedIngestPath's padding rows."""
+    from jax.sharding import PartitionSpec as P
+
+    from dawnsearch_tpu.index.flat import _quantize_rows_i8
+    from dawnsearch_tpu.parallel.sharded_index import AXIS
+
+    emb = encode_batch(params, input_ids, mask, cfg=cfg,
+                       mask_padding=mask_padding,
+                       include_padding=include_padding)
+    qcodes, qscales = _quantize_rows_i8(emb)
+    f16 = (emb.astype(jnp.float16) if has_exact
+           else jnp.zeros((), jnp.float16))
+
+    def local(codes_blk, scales_blk, exact_blk, ids_blk, sel_blk, uid_blk,
+              start, qc, qs, fx):
+        s = start[0]
+        idx = sel_blk[0]                              # (maxb,)
+        codes_out = jax.lax.dynamic_update_slice(
+            codes_blk, qc[idx][None], (0, s, 0))
+        scales_out = jax.lax.dynamic_update_slice(
+            scales_blk, qs[idx][None], (0, s))
+        ids_out = jax.lax.dynamic_update_slice(ids_blk, uid_blk, (0, s))
+        if has_exact:
+            exact_out = jax.lax.dynamic_update_slice(
+                exact_blk, fx[idx][None], (0, s, 0))
+        else:
+            exact_out = exact_blk
+        return codes_out, scales_out, exact_out, ids_out
+
+    exact_spec = P(AXIS, None, None) if has_exact else P()
+    f16_spec = P(None, None) if has_exact else P()
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None), exact_spec,
+                  P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
+                  P(None, None), P(None), f16_spec),
+        out_specs=(P(AXIS, None, None), P(AXIS, None), exact_spec,
+                   P(AXIS, None)),
+        check_vma=False,
+    )(codes, scales, exact, idsbuf, sel, uids, starts, qcodes, qscales, f16)
+    return out, emb
+
+
+class ShardedFusedIngestPath:
+    """Batched page ingest against an i8 ShardedFlatIndex in one
+    dispatch — the multi-chip twin of FusedIngestPath (the SPMD
+    replacement for the reference's one-page-at-a-time insert,
+    search_service.rs:158-181, on a sharded engine)."""
+
+    def __init__(self, encoder, index):
+        self.encoder = encoder
+        self.index = index
+
+    @staticmethod
+    def supports(index) -> bool:
+        from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+        return isinstance(index, ShardedFlatIndex) and index.dtype == "i8"
+
+    def ingest(self, texts: list[str],
+               token_ids: list[list[int]] | None = None) -> np.ndarray:
+        """Embed + stripe-append `texts` across shards; returns (n, H)
+        f32 embeddings for durable storage. Caller must hold the
+        provider lock (buffer donation is not reentrant)."""
+        enc = self.encoder
+        maxb = getattr(enc, "batch_buckets", [len(texts)])[-1]
+        if len(texts) > maxb:
+            outs = []
+            for s in range(0, len(texts), maxb):
+                tk = token_ids[s:s + maxb] if token_ids is not None else None
+                outs.append(self.ingest(texts[s:s + maxb], token_ids=tk))
+            return np.concatenate(outs)
+        ix = self.index
+        n = len(texts)
+        ids_list = (token_ids if token_ids is not None
+                    else enc.tokenize_texts(texts))
+        input_ids, mask = enc.pad_batch(ids_list)
+        per_shard, max_rows = ix._stripe_plan(n)
+        try:
+            if int(ix._counts.max()) + max_rows > ix.cap_per_shard:
+                ix._grow(int(ix._counts.max()) + max_rows)
+        except RuntimeError:
+            # at max_capacity the block + scratch may not fit even when
+            # the n rows would: take the split path
+            emb = np.asarray(enc.encode(texts), np.float32)
+            ix.add(emb)
+            return emb
+        uids = np.arange(ix._next_id, ix._next_id + n, dtype=np.int64)
+        S = ix.n_shards
+        sel = np.zeros((S, max_rows), np.int32)
+        uid_blocks = np.full((S, max_rows), -1, np.int32)
+        starts = np.zeros((S,), np.int32)
+        for s in range(S):
+            rows = per_shard[s]
+            starts[s] = ix._counts[s]
+            if len(rows):
+                sel[s, : len(rows)] = rows
+                uid_blocks[s, : len(rows)] = uids[rows]
+        with METRICS.timer("fused_ingest"):
+            (ix._codes, ix._scales, ix._exact, ix._ids), emb = \
+                _sharded_fused_ingest_program(
+                    enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
+                    ix._codes, ix._scales, ix._exact, ix._ids,
+                    jax.device_put(jnp.asarray(sel), ix._shard2),
+                    jax.device_put(jnp.asarray(uid_blocks), ix._shard2),
+                    jax.device_put(jnp.asarray(starts), ix._shard1),
+                    mesh=ix.mesh, cfg=enc.cfg,
+                    mask_padding=enc.mask_padding,
+                    include_padding=enc.include_padding_in_pool,
+                    has_exact=ix.exact is not None)
+            emb = np.asarray(emb)
+        for s in range(S):
+            ix._counts[s] += len(per_shard[s])
+        ix._next_id = int(uids[-1]) + 1
+        return emb[:n]
+
+
 class FusedIngestPath:
     """Batched page ingest against an i8 FlatIndex in one dispatch."""
 

@@ -84,7 +84,7 @@ class SearchService:
         encoder = getattr(batcher, "_encode", None)
         encoder = getattr(encoder, "__self__", None)  # bound .encode
         from dawnsearch_tpu.serving.fused import (
-            FusedIngestPath, FusedQueryPath)
+            FusedIngestPath, FusedQueryPath, ShardedFusedIngestPath)
         self._fused_ingest = None
         if encoder is not None and hasattr(encoder, "tokenize_texts"):
             if FusedQueryPath.supports(provider.index):
@@ -93,6 +93,9 @@ class SearchService:
                     self._fused_text_batch, name="text_query")
             if FusedIngestPath.supports(provider.index):
                 self._fused_ingest = FusedIngestPath(encoder, provider.index)
+            elif ShardedFusedIngestPath.supports(provider.index):
+                self._fused_ingest = ShardedFusedIngestPath(
+                    encoder, provider.index)
 
     # -- queries ------------------------------------------------------------
 

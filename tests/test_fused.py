@@ -219,6 +219,57 @@ def test_fused_ingest_persistence(encoder, tmp_path):
     svc3.shutdown()
 
 
+def test_sharded_fused_ingest(encoder):
+    """ShardedFusedIngestPath: encode -> quantize -> every shard writes
+    its slice, ONE program over the 8-device mesh, driven through
+    SearchService with pre-tokenized ids (the full ingest-pipeline
+    shape on the multi-chip engine)."""
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+    from dawnsearch_tpu.serving.fused import ShardedFusedIngestPath
+
+    provider = SearchProvider(
+        data_dir=None, dim=64, verify_on_load=False,
+        index_factory=lambda: ShardedFlatIndex(
+            mesh=make_mesh({"shard": 8}), dim=64, dtype="i8",
+            capacity_per_shard=64, segment=64, exact="f16"))
+    batcher = EmbeddingBatcher(encoder.encode, max_batch=8)
+    svc = SearchService(provider, batcher, instance_id="sh-node")
+    try:
+        assert isinstance(svc._fused_ingest, ShardedFusedIngestPath)
+        pages = [(f"https://sh/{i}", f"T{i}", CORPUS[i % 5] + f" v{i}")
+                 for i in range(40)]
+        ids = svc.insert_pages(pages, token_ids=svc.tokenize_pages(pages))
+        assert ids == list(range(1, 41))  # store-id contract intact
+        ix = provider.index
+        assert len(ix) == 40
+        counts = ix._counts
+        assert int(counts.max()) - int(counts.min()) <= 1  # balanced
+        # every uid 0..39 present exactly once on-device
+        uids = np.asarray(ix._ids)
+        assert sorted(uids[uids >= 0].tolist()) == list(range(40))
+        # f16 shadow rows hold the embeddings the store persisted
+        stored = provider.store.embeddings_for(ids)
+        shadow = np.asarray(ix._exact, np.float32)
+        for s in range(ix.n_shards):
+            for r in range(int(counts[s])):
+                uid = int(uids[s, r])
+                np.testing.assert_allclose(
+                    shadow[s, r], stored[uid + 1], atol=2e-3)
+        # searching a stored embedding finds its own page
+        res = svc.embedding_search(stored[8], k=5)
+        assert any(p.page_id == 8 for p in res.pages)
+        assert res.pages[0].distance < 0.05
+        # a second batch appends at the new offsets (incremental path)
+        more = [(f"https://sh/m{i}", "M", CORPUS[(i + 2) % 5] + f" m{i}")
+                for i in range(7)]
+        ids2 = svc.insert_pages(more)
+        assert ids2 == list(range(41, 48)) and len(ix) == 47
+    finally:
+        batcher.stop()
+        svc.shutdown()
+
+
 def test_fused_with_device_rerank(encoder):
     """Fused query + ingest against a device-rerank (exact="f16") index:
     ingest writes the shadow buffer in-program, query re-ranks
