@@ -1,11 +1,13 @@
-"""Single-chip scale envelope: flat i8 search at 16M rows (6.2 GB HBM).
+"""Single-chip scale envelope: flat i8 search at 16M rows (6.5 GB HBM).
 
 QPS with the fused score+select kernel (candidate folding active at
 this size: 131072 window winners fold to 16384 before the final exact
-top_k) + recall vs a sampled exact ground truth.
+top_k) + recall vs a sampled exact ground truth. Measured (s8 +
+packed-key selector): 14,060 QPS at raw recall 0.966; 8M rows in the
+same harness: 25,544 QPS at 0.977 (doc/performance.md).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python examples/bench_16m.py
-(~15 min: the 16M-row host build dominates.)
+(~20 min: the 16M-row host build dominates.)
 """
 
 from __future__ import annotations

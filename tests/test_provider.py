@@ -168,6 +168,36 @@ def test_store_pages_rollback_on_rejected_row(unit_vectors):
     assert res.pages[0].url == "http://a1"
 
 
+def test_store_pages_sharded_rebuild_on_rejected_row(unit_vectors):
+    """Same mid-batch store rejection on a SHARDED index: it has no
+    linear `count` to roll back, so the provider must rebuild the
+    device index from the store and keep the uid<->store-id mapping."""
+    import jax
+
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    sp = SearchProvider(
+        data_dir=None, index_dtype="i8",
+        index_factory=lambda: ShardedFlatIndex(
+            mesh=make_mesh({"shard": 4}, devices=jax.devices()[:4]),
+            dtype="i8", capacity_per_shard=64, segment=64))
+    urls, titles, texts, embs = make_pages(unit_vectors, 3, prefix="a")
+    sp.insert_pages(urls, titles, texts, embs)
+
+    new = unit_vectors(3)
+    sp.index.add(new)  # simulate the fused program's device-first write
+    ids = sp.store_pages(
+        ["http://b0", "http://a1", "http://b2"],
+        ["B0", "dup", "B2"], ["b0", "dup", "b2"], new)
+    assert ids[0] == 4 and ids[1] is None and ids[2] == 5
+    assert len(sp.index) == len(sp.store) == 5
+    for emb, url in ((new[0], "http://b0"), (new[2], "http://b2"),
+                     (embs[1], "http://a1")):
+        res = sp.search_embeddings(emb, k=1)[0]
+        assert res.pages[0].url == url
+
+
 def test_device_rerank_index_skips_host_rerank(unit_vectors, monkeypatch):
     """A FlatIndex with the f16 device re-rank comes back pre-ranked:
     the provider must not redo the host f32 pass, and results stay
