@@ -38,6 +38,14 @@ class Config:
     # round-trip (~80 ms through a tunnel) — measured 3.2k -> 4.3k
     # pages/s standalone going 256 -> 1024
     ingest_batch_size: int = 1024
+    # extraction worker processes (0 = in-thread). The extraction
+    # thread's Python share serializes with tokenize/insert on the GIL
+    # at ~3k pages/s; workers break that for long production runs at a
+    # few seconds of startup each (doc/performance.md). Workers spawn
+    # fresh interpreters: if you embed DawnNode in your own script,
+    # guard its entry point with `if __name__ == "__main__":` (standard
+    # multiprocessing contract; `python -m dawnsearch_tpu` is guarded)
+    ingest_workers: int = 0
     embed_max_wait_ms: float = 5.0  # batcher flush deadline
     # 512 matches the reference's full BERT window (model.rs:123,147);
     # a 2048-char page (page_source.rs:113) is ~400-500 tokens.

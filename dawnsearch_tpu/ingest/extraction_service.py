@@ -90,6 +90,11 @@ class LocalWarcSource:
             if not self.loop:
                 return
 
+    def specs(self) -> Iterator[tuple[str, str]]:
+        """(name, openable spec) pairs for worker-process extraction."""
+        for p in self.files():
+            yield p, p
+
 
 class CommonCrawlSource:
     """Random WARC files from a Common Crawl listing
@@ -116,6 +121,14 @@ class CommonCrawlSource:
 
     def files(self) -> Iterator[tuple[str, io.BufferedIOBase]]:
         import urllib.request
+        for path, url in self.specs():
+            log.info("streaming %s", url)
+            yield path, io.BufferedReader(
+                urllib.request.urlopen(url, timeout=120))
+
+    def specs(self) -> Iterator[tuple[str, str]]:
+        """(name, URL) pairs — worker processes open the stream
+        themselves (ingest.sidecar.open_warc handles URLs)."""
         while True:
             paths = self._listing()
             if self.ledger is not None:
@@ -125,10 +138,38 @@ class CommonCrawlSource:
                     return
                 paths = fresh
             path = random.choice(paths)  # random file (:52)
-            url = f"{self.base_url}/{path}"
-            log.info("streaming %s", url)
-            yield path, io.BufferedReader(
-                urllib.request.urlopen(url, timeout=120))
+            yield path, f"{self.base_url}/{path}"
+
+
+def _extract_worker(spec_q, out_q, batch_size: int) -> None:
+    """Extraction worker process: WARC specs in, page-triple batches out.
+
+    Runs jax-free (never touches a device) in its own interpreter, so
+    its Python share stops serializing with the tokenize/insert threads
+    on the parent's GIL. Module-level for spawn picklability. Messages
+    out: ("batch", name, [(url, title, text), ...]) / ("done", name,
+    None) when a file fully drained / ("error", name, repr) / ("exit",
+    "", None) on the poison pill."""
+    from dawnsearch_tpu.ingest.sidecar import open_warc
+    while True:
+        spec = spec_q.get()
+        if spec is None:
+            out_q.put(("exit", "", None))
+            return
+        name, opener = spec
+        try:
+            _, src = open_warc(opener)
+            batch: list[tuple[str, str, str]] = []
+            for page in iter_pages(src):
+                batch.append((page.url, page.title, page.text))
+                if len(batch) >= batch_size:
+                    out_q.put(("batch", name, batch))
+                    batch = []
+            if batch:
+                out_q.put(("batch", name, batch))
+            out_q.put(("done", name, None))
+        except Exception as e:  # ship the error, keep the worker alive
+            out_q.put(("error", name, repr(e)))
 
 
 class ExtractionService:
@@ -138,15 +179,25 @@ class ExtractionService:
     GIL, so this genuinely overlaps both neighbors); the insert thread
     drains ready batches into embed+index. Host-side extraction and
     tokenization of batches i+1/i+2 overlap the device work of batch i
-    (the reference does everything serially, one page at a time)."""
+    (the reference does everything serially, one page at a time).
+
+    `workers > 0` moves extraction into that many subprocesses (for
+    sources exposing specs(): local globs, Common Crawl URLs) — the
+    lever for the measured ~3k pages/s GIL ceiling on long production
+    runs; each worker pays a few seconds of interpreter+import startup,
+    so short runs (tests, the 4096-page bench) keep the in-thread
+    default."""
 
     def __init__(self, service, source=None, batch_size: int = 64,
                  max_pages: int | None = None,
                  ledger: WarcLedger | None = None,
-                 between_files_s: float | None = None):
+                 between_files_s: float | None = None,
+                 workers: int = 0):
         self.service = service
         self.source = source if source is not None else CommonCrawlSource()
         self.batch_size = batch_size
+        self.workers = workers if hasattr(
+            self.source, "specs") else 0  # stream-only sources stay in-thread
         self.max_pages = max_pages  # stop after N (tests); None = forever
         self.ledger = ledger  # completed-WARC record (restart-safe ingest)
         # pause between WARC files (extraction_service.rs:58-59); local
@@ -201,7 +252,10 @@ class ExtractionService:
                 self._ready.put(None)
                 self._batches.task_done()
                 return
-            triples = [(p.url, p.title, p.text) for p in batch]
+            # in-thread batches carry ExtractedPage; worker batches
+            # already ship (url, title, text) triples
+            triples = (batch if batch and isinstance(batch[0], tuple)
+                       else [(p.url, p.title, p.text) for p in batch])
             token_ids = None
             if callable(tokenize):
                 try:
@@ -250,7 +304,82 @@ class ExtractionService:
             return item, item
         return getattr(item, "name", "") or repr(item), item
 
+    def _run_workers(self) -> None:
+        """Worker-pool extraction: feed specs, collect batches."""
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        spec_q = ctx.Queue()
+        out_q = ctx.Queue(maxsize=self.workers * 4)
+        procs = [ctx.Process(target=_extract_worker,
+                             args=(spec_q, out_q, self.batch_size),
+                             daemon=True, name=f"extract-worker-{i}")
+                 for i in range(self.workers)]
+        for p in procs:
+            p.start()
+        stop_feed = threading.Event()
+
+        def feed():
+            for name, spec in self.source.specs():
+                if stop_feed.is_set() or self._stop.is_set():
+                    break
+                if self.ledger is not None and self.ledger.seen(name):
+                    continue
+                spec_q.put((name, spec))
+            for _ in procs:
+                spec_q.put(None)
+
+        threading.Thread(target=feed, daemon=True,
+                         name="extract-feed").start()
+        produced = 0
+        live = len(procs)
+        partial: set[str] = set()  # files cut short by max_pages
+        try:
+            while live and not self._stop.is_set():
+                try:
+                    kind, name, payload = out_q.get(timeout=5.0)
+                except queue.Empty:
+                    # a hard-killed worker (OOM, unguarded __main__ in
+                    # an embedding script) never sends "exit" — don't
+                    # hang the service on it
+                    if not any(p.is_alive() for p in procs):
+                        log.warning("extraction workers died without "
+                                    "exit messages; stopping")
+                        break
+                    continue
+                if kind == "exit":
+                    live -= 1
+                elif kind == "error":
+                    log.warning("worker extraction error on %s: %s",
+                                name, payload)
+                elif kind == "done":
+                    if self.ledger is not None and name \
+                            and name not in partial:
+                        self.ledger.mark(name)
+                elif kind == "batch":
+                    if self.max_pages is not None:
+                        room = self.max_pages - produced
+                        if room <= 0:
+                            partial.add(name)
+                            continue
+                        if len(payload) > room:
+                            payload = payload[:room]
+                            partial.add(name)
+                    produced += len(payload)
+                    self._batches.put(payload)
+                    if self.max_pages is not None \
+                            and produced >= self.max_pages:
+                        break
+        finally:
+            stop_feed.set()
+            for p in procs:  # extraction-only processes: safe to kill
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5.0)
+
     def _run(self) -> None:
+        if self.workers > 0:
+            self._run_workers()
+            return
         while not self._stop.is_set():
             try:
                 progressed = False

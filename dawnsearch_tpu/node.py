@@ -177,7 +177,8 @@ class DawnNode:
                       else CommonCrawlSource(ledger=ledger))
             self.extractor = ExtractionService(
                 self.service, source=source,
-                batch_size=self.cfg.ingest_batch_size, ledger=ledger)
+                batch_size=self.cfg.ingest_batch_size, ledger=ledger,
+                workers=self.cfg.ingest_workers)
             self.extractor.start()
         self._schedule_save()
         log.info("node %s up (web=%s udp=%s index_cc=%s, %d pages)",

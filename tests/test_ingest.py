@@ -166,6 +166,39 @@ def test_extraction_service_batches(tmp_path):
     assert svc.batches[0][0][0] == "https://n.example/0"
 
 
+def test_extraction_service_worker_pool(tmp_path):
+    """workers>0: extraction runs in subprocesses; every page arrives,
+    fully-drained files hit the ledger, and a restart skips them."""
+    from dawnsearch_tpu.ingest.extraction_service import WarcLedger
+
+    for f in range(3):
+        records = [(f"https://w.example/{f}/{i}",
+                    page_html(f"Doc {f}-{i}", ENGLISH)) for i in range(5)]
+        write_warc(str(tmp_path / f"w{f}.warc.gz"), records)
+    ledger = WarcLedger(str(tmp_path / "ledger.txt"))
+    svc = FakeService()
+    ex = ExtractionService(svc, source=LocalWarcSource(
+        str(tmp_path / "w*.warc.gz")), batch_size=4, ledger=ledger,
+        workers=2)
+    assert ex.workers == 2
+    ex.start()
+    ex.join(timeout=120)
+    ex.stop()
+    urls = {p[0] for b in svc.batches for p in b}
+    assert len(urls) == 15
+    assert len(ledger) == 3  # every file fully drained -> marked
+
+    # restart: everything already ledgered, nothing re-extracted
+    svc2 = FakeService()
+    ex2 = ExtractionService(svc2, source=LocalWarcSource(
+        str(tmp_path / "w*.warc.gz")), batch_size=4, ledger=ledger,
+        workers=2)
+    ex2.start()
+    ex2.join(timeout=120)
+    ex2.stop()
+    assert svc2.batches == []
+
+
 def test_extraction_service_end_to_end(tmp_path):
     """WARC -> extract -> embed -> index -> search, full pipeline."""
     from dawnsearch_tpu.index.provider import SearchProvider
