@@ -62,12 +62,18 @@ def main(argv=None) -> int:
             provider.shutdown()
             print(f"indexed {n} pages into {cfg.data_dir}")
         else:
+            import os as _os
+
             from dawnsearch_tpu.ingest.sidecar import open_warc, write_sidecar
             from dawnsearch_tpu.node import make_encoder
             enc = make_encoder(cfg)
             for w in args.warcs:
                 name, src = open_warc(w)
-                out = name.rsplit(".warc", 1)[0] + ".sidecar.npz"
+                # local files keep their directory (dir1/x.warc.gz and
+                # dir2/x.warc.gz must not collide in the CWD); remote
+                # specs land in the CWD under their basename
+                base = w if _os.path.exists(w) else name
+                out = base.rsplit(".warc", 1)[0] + ".sidecar.npz"
                 n = write_sidecar(src, enc.encode, out)
                 print(f"{w}: {n} pages -> {out}")
         return 0

@@ -239,6 +239,16 @@ class SearchProvider:
         """Batched query -> per-query top-k with metadata join
         (search_provider.rs:202-248, batched)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
+        # Reject non-unit queries like the reference
+        # (search_provider.rs:206-208, tolerance vector.rs:185-192).
+        # Also a kernel precondition: the fused selector's packed-key
+        # integer compare needs dot < 2 (ops/scan_select.py).
+        norms = np.linalg.norm(queries, axis=1)
+        if queries.shape[0] and not np.all(np.abs(norms - 1.0) <= 0.01):
+            bad = float(norms[np.argmax(np.abs(norms - 1.0))])
+            raise ValueError(
+                f"query embedding not normalized (length {bad:.4f}); "
+                "normalize before searching")
         quantized = getattr(self.index, "dtype", "f32") != "f32"
         # Indexes with a device-side exact re-rank (FlatIndex exact="f16")
         # come back already re-ranked — the host f32 pass would only redo

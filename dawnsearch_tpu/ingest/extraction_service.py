@@ -308,7 +308,10 @@ class ExtractionService:
         """Worker-pool extraction: feed specs, collect batches."""
         import multiprocessing as mp
         ctx = mp.get_context("spawn")
-        spec_q = ctx.Queue()
+        # BOUNDED: CommonCrawlSource.specs() is an infinite random
+        # picker with no I/O between yields — an unbounded queue would
+        # be filled at CPU speed (unbounded RSS, massive duplication)
+        spec_q = ctx.Queue(maxsize=self.workers * 2)
         out_q = ctx.Queue(maxsize=self.workers * 4)
         procs = [ctx.Process(target=_extract_worker,
                              args=(spec_q, out_q, self.batch_size),
@@ -318,15 +321,29 @@ class ExtractionService:
             p.start()
         stop_feed = threading.Event()
 
+        def put_spec(item) -> bool:
+            while not (stop_feed.is_set() or self._stop.is_set()):
+                try:
+                    spec_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def feed():
+            inflight: set[str] = set()  # random picker repeats names
             for name, spec in self.source.specs():
                 if stop_feed.is_set() or self._stop.is_set():
                     break
-                if self.ledger is not None and self.ledger.seen(name):
+                if name in inflight or (self.ledger is not None
+                                        and self.ledger.seen(name)):
                     continue
-                spec_q.put((name, spec))
+                if not put_spec((name, spec)):
+                    break
+                inflight.add(name)
             for _ in procs:
-                spec_q.put(None)
+                if not put_spec(None):
+                    break
 
         threading.Thread(target=feed, daemon=True,
                          name="extract-feed").start()

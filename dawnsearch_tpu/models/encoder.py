@@ -72,29 +72,38 @@ class SentenceEncoder:
         )
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
-        """Texts -> (N, H) float32 unit vectors.
-
-        Chunks are DISPATCHED without synchronizing and gathered once at
-        the end, so host-side tokenization/padding of chunk i+1 overlaps
-        device compute of chunk i (the device queue executes in order)."""
+        """Texts -> (N, H) float32 unit vectors."""
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
-        # Tokenize everything first so we can choose one seq bucket per chunk.
         max_seq = self.seq_buckets[-1]
-        encoded = [self.tokenizer.encode(t, max_len=max_seq) for t in texts]
-        # Sort by length so chunks bucket tightly; restore order at the end.
-        order = sorted(range(len(encoded)), key=lambda i: len(encoded[i]))
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        return self.encode_tokenized(
+            [self.tokenizer.encode(t, max_len=max_seq) for t in texts])
+
+    def encode_tokenized(self, ids_list: list[list[int]]) -> np.ndarray:
+        """Pre-tokenized id lists -> (N, H) float32 unit vectors (the
+        ingest pipeline tokenizes on its own thread — re-tokenizing
+        here would redo that work under the provider lock).
+
+        Chunks are DISPATCHED without synchronizing and gathered once at
+        the end, so host-side padding of chunk i+1 overlaps device
+        compute of chunk i (the device queue executes in order). Rows
+        sort by length so chunks bucket tightly; order restored at the
+        end."""
+        if not ids_list:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        order = sorted(range(len(ids_list)), key=lambda i: len(ids_list[i]))
+        out = np.zeros((len(ids_list), self.dim), dtype=np.float32)
         max_batch = self.batch_buckets[-1]
         pending = []  # (chunk row ids, device array)
         with METRICS.timer("embed_forward"):
             for start in range(0, len(order), max_batch):
                 chunk = order[start: start + max_batch]
                 pending.append(
-                    (chunk, self._dispatch_chunk([encoded[i] for i in chunk])))
+                    (chunk,
+                     self._dispatch_chunk([ids_list[i] for i in chunk])))
             for chunk, vecs in pending:
                 out[chunk] = np.asarray(vecs)[: len(chunk)]
-        METRICS.inc("texts_embedded", len(texts))
+        METRICS.inc("texts_embedded", len(ids_list))
         return out
 
     def pad_batch(self, ids_list: list[list[int]]

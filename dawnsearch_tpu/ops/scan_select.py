@@ -86,7 +86,14 @@ def _select_kernel(q_ref, qscale_ref, codes_ref, scales_ref, count_ref,
             preferred_element_type=jnp.float32)      # (TB, TN)
     # d + 1 computed directly (bias folded into the subtract — one
     # fewer full-tile VPU pass); callers' d comes back from the -1.0
-    # in the decode below.
+    # in the decode below. PRECONDITION: db > 0, i.e. dot < 2 — unit
+    # queries against unit rows give |dot| <= ~1.05 with quant error.
+    # Negative floats' bit patterns sort backwards under the integer
+    # compare below, so non-unit queries would return confidently wrong
+    # ids; the serving boundary enforces normalization
+    # (SearchProvider.search_embeddings raises, matching the
+    # reference's assert at search_provider.rs:206-208) — an in-kernel
+    # clamp was measured at +0.9 ms/batch (14%) and rejected.
     if has_scales:
         db = 2.0 - scaled * scales_ref[...]          # scales (1, TN)
     else:

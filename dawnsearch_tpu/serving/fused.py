@@ -227,8 +227,9 @@ class ShardedFusedIngestPath:
                 ix._grow(int(ix._counts.max()) + max_rows)
         except RuntimeError:
             # at max_capacity the block + scratch may not fit even when
-            # the n rows would: take the split path
-            emb = np.asarray(enc.encode(texts), np.float32)
+            # the n rows would: take the split path (reusing the
+            # already-tokenized ids — no re-tokenize under the lock)
+            emb = np.asarray(enc.encode_tokenized(ids_list), np.float32)
             ix.add(emb)
             return emb
         uids = np.arange(ix._next_id, ix._next_id + n, dtype=np.int64)
@@ -304,7 +305,7 @@ class FusedIngestPath:
             # than fail a batch that fits.
             ceiling = -(-ix.max_capacity // ix.segment) * ix.segment
             if ix.count + bsz > ceiling and ix.count + n <= ix.max_capacity:
-                emb = np.asarray(enc.encode(texts), np.float32)
+                emb = np.asarray(enc.encode_tokenized(ids_list), np.float32)
                 ix.add(emb)
                 return emb
         if ix.count + bsz > ix.capacity:  # reserve scratch rows too

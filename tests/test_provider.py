@@ -168,6 +168,22 @@ def test_store_pages_rollback_on_rejected_row(unit_vectors):
     assert res.pages[0].url == "http://a1"
 
 
+def test_search_rejects_non_unit_queries(unit_vectors):
+    """Reference parity (search_provider.rs:206-208) AND a fused-kernel
+    precondition (packed-key compare needs dot < 2): non-normalized
+    query embeddings raise instead of returning silently wrong ids."""
+    sp = SearchProvider(data_dir=None, index_dtype="i8")
+    urls, titles, texts, embs = make_pages(unit_vectors, 4)
+    sp.insert_pages(urls, titles, texts, embs)
+    with pytest.raises(ValueError, match="not normalized"):
+        sp.search_embeddings(embs[0] * 3.0, k=2)
+    with pytest.raises(ValueError, match="not normalized"):
+        sp.search_embeddings(np.zeros(384, np.float32), k=2)
+    # within the reference's 0.01 tolerance passes
+    res = sp.search_embeddings(embs[0] * 1.009, k=1)[0]
+    assert res.pages[0].url == urls[0]
+
+
 def test_store_pages_sharded_rebuild_on_rejected_row(unit_vectors):
     """Same mid-batch store rejection on a SHARDED index: it has no
     linear `count` to roll back, so the provider must rebuild the

@@ -94,7 +94,7 @@ def test_open_warc_local_url_and_cc_key(tmp_path, monkeypatch):
         assert name == "one.warc.gz"
         assert captured["url"].startswith("https://data.commoncrawl.org/")
         # ...but an existing local file of the same shape wins
-        os.chdir(tmp_path)
+        monkeypatch.chdir(tmp_path)
         local = "crawl-data/here.warc.gz"
         os.makedirs("crawl-data", exist_ok=True)
         open(local, "wb").close()
