@@ -185,9 +185,13 @@ def _candidates(codes: jax.Array, scales: jax.Array | None, q: jax.Array,
 def supports(capacity: int, dim: int, dtype: str,
              tn: int = DEFAULT_TN) -> bool:
     """Shapes the fused kernel handles; callers fall back to the XLA
-    chunked scan otherwise. f32 keeps the exact-oracle XLA path."""
+    chunked scan otherwise. f32 keeps the exact-oracle XLA path.
+    tn must be a multiple of W*128: each grid step emits tn/W output
+    LANES, and Mosaic requires 128-lane blocks (measured: tn=8192
+    fails lowering with R=64)."""
     return (dtype in ("i8", "bf16") and capacity % tn == 0
-            and capacity >= tn and dim % 128 == 0)
+            and capacity >= tn and dim % 128 == 0
+            and tn % (W * 128) == 0)
 
 
 # The windowed-candidate approximation needs count >> k*W (shadowing
@@ -223,7 +227,7 @@ def search_select(codes: jax.Array, scales: jax.Array | None,
     measured A/B before flipping it)."""
     B = queries.shape[0]
     N, D = codes.shape
-    if N % tn != 0 or D % 128 != 0:
+    if N % tn != 0 or D % 128 != 0 or tn % (W * 128) != 0:
         # A non-multiple capacity would floor-truncate the grid AND
         # leave N//W - grid*R output columns uninitialized — garbage
         # that silently steals top-k slots (observed as recall 0.77 on

@@ -254,6 +254,11 @@ def test_search_select_rejects_unpadded_capacity(unit_vectors):
     with pytest.raises(ValueError, match="capacity"):
         search_select(bad, jnp.ones((100_000,), jnp.float32), q,
                       jnp.int32(100_000), 10)
+    # tn below W*128 would emit <128-lane output blocks (Mosaic rejects)
+    ok = jnp.zeros((32768, 384), jnp.int8)
+    with pytest.raises(ValueError, match="capacity"):
+        search_select(ok, jnp.ones((32768,), jnp.float32), q,
+                      jnp.int32(32768), 10, tn=8192)
 
 
 def test_fused_selector_qi8_scoring(unit_vectors):
