@@ -131,6 +131,20 @@ def _fused_ingest_program_exact(params, input_ids, mask, codes, scales,
     return codes, scales, exact, emb
 
 
+def _chunk_by_bucket(ingest_fn, encoder, texts, token_ids):
+    """Split a batch at the encoder's largest batch bucket and recurse
+    through `ingest_fn` — any caller-chosen ingest batch size is safe
+    regardless of the bucket grid. Returns None when no split needed."""
+    maxb = getattr(encoder, "batch_buckets", [len(texts)])[-1]
+    if len(texts) <= maxb:
+        return None
+    outs = []
+    for s in range(0, len(texts), maxb):
+        tk = token_ids[s:s + maxb] if token_ids is not None else None
+        outs.append(ingest_fn(texts[s:s + maxb], token_ids=tk))
+    return np.concatenate(outs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cfg", "mask_padding", "include_padding",
@@ -209,13 +223,9 @@ class ShardedFusedIngestPath:
         f32 embeddings for durable storage. Caller must hold the
         provider lock (buffer donation is not reentrant)."""
         enc = self.encoder
-        maxb = getattr(enc, "batch_buckets", [len(texts)])[-1]
-        if len(texts) > maxb:
-            outs = []
-            for s in range(0, len(texts), maxb):
-                tk = token_ids[s:s + maxb] if token_ids is not None else None
-                outs.append(self.ingest(texts[s:s + maxb], token_ids=tk))
-            return np.concatenate(outs)
+        chunked = _chunk_by_bucket(self.ingest, enc, texts, token_ids)
+        if chunked is not None:
+            return chunked
         ix = self.index
         n = len(texts)
         ids_list = (token_ids if token_ids is not None
@@ -281,16 +291,9 @@ class FusedIngestPath:
         per text, from encoder.tokenize_texts) skips tokenization —
         the ingest pipeline computes it on a separate thread."""
         enc = self.encoder
-        # batches past the encoder's largest bucket chunk down — any
-        # caller-chosen ingest batch size is safe regardless of the
-        # encoder's bucket grid
-        maxb = getattr(enc, "batch_buckets", [len(texts)])[-1]
-        if len(texts) > maxb:
-            outs = []
-            for s in range(0, len(texts), maxb):
-                tk = token_ids[s:s + maxb] if token_ids is not None else None
-                outs.append(self.ingest(texts[s:s + maxb], token_ids=tk))
-            return np.concatenate(outs)
+        chunked = _chunk_by_bucket(self.ingest, enc, texts, token_ids)
+        if chunked is not None:
+            return chunked
         ids_list = (token_ids if token_ids is not None
                     else enc.tokenize_texts(texts))
         input_ids, mask = enc.pad_batch(ids_list)

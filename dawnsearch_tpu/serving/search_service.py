@@ -193,6 +193,12 @@ class SearchService:
 
     # -- ingestion ------------------------------------------------------------
 
+    @staticmethod
+    def _combined(pages: Sequence[tuple[str, str, str]]) -> list[str]:
+        """The text the service embeds for a page (title + body — the
+        reference's page.combined, page_source.rs:44-50)."""
+        return [f"{title}\n{text}" for _, title, text in pages]
+
     def tokenize_pages(self, pages: Sequence[tuple[str, str, str]]
                        ) -> list[list[int]] | None:
         """Pre-tokenize (url, title, text) triples for
@@ -203,9 +209,8 @@ class SearchService:
         re-tokenizes internally anyway)."""
         if self._fused_ingest is None:
             return None
-        # must match insert_pages' combined formula exactly
-        combined = [f"{title}\n{text}" for _, title, text in pages]
-        return self._fused_ingest.encoder.tokenize_texts(combined)
+        return self._fused_ingest.encoder.tokenize_texts(
+            self._combined(pages))
 
     def insert_pages(self, pages: Sequence[tuple[str, str, str]],
                      from_network: bool = False,
@@ -218,7 +223,7 @@ class SearchService:
         `token_ids` (from tokenize_pages) skips in-lock tokenization."""
         if not pages:
             return []
-        combined = [f"{title}\n{text}" for _, title, text in pages]
+        combined = self._combined(pages)
         urls = [p[0] for p in pages]
         titles = [p[1] for p in pages]
         texts = [p[2] for p in pages]
