@@ -334,7 +334,7 @@ class IVFIndex:
         cand = np.asarray(_assign_candidates(
             jnp.asarray(rows), self._centroids, n_cand))
 
-        sel_all, lists_all, slots_all, which_all = [], [], [], []
+        sel_all, lists_all, slots_all = [], [], []
         for copy in range(m):
             sel, li, si = self._assign_batch(cand[:, copy:], required=copy == 0)
             sel_all.append(sel)

@@ -113,9 +113,15 @@ class PageStore:
                 self._in_txn = True
                 try:
                     yield self
-                finally:
+                except BaseException:
+                    # commit-on-error would persist a partial batch and
+                    # silently break the row_id -> store_id(+1) contract
+                    # the callers protect; roll back instead
                     self._in_txn = False
-                    self.conn.commit()
+                    self.conn.rollback()
+                    raise
+                self._in_txn = False
+                self.conn.commit()
         return _txn()
 
     def insert_batch(

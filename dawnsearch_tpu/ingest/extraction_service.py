@@ -63,6 +63,10 @@ class WarcLedger:
             self._seen.add(name)
             with open(self.path, "a", encoding="utf-8") as f:
                 f.write(name + "\n")
+                # a mark says "this file's pages are durably inserted";
+                # it must not survive a crash its inserts did not
+                f.flush()
+                os.fsync(f.fileno())
 
     def __len__(self) -> int:
         with self._lock:
@@ -245,13 +249,25 @@ class ExtractionService:
         self._ready.join()
 
     def _tokenize_loop(self) -> None:
+        """Queue protocol (through _batches -> here -> _ready):
+        ("batch", name, pages) / ("mark", name) / None sentinel.
+        Ledger marks RIDE THE PIPELINE behind their file's batches, so
+        a WARC is recorded as ingested only after its pages are
+        durably inserted — not merely extracted (a dropped insert batch
+        or a crash between extract and insert must not lose pages
+        forever)."""
         tokenize = getattr(self.service, "tokenize_pages", None)
         while True:
-            batch = self._batches.get()
-            if batch is None:
+            item = self._batches.get()
+            if item is None:
                 self._ready.put(None)
                 self._batches.task_done()
                 return
+            kind, name, batch = item
+            if kind == "mark":
+                self._ready.put(("mark", name, None, None))
+                self._batches.task_done()
+                continue
             # in-thread batches carry ExtractedPage; worker batches
             # already ship (url, title, text) triples
             triples = (batch if batch and isinstance(batch[0], tuple)
@@ -264,19 +280,30 @@ class ExtractionService:
                     log.exception("tokenize batch failed; inserting raw")
             # put BEFORE task_done so _batches.join() implies everything
             # extracted is visible to _ready.join()
-            self._ready.put((triples, token_ids))
+            self._ready.put(("batch", name, triples, token_ids))
             self._batches.task_done()
 
     def _insert_loop(self) -> None:
+        failed: set[str] = set()  # files with a dropped insert batch
         while True:
             item = self._ready.get()
             if item is None:
                 self._ready.task_done()
                 return
+            kind, name, triples, token_ids = item
             try:
-                self._insert(*item)
+                if kind == "mark":
+                    if name in failed:
+                        log.warning("not marking %s ingested: an insert "
+                                    "batch failed (will re-ingest on "
+                                    "restart)", name)
+                    elif self.ledger is not None and name:
+                        self.ledger.mark(name)
+                else:
+                    self._insert(triples, token_ids)
             except Exception:
                 log.exception("insert batch failed")
+                failed.add(name)
             finally:
                 self._ready.task_done()
 
@@ -369,9 +396,10 @@ class ExtractionService:
                     log.warning("worker extraction error on %s: %s",
                                 name, payload)
                 elif kind == "done":
-                    if self.ledger is not None and name \
-                            and name not in partial:
-                        self.ledger.mark(name)
+                    if name and name not in partial:
+                        # ledger mark rides BEHIND the file's batches;
+                        # the insert thread commits it post-insert
+                        self._batches.put(("mark", name, None))
                 elif kind == "batch":
                     if self.max_pages is not None:
                         room = self.max_pages - produced
@@ -382,7 +410,7 @@ class ExtractionService:
                             payload = payload[:room]
                             partial.add(name)
                     produced += len(payload)
-                    self._batches.put(payload)
+                    self._batches.put(("batch", name, payload))
                     if self.max_pages is not None \
                             and produced >= self.max_pages:
                         break
@@ -397,13 +425,22 @@ class ExtractionService:
         if self.workers > 0:
             self._run_workers()
             return
+        # Ledger marks land asynchronously (post-insert), so an endless
+        # random-pick source could re-choose a file whose mark is still
+        # in the pipeline — dedup by name within this process.
+        inflight: set[str] = set()
         while not self._stop.is_set():
             try:
                 progressed = False
                 for item in self.source.files():
                     name, f = self._named(item)
-                    if self.ledger is not None and self.ledger.seen(name):
+                    # (without a ledger an endless random source keeps
+                    # re-ingesting by design — reference semantics)
+                    if self.ledger is not None and (
+                            name in inflight or self.ledger.seen(name)):
                         log.debug("skipping already-ingested %s", name)
+                        if hasattr(f, "close"):
+                            f.close()  # sources that pre-open streams
                         continue
                     progressed = True
                     batch: list[ExtractedPage] = []
@@ -415,7 +452,7 @@ class ExtractionService:
                         batch.append(page)
                         if len(batch) >= self.batch_size:
                             produced += len(batch)
-                            self._batches.put(batch)
+                            self._batches.put(("batch", name, batch))
                             batch = []
                         if self.max_pages is not None and \
                                 self.pages_ingested + produced + \
@@ -424,9 +461,13 @@ class ExtractionService:
                             break
                     if batch:
                         produced += len(batch)
-                        self._batches.put(batch)
-                    if drained and self.ledger is not None and name:
-                        self.ledger.mark(name)
+                        self._batches.put(("batch", name, batch))
+                    if drained and name:
+                        # recorded by the insert thread AFTER the file's
+                        # batches are durably inserted (a dropped batch
+                        # must not lose its pages forever)
+                        inflight.add(name)
+                        self._batches.put(("mark", name, None))
                     if self.max_pages is not None and \
                             self.pages_ingested + produced >= self.max_pages:
                         return

@@ -36,6 +36,22 @@ def build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any C++ source/header/Makefile is newer than the .so —
+    a stale prebuilt library can carry an OLD ABI (e.g. the 2-arg
+    dawn_extract) and silently misbehave through ctypes rather than
+    fail to load."""
+    try:
+        so_mtime = os.path.getmtime(SO)
+    except OSError:
+        return True
+    for f in os.listdir(DIR):
+        if f.endswith((".cpp", ".h", ".py")) or f == "Makefile":
+            if os.path.getmtime(os.path.join(DIR, f)) > so_mtime:
+                return True
+    return False
+
+
 def get() -> ctypes.CDLL | None:
     """-> loaded library with typed symbols, or None."""
     global _lib, _tried
@@ -43,7 +59,7 @@ def get() -> ctypes.CDLL | None:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(SO) and not build():
+        if (not os.path.exists(SO) or _stale()) and not build():
             return None
         try:
             lib = ctypes.CDLL(SO)

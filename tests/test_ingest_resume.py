@@ -78,6 +78,39 @@ def test_interrupted_file_is_not_marked_done(tmp_path):
     assert len(ledger) == 0  # stopped mid-file: must re-ingest on restart
 
 
+def test_failed_insert_blocks_ledger_mark(tmp_path):
+    """The mark rides the pipeline BEHIND the file's batches: a dropped
+    insert batch means the WARC is NOT recorded as ingested, and a
+    restart re-ingests it (the pages were never durably stored)."""
+    make_warcs(tmp_path, n_files=2, pages_per=4)
+    ledger = WarcLedger(str(tmp_path / "ledger.txt"))
+
+    class FlakyService(FakeService):
+        def __init__(self):
+            super().__init__()
+            self.fail_batches = 1  # drop the very first insert batch
+
+        def insert_pages(self, pages, **kw):
+            if self.fail_batches > 0:
+                self.fail_batches -= 1
+                raise RuntimeError("injected insert failure")
+            return super().insert_pages(pages)
+
+    svc = FlakyService()
+    run_service(svc, LocalWarcSource(str(tmp_path / "*.warc.gz")), ledger,
+                batch_size=4)
+    # one file's batch was dropped -> only the OTHER file is marked
+    assert len(ledger) == 1
+    assert sum(len(b) for b in svc.batches) == 4
+
+    # restart: the unmarked file re-ingests cleanly
+    svc2 = FakeService()
+    run_service(svc2, LocalWarcSource(str(tmp_path / "*.warc.gz")),
+                WarcLedger(str(tmp_path / "ledger.txt")), batch_size=4)
+    assert sum(len(b) for b in svc2.batches) == 4
+    assert len(WarcLedger(str(tmp_path / "ledger.txt"))) == 2
+
+
 def test_object_store_source(tmp_path):
     # the store root holds ONLY warcs (the ledger must not be listed
     # as an object)
