@@ -1,5 +1,10 @@
 """Fused score+select Pallas kernel for exact/approx top-k search.
 
+The TPU-native replacement for the reference's ANN query hot loop —
+USearch's HNSW walk + BestResults accumulation
+(/root/reference/src/search/search_provider.rs:214,
+src/search/best_results.rs:44-79) — as one MXU scan (SURVEY §2.2 N1).
+
 The XLA search path (index/flat.py::search_kernel) materializes the
 (B, chunk) f32 score matrix in HBM for every chunk — at 1M rows and
 batch 1024 that is ~4 GB of score traffic per batch, and the chunked

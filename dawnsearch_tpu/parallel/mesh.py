@@ -1,4 +1,5 @@
-"""Mesh construction helpers."""
+"""Mesh helpers for the device-parallel tier (SURVEY §2.3: the ICI
+replacement for the reference's peer fan-out, udp_service.rs:297-330)."""
 
 from __future__ import annotations
 
