@@ -270,6 +270,41 @@ def test_sharded_fused_ingest(encoder):
         svc.shutdown()
 
 
+def test_sharded_fused_ingest_grows_and_caps(encoder):
+    """Mid-ingest per-shard growth under the fused program, and the
+    split-path fallback when max_capacity can't fit block + scratch."""
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+    from dawnsearch_tpu.serving.fused import ShardedFusedIngestPath
+
+    ix = ShardedFlatIndex(mesh=make_mesh({"shard": 8}), dim=64, dtype="i8",
+                          capacity_per_shard=8, segment=8,
+                          max_capacity=256)
+    fp = ShardedFusedIngestPath(encoder, ix)
+    texts = [CORPUS[i % 5] + f" g{i}" for i in range(120)]
+    emb = fp.ingest(texts)  # 15 rows/shard — forces 8 -> 16 growth
+    assert emb.shape == (120, 64) and len(ix) == 120
+    assert ix.cap_per_shard == 16
+    uids = np.asarray(ix._ids)
+    assert sorted(uids[uids >= 0].tolist()) == list(range(120))
+    # texts are near-duplicates, so i8 quant noise may swap same-topic
+    # rows; assert the match is essentially exact rather than the id
+    d, u = ix.search(emb[:3], k=1)
+    assert np.all(d[:, 0] < 0.05) and np.all(u[:, 0] >= 0)
+
+    # near max_capacity: fused block + scratch won't fit -> split path
+    ix2 = ShardedFlatIndex(mesh=make_mesh({"shard": 8}), dim=64,
+                           dtype="i8", capacity_per_shard=8, segment=8,
+                           max_capacity=80)
+    fp2 = ShardedFusedIngestPath(encoder, ix2)
+    fp2.ingest([CORPUS[i % 5] + f" c{i}" for i in range(76)])
+    assert len(ix2) == 76  # 9.5 rows/shard avg, cap 10/shard
+    e3 = fp2.ingest([CORPUS[0] + " last", CORPUS[1] + " final"])
+    assert e3.shape == (2, 64) and len(ix2) == 78
+    d, u = ix2.search(e3, k=1)
+    assert np.all(d[:, 0] < 0.05) and np.all(u[:, 0] >= 0)
+
+
 def test_fused_with_device_rerank(encoder):
     """Fused query + ingest against a device-rerank (exact="f16") index:
     ingest writes the shadow buffer in-program, query re-ranks
