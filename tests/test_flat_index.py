@@ -289,6 +289,28 @@ def test_fused_selector_qi8_scoring(unit_vectors):
     assert np.asarray(i2).shape == (3, 5) and (np.asarray(i2) >= 0).all()
 
 
+def test_fused_selector_bf16_codes(unit_vectors):
+    """The scale-less bf16 storage path through the fused kernel (its
+    dummy-scale BlockSpec and bf16 scoring branch): recall parity with
+    i8 and correct gating."""
+    from dawnsearch_tpu.ops.scan_select import eligible
+
+    x = unit_vectors(16384)
+    q = unit_vectors(16)
+    idx = FlatIndex(dtype="bf16", capacity=16384, segment=16384,
+                    selector="fused")
+    idx.fused_min_rows = 0
+    idx.add(x)
+    assert eligible(idx.count, idx.capacity, idx.dim, idx.dtype,
+                    idx.selector, 0)
+    d, i = idx.search(q, 10)
+    bd, bi = brute_force(q, x, 10)
+    hits = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, bi)])
+    assert hits >= 0.9  # bf16 rounding only — tighter than i8
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+    np.testing.assert_allclose(d[:, 0], bd[:, 0], atol=1e-2)
+
+
 def test_fused_selector_with_device_rerank(unit_vectors):
     x = unit_vectors(16384)
     q = unit_vectors(8)
