@@ -214,6 +214,29 @@ def _fused_select_rerank(codes, scales, exact, q, count, k, kf):
     return rerank_kernel(exact, q.astype(jnp.float32), d, i, k)
 
 
+def _check_unit_queries(queries, count: int, capacity: int, dim: int,
+                        dtype: str, selector: str, min_rows: int) -> None:
+    """Raise on non-unit host queries when the fused selector would
+    serve them (its packed-key compare is only correct for |dot| < 2).
+    Mirrors SearchProvider.search_embeddings' 1% tolerance."""
+    if not isinstance(queries, np.ndarray):
+        return  # device arrays: avoid a host readback; provider checks
+    from dawnsearch_tpu.ops import scan_select
+    if not scan_select.eligible(count, capacity, dim, dtype, selector,
+                                min_rows):
+        return
+    q = np.atleast_2d(np.asarray(queries, np.float32))
+    if q.shape[0] == 0:
+        return
+    norms = np.linalg.norm(q, axis=1)
+    if not np.all(np.abs(norms - 1.0) <= 0.01):
+        bad = float(norms[np.argmax(np.abs(norms - 1.0))])
+        raise ValueError(
+            f"query embedding not normalized (length {bad:.4f}); the "
+            "fused selector requires unit queries — normalize before "
+            "searching")
+
+
 class FlatIndex:
     """Append-only exact index on one device (sharding lives in
     dawnsearch_tpu.parallel.sharded_index)."""
@@ -342,7 +365,18 @@ class FlatIndex:
 
     def search(self, queries: np.ndarray | jax.Array, k: int
                ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact top-k -> (distances (B, k) ascending, ids (B, k); -1 = empty)."""
+        """Exact top-k -> (distances (B, k) ascending, ids (B, k); -1 = empty).
+
+        Queries must be unit-normalized when the fused selector serves
+        (count >= fused_min_rows): its packed-key integer compare needs
+        dot products in (-2, 2) (ops/scan_select.py). Host (numpy)
+        inputs are checked here (round-2 advisor: the behavior would
+        otherwise silently flip from correct to wrong as the index
+        crosses the fused gate); device inputs are the caller's
+        contract — a readback through the tunneled dispatch path would
+        cost more than the search."""
+        _check_unit_queries(queries, self.count, self.capacity, self.dim,
+                            self.dtype, self.selector, self.fused_min_rows)
         q = jnp.asarray(queries, jnp.float32)
         single = q.ndim == 1
         if single:
@@ -439,6 +473,17 @@ class FlatIndex:
             idx._scales = jnp.asarray(scales, jnp.float32)
         if has_exact:
             idx._exact = jnp.asarray(exact, jnp.float16)
+        elif idx.exact == "f16":
+            # Caller requested a shadow buffer the snapshot doesn't
+            # carry: backfill from the dequantized codes rather than
+            # leave an all-zero buffer that would silently score every
+            # candidate at distance 1.0 (round-2 advisor finding). The
+            # shadow then carries the storage quantization error until
+            # newly added rows refresh it.
+            deq = codes.astype(np.float32)
+            if dtype == "i8":
+                deq = deq * scales[:, None]
+            idx._exact = jnp.asarray(deq.astype(np.float16))
         idx.count = count
         idx.capacity = codes.shape[0]
         return idx

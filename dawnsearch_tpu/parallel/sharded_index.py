@@ -98,27 +98,45 @@ def _sharded_search(codes, scales, exact, ids, counts, queries, *, k: int,
     )(codes, scales, exact, ids, counts, queries)
 
 
+def _blend_write(buf, new, shift, s, mask):
+    """Write `new` (1, mr, ...) into `buf` (1, cap, ...) at clamped
+    offset `s`, rolled down by `shift`, keeping old contents where
+    `mask` is False. Full shards (mask all-False) are no-ops, so a
+    write block never needs scratch room past the shard's capacity —
+    the per-shard capacity constraint is counts[s] + adds[s] <= cap,
+    not counts.max() + max_rows <= cap (round-2 advisor, fused.py:238)."""
+    new = jnp.roll(new, shift, axis=1)
+    zeros = (0,) * (buf.ndim - 2)
+    old = jax.lax.dynamic_slice(buf, (0, s) + zeros, new.shape)
+    m = mask.reshape((1, mask.shape[0]) + (1,) * (buf.ndim - 2))
+    return jax.lax.dynamic_update_slice(
+        buf, jnp.where(m, new, old), (0, s) + zeros)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "has_scales",
                                              "has_exact"),
                    donate_argnums=(0, 1, 2, 3))
 def _sharded_write(codes, scales, exact, ids, row_blocks, scale_blocks,
-                   exact_blocks, id_blocks, starts, *, mesh: Mesh,
+                   exact_blocks, id_blocks, nvalid, starts, *, mesh: Mesh,
                    has_scales: bool, has_exact: bool):
-    """Each shard writes its padded block at its own row offset."""
+    """Each shard blend-writes its first nvalid[s] block rows at its own
+    row offset; rows past nvalid[s] (block padding) leave the buffer
+    untouched, so a full shard participates as a no-op."""
 
     def local(codes_blk, scales_blk, exact_blk, ids_blk, rows, scs, exs,
-              uids, start):
-        s = start[0]
-        codes_out = jax.lax.dynamic_update_slice(codes_blk, rows, (0, s, 0))
-        ids_out = jax.lax.dynamic_update_slice(ids_blk, uids, (0, s))
-        if has_scales:
-            scales_out = jax.lax.dynamic_update_slice(scales_blk, scs, (0, s))
-        else:
-            scales_out = scales_blk
-        if has_exact:
-            exact_out = jax.lax.dynamic_update_slice(exact_blk, exs, (0, s, 0))
-        else:
-            exact_out = exact_blk
+              uids, nv, start):
+        cap = codes_blk.shape[1]
+        mr = rows.shape[1]
+        s = jnp.minimum(start[0], cap - mr)  # caller guarantees mr <= cap
+        shift = start[0] - s
+        iota = jnp.arange(mr, dtype=jnp.int32)
+        mask = (iota >= shift) & (iota < shift + nv[0])
+        codes_out = _blend_write(codes_blk, rows, shift, s, mask)
+        ids_out = _blend_write(ids_blk, uids, shift, s, mask)
+        scales_out = (_blend_write(scales_blk, scs, shift, s, mask)
+                      if has_scales else scales_blk)
+        exact_out = (_blend_write(exact_blk, exs, shift, s, mask)
+                     if has_exact else exact_blk)
         return codes_out, scales_out, exact_out, ids_out
 
     scales_spec = P(AXIS, None) if has_scales else P()
@@ -127,12 +145,12 @@ def _sharded_write(codes, scales, exact, ids, row_blocks, scale_blocks,
         local, mesh=mesh,
         in_specs=(P(AXIS, None, None), scales_spec, exact_spec,
                   P(AXIS, None), P(AXIS, None, None), scales_spec,
-                  exact_spec, P(AXIS, None), P(AXIS)),
+                  exact_spec, P(AXIS, None), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS, None, None), scales_spec, exact_spec,
                    P(AXIS, None)),
         check_vma=False,
     )(codes, scales, exact, ids, row_blocks, scale_blocks, exact_blocks,
-      id_blocks, starts)
+      id_blocks, nvalid, starts)
 
 
 class ShardedFlatIndex:
@@ -251,29 +269,57 @@ class ShardedFlatIndex:
             self._shard2)
         self.cap_per_shard = new_cap
 
-    def _stripe_plan(self, n: int) -> tuple[list[np.ndarray], int]:
+    def _stripe_plan(self, n: int, room: np.ndarray | None = None
+                     ) -> tuple[list[np.ndarray], int]:
         """Balance-stripe: water-fill n new rows onto the least-full
         shards (closed form — equivalent to giving each row to the
         current argmin shard, but O(S log range) instead of a per-row
-        Python loop). -> (per-shard index arrays into the batch,
-        max rows any shard receives)."""
+        Python loop). With `room` (per-shard free slots), no shard
+        receives more than its room — the at-max-capacity plan; caller
+        must check room.sum() >= n first. -> (per-shard index arrays
+        into the batch, max rows any shard receives)."""
         c = self._counts
+        if room is None:
+            room = np.full(self.n_shards, n, dtype=np.int64)
         lo, hi = int(c.min()), int(c.max()) + n
         while lo < hi:  # largest level L with fill-cost <= n
             mid = (lo + hi + 1) // 2
-            if int((np.maximum(c, mid) - c).sum()) <= n:
+            if int(np.minimum(np.maximum(c, mid) - c, room).sum()) <= n:
                 lo = mid
             else:
                 hi = mid - 1
-        adds = np.maximum(c, lo) - c
+        adds = np.minimum(np.maximum(c, lo) - c, room)
         left = n - int(adds.sum())
-        if left > 0:  # one extra row each for the lowest-index eligible shards
-            eligible = np.nonzero(c <= lo)[0]
-            adds[eligible[:left]] += 1
+        if left > 0:  # one extra row each to the lowest-fill shards with room
+            eligible = np.nonzero(adds < room)[0]
+            order = eligible[np.argsort((c + adds)[eligible], kind="stable")]
+            adds[order[:left]] += 1
         bounds = np.concatenate([[0], np.cumsum(adds)]).astype(np.int64)
         per_shard = [np.arange(bounds[s], bounds[s + 1])
                      for s in range(self.n_shards)]
         return per_shard, int(adds.max())
+
+    def _plan_insert(self, n: int) -> tuple[list[np.ndarray], int]:
+        """Stripe plan + capacity management: grow shards when the plan
+        needs it; when growth is capped (max_capacity), re-plan within
+        each shard's remaining room. Raises only when the rows genuinely
+        don't fit anywhere (sum of free slots < n)."""
+        per_shard, max_rows = self._stripe_plan(n)
+        adds = np.array([len(p) for p in per_shard], np.int64)
+        needed = int((self._counts + adds).max())
+        if needed > self.cap_per_shard:
+            try:
+                self._grow(needed)
+            except RuntimeError:
+                pass
+            if needed > self.cap_per_shard:
+                room = (self.cap_per_shard - self._counts).astype(np.int64)
+                free = int(room.sum())
+                if free < n:
+                    raise RuntimeError(
+                        f"sharded index full: {n} rows, {free} free slots")
+                per_shard, max_rows = self._stripe_plan(n, room=room)
+        return per_shard, max_rows
 
     def add(self, vectors: np.ndarray | jax.Array,
             ids: np.ndarray | None = None) -> np.ndarray:
@@ -287,9 +333,7 @@ class ShardedFlatIndex:
             ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
         self._next_id = max(self._next_id, int(ids.max()) + 1)
 
-        per_shard, max_rows = self._stripe_plan(n)
-        if (self._counts.max() + max_rows) > self.cap_per_shard:
-            self._grow(int(self._counts.max()) + max_rows)
+        per_shard, max_rows = self._plan_insert(n)
 
         S, D = self.n_shards, self.dim
         if self.dtype == "i8":
@@ -324,6 +368,8 @@ class ShardedFlatIndex:
             jax.device_put(jnp.asarray(exact_blocks), self._shard3)
             if exact_blocks is not None else jnp.zeros((), jnp.float16),
             jax.device_put(jnp.asarray(id_blocks), self._shard2),
+            jax.device_put(jnp.asarray(
+                [len(p) for p in per_shard], dtype=jnp.int32), self._shard1),
             jax.device_put(jnp.asarray(starts), self._shard1),
             mesh=self.mesh, has_scales=has_scales,
             has_exact=self.exact is not None,
@@ -334,7 +380,14 @@ class ShardedFlatIndex:
 
     def search(self, queries: np.ndarray | jax.Array, k: int
                ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact global top-k -> (distances (B,k) asc, user ids; -1 = empty)."""
+        """Exact global top-k -> (distances (B,k) asc, user ids; -1 = empty).
+
+        Host (numpy) queries must be unit-normalized once any shard
+        crosses the fused-selector gate (see FlatIndex.search)."""
+        from dawnsearch_tpu.index.flat import _check_unit_queries
+        _check_unit_queries(queries, int(self._counts.min()),
+                            self.cap_per_shard, self.dim, self.dtype,
+                            "auto", self.fused_min_rows)
         q = jnp.asarray(queries, jnp.float32)
         single = q.ndim == 1
         if single:
@@ -419,6 +472,15 @@ class ShardedFlatIndex:
             if has_exact and idx.exact:
                 idx._exact = jax.device_put(
                     jnp.asarray(exact, jnp.float16), idx._shard3)
+            elif idx.exact == "f16":
+                # requested shadow absent from the snapshot: backfill
+                # from dequantized codes instead of serving an all-zero
+                # re-rank buffer (round-2 advisor; see FlatIndex.load)
+                deq = codes.astype(np.float32)
+                if dtype == "i8":
+                    deq = deq * scales[:, :, None]
+                idx._exact = jax.device_put(
+                    jnp.asarray(deq.astype(np.float16)), idx._shard3)
             idx._ids = jax.device_put(jnp.asarray(ids, jnp.int32),
                                       idx._shard2)
             idx._counts = counts

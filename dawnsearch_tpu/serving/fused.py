@@ -151,19 +151,21 @@ def _chunk_by_bucket(ingest_fn, encoder, texts, token_ids):
                      "has_exact"),
     donate_argnums=(3, 4, 5, 6))
 def _sharded_fused_ingest_program(params, input_ids, mask, codes, scales,
-                                  exact, idsbuf, sel, uids, starts, *,
-                                  mesh, cfg, mask_padding, include_padding,
-                                  has_exact):
-    """encode -> i8 quantize -> every shard writes its slice at its own
-    offset, ONE program over the mesh. The per-shard row assignment
-    (`sel`, from ShardedFlatIndex._stripe_plan) is host-computed; the
-    embeddings are replicated and each device gathers only its rows.
-    Block rows past a shard's fill (uid -1) land beyond its count as
-    scratch, exactly like FusedIngestPath's padding rows."""
+                                  exact, idsbuf, sel, uids, nvalid, starts,
+                                  *, mesh, cfg, mask_padding,
+                                  include_padding, has_exact):
+    """encode -> i8 quantize -> every shard blend-writes its slice at
+    its own offset, ONE program over the mesh. The per-shard row
+    assignment (`sel`, from ShardedFlatIndex._plan_insert) is
+    host-computed; the embeddings are replicated and each device
+    gathers only its rows. Block rows past a shard's fill (nvalid[s])
+    keep the old buffer contents — a full shard participates as a
+    no-op, so near max_capacity the batch still lands on shards with
+    room (round-2 advisor finding)."""
     from jax.sharding import PartitionSpec as P
 
     from dawnsearch_tpu.index.flat import _quantize_rows_i8
-    from dawnsearch_tpu.parallel.sharded_index import AXIS
+    from dawnsearch_tpu.parallel.sharded_index import AXIS, _blend_write
 
     emb = encode_batch(params, input_ids, mask, cfg=cfg,
                        mask_padding=mask_padding,
@@ -173,17 +175,19 @@ def _sharded_fused_ingest_program(params, input_ids, mask, codes, scales,
            else jnp.zeros((), jnp.float16))
 
     def local(codes_blk, scales_blk, exact_blk, ids_blk, sel_blk, uid_blk,
-              start, qc, qs, fx):
-        s = start[0]
+              nv, start, qc, qs, fx):
+        cap = codes_blk.shape[1]
         idx = sel_blk[0]                              # (maxb,)
-        codes_out = jax.lax.dynamic_update_slice(
-            codes_blk, qc[idx][None], (0, s, 0))
-        scales_out = jax.lax.dynamic_update_slice(
-            scales_blk, qs[idx][None], (0, s))
-        ids_out = jax.lax.dynamic_update_slice(ids_blk, uid_blk, (0, s))
+        mr = idx.shape[0]
+        s = jnp.minimum(start[0], cap - mr)
+        shift = start[0] - s
+        iota = jnp.arange(mr, dtype=jnp.int32)
+        m = (iota >= shift) & (iota < shift + nv[0])
+        codes_out = _blend_write(codes_blk, qc[idx][None], shift, s, m)
+        scales_out = _blend_write(scales_blk, qs[idx][None], shift, s, m)
+        ids_out = _blend_write(ids_blk, uid_blk, shift, s, m)
         if has_exact:
-            exact_out = jax.lax.dynamic_update_slice(
-                exact_blk, fx[idx][None], (0, s, 0))
+            exact_out = _blend_write(exact_blk, fx[idx][None], shift, s, m)
         else:
             exact_out = exact_blk
         return codes_out, scales_out, exact_out, ids_out
@@ -194,11 +198,12 @@ def _sharded_fused_ingest_program(params, input_ids, mask, codes, scales,
         local, mesh=mesh,
         in_specs=(P(AXIS, None, None), P(AXIS, None), exact_spec,
                   P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
-                  P(None, None), P(None), f16_spec),
+                  P(AXIS), P(None, None), P(None), f16_spec),
         out_specs=(P(AXIS, None, None), P(AXIS, None), exact_spec,
                    P(AXIS, None)),
         check_vma=False,
-    )(codes, scales, exact, idsbuf, sel, uids, starts, qcodes, qscales, f16)
+    )(codes, scales, exact, idsbuf, sel, uids, nvalid, starts,
+      qcodes, qscales, f16)
     return out, emb
 
 
@@ -231,17 +236,11 @@ class ShardedFusedIngestPath:
         ids_list = (token_ids if token_ids is not None
                     else enc.tokenize_texts(texts))
         input_ids, mask = enc.pad_batch(ids_list)
-        per_shard, max_rows = ix._stripe_plan(n)
-        try:
-            if int(ix._counts.max()) + max_rows > ix.cap_per_shard:
-                ix._grow(int(ix._counts.max()) + max_rows)
-        except RuntimeError:
-            # at max_capacity the block + scratch may not fit even when
-            # the n rows would: take the split path (reusing the
-            # already-tokenized ids — no re-tokenize under the lock)
-            emb = np.asarray(enc.encode_tokenized(ids_list), np.float32)
-            ix.add(emb)
-            return emb
+        # _plan_insert grows shards as needed and, at max_capacity,
+        # re-plans within each shard's remaining room (blend writes make
+        # full shards no-ops); it raises only when the index is
+        # genuinely full (fewer free slots than rows).
+        per_shard, max_rows = ix._plan_insert(n)
         uids = np.arange(ix._next_id, ix._next_id + n, dtype=np.int64)
         S = ix.n_shards
         sel = np.zeros((S, max_rows), np.int32)
@@ -260,6 +259,9 @@ class ShardedFusedIngestPath:
                     ix._codes, ix._scales, ix._exact, ix._ids,
                     jax.device_put(jnp.asarray(sel), ix._shard2),
                     jax.device_put(jnp.asarray(uid_blocks), ix._shard2),
+                    jax.device_put(jnp.asarray(
+                        [len(p) for p in per_shard], dtype=jnp.int32),
+                        ix._shard1),
                     jax.device_put(jnp.asarray(starts), ix._shard1),
                     mesh=ix.mesh, cfg=enc.cfg,
                     mask_padding=enc.mask_padding,

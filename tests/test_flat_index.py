@@ -355,3 +355,42 @@ def test_fused_selector_partial_fill_masks_tail(unit_vectors):
     assert np.all(i[valid] < 300)
     assert np.all(np.isinf(d[~valid]))
     assert i[0, 0] == 0 and d[0, 0] < 1e-2
+
+
+def test_load_backfills_exact_shadow(unit_vectors, tmp_path):
+    """Round-2 advisor (low): load(exact="f16") on a snapshot saved
+    without the shadow must backfill it from dequantized codes, not
+    serve an all-zero buffer that scores everything at distance 1.0."""
+    x = unit_vectors(300)
+    idx = FlatIndex(dtype="i8", capacity=512, segment=256)
+    idx.add(x)
+    p = str(tmp_path / "noexact.npz")
+    idx.save(p)
+    idx2 = FlatIndex.load(p, exact="f16")
+    assert idx2.device_rerank
+    shadow = np.asarray(idx2._exact[:300], np.float32)
+    np.testing.assert_allclose(shadow, x, atol=2e-2)
+    d, i = idx2.search(x[:4], 5)
+    assert (i[:, 0] == np.arange(4)).all()
+    assert np.all(d[:, 0] < 1e-2)
+
+
+def test_fused_path_rejects_nonunit_host_queries(unit_vectors):
+    """Round-2 advisor (low): FlatIndex.search silently flips to the
+    fused selector at scale; non-unit numpy queries must raise there
+    (the packed-key compare needs |dot| < 2) instead of returning
+    confidently wrong ids."""
+    x = unit_vectors(16384)
+    idx = FlatIndex(dtype="i8", capacity=16384, segment=16384,
+                    selector="fused")
+    idx.fused_min_rows = 0
+    idx.add(x)
+    with pytest.raises(ValueError, match="not normalized"):
+        idx.search(2.0 * x[:4], 5)
+    d, i = idx.search(x[:4], 5)  # unit queries fine
+    assert (i[:, 0] == np.arange(4)).all()
+    # below the fused gate the XLA path handles any norm exactly
+    idx2 = FlatIndex(dtype="i8", capacity=16384, segment=16384)
+    idx2.add(x[:100])
+    d2, i2 = idx2.search(2.0 * x[:4], 5)
+    assert (i2[:, 0] == np.arange(4)).all()

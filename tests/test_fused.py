@@ -342,3 +342,27 @@ def test_fused_with_device_rerank(encoder):
     finally:
         batcher.stop()
         svc.shutdown()
+
+
+def test_sharded_fused_ingest_fills_to_exact_capacity(encoder):
+    """Round-2 advisor (medium): at an aligned max_capacity the fused
+    ingest must land rows on shards with room (blend writes; the old
+    fallback re-raised the same capacity error and dropped the batch)."""
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+    from dawnsearch_tpu.serving.fused import ShardedFusedIngestPath
+
+    ix = ShardedFlatIndex(mesh=make_mesh({"shard": 8}), dim=64,
+                          dtype="i8", capacity_per_shard=8, segment=8,
+                          max_capacity=64)
+    fp = ShardedFusedIngestPath(encoder, ix)
+    fp.ingest([CORPUS[i % 5] + f" f{i}" for i in range(63)])
+    assert len(ix) == 63 and int(ix._counts.max()) == 8
+    e = fp.ingest([CORPUS[2] + " very last row"])  # fits on the min shard
+    assert len(ix) == 64
+    d, u = ix.search(e, k=1)
+    assert d[0, 0] < 0.05 and u[0, 0] == 63
+    uids = np.asarray(ix._ids)
+    assert sorted(uids[uids >= 0].tolist()) == list(range(64))
+    with pytest.raises(RuntimeError, match="full"):
+        fp.ingest([CORPUS[3] + " does not fit"])

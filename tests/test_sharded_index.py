@@ -246,3 +246,59 @@ def test_sharded_fused_selector(mesh, unit_vectors):
     assert (u[:, 0] == np.arange(8)).all()
     assert np.all(d[:, 0] < 1e-2)
     assert np.all(np.diff(d, axis=1) >= -1e-6)
+
+
+def test_add_at_max_capacity_uses_free_shards(mesh, unit_vectors):
+    """Round-2 advisor (medium): near an aligned max_capacity, rows that
+    fit on the least-full shards must land there — the old blocked write
+    needed counts.max()+block <= cap and refused rows that fit."""
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    x = unit_vectors(64)
+    ix = ShardedFlatIndex(mesh=mesh, dtype="i8", capacity_per_shard=8,
+                          segment=8, max_capacity=64)
+    ix.add(x[:63])  # counts [8]*7 + [7]
+    assert int(ix._counts.max()) == 8 and int(ix._counts.min()) == 7
+    ids = ix.add(x[63])  # one free slot on the min shard
+    assert len(ix) == 64 and ids[0] == 63
+    d, u = ix.search(x[63], 1)
+    assert u[0] == 63 and d[0] < 1e-2
+    with pytest.raises(RuntimeError, match="full"):
+        ix.add(x[:1])
+
+
+def test_add_at_max_capacity_partial_room(mesh, unit_vectors):
+    """A batch larger than any single shard's room still fits when the
+    total free slots cover it (capped re-plan spreads it)."""
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    x = unit_vectors(64)
+    ix = ShardedFlatIndex(mesh=mesh, dtype="i8", capacity_per_shard=8,
+                          segment=8, max_capacity=64)
+    ix.add(x[:58])  # counts sum 58, 6 free total
+    ix.add(x[58:64])  # 6 rows; max per-shard room is < 6? spread works
+    assert len(ix) == 64
+    d, u = ix.search(x[60], 1)
+    assert u[0] == 60 and d[0] < 1e-2
+    # verify every row is findable (no clobbered rows from blend writes)
+    d, u = ix.search(x, 1)
+    assert (u[:, 0] == np.arange(64)).all()
+
+
+def test_sharded_load_backfills_exact(mesh, unit_vectors, tmp_path):
+    """Requesting exact="f16" on a snapshot without the shadow buffer
+    backfills it from dequantized codes (round-2 advisor: an all-zero
+    shadow made every re-ranked distance 1.0)."""
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    x = unit_vectors(200)
+    ix = ShardedFlatIndex(mesh=mesh, dtype="i8", capacity_per_shard=64,
+                          segment=64)
+    ix.add(x)
+    p = str(tmp_path / "noexact.npz")
+    ix.save(p)
+    ix2 = ShardedFlatIndex.load(p, mesh=mesh, exact="f16")
+    assert ix2.device_rerank
+    d, u = ix2.search(x[:8], 5)
+    assert (u[:, 0] == np.arange(8)).all()
+    assert np.all(d[:, 0] < 1e-2)  # NOT the all-zero shadow's 1.0
