@@ -73,9 +73,20 @@ class SearchProvider:
         self.rerank = rerank
         db_path = ":memory:" if data_dir is None else os.path.join(data_dir, DB_FILE)
         self.store = PageStore(db_path, dim=dim)
-        make_index = index_factory or (
-            lambda: FlatIndex(dim=dim, dtype=index_dtype, max_capacity=max_pages))
+        if index_factory is None:
+            def index_factory():
+                return FlatIndex(dim=dim, dtype=index_dtype,
+                                 max_capacity=max_pages)
+            index_factory.load_kwargs = {"max_capacity": max_pages}
+        make_index = index_factory
         self._make_index = make_index
+        # Snapshots store data, not policy: reload must re-apply the
+        # factory's configuration (max_capacity/selector/exact/mesh) or
+        # a restarted node silently loses its cap semantics (round-2
+        # VERDICT weak #4). Factories advertise it via .load_kwargs
+        # (a dict, or a callable for lazily built values like a mesh).
+        lk = getattr(make_index, "load_kwargs", None)
+        self._load_kwargs = dict(lk() if callable(lk) else (lk or {}))
 
         index_path = (None if data_dir is None
                       else os.path.join(data_dir, INDEX_FILE))
@@ -84,7 +95,7 @@ class SearchProvider:
         if index_path and os.path.exists(index_path):
             try:
                 from dawnsearch_tpu.index import load_index
-                self.index = load_index(index_path)
+                self.index = load_index(index_path, **self._load_kwargs)
                 loaded = len(self.index) == len(self.store)
                 if not loaded:
                     log.warning("index snapshot stale (%d rows vs %d pages); "

@@ -71,17 +71,31 @@ def make_encoder(cfg: Config):
                            seq_buckets=tuple(cfg.seq_buckets))
 
 
+def _sharded_mesh(cfg: Config):
+    import jax
+
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    n = (cfg.mesh_shards if cfg.mesh_shards > 0
+         else len(jax.devices()))  # 0 = every device
+    return make_mesh({"shard": n}, devices=jax.devices()[:n])
+
+
 def make_index_factory(cfg: Config, dim: int = 384):
     """Index per config: exact flat (default), IVF for large corpora,
-    or device-sharded flat over a mesh."""
+    or device-sharded flat over a mesh. The returned factory carries
+    `.load_kwargs` — the configuration a snapshot RELOAD must re-apply
+    (snapshots store data, not policy; SearchProvider passes these to
+    load_index)."""
+    def _exact():
+        return ("f16" if (cfg.index_rerank == "device"
+                          and cfg.index_dtype != "f32") else None)
+
     def factory():
         if cfg.index_kind == "flat":
             from dawnsearch_tpu.index.flat import FlatIndex
-            exact = ("f16" if (cfg.index_rerank == "device"
-                               and cfg.index_dtype != "f32") else None)
             return FlatIndex(dim=dim, dtype=cfg.index_dtype,
                              max_capacity=cfg.index_capacity,
-                             exact=exact)
+                             exact=_exact())
         if cfg.index_kind == "ivf":
             from dawnsearch_tpu.index.auto import AutoIndex
             return AutoIndex(dim=dim, dtype=cfg.index_dtype,
@@ -93,21 +107,22 @@ def make_index_factory(cfg: Config, dim: int = 384):
                              # AutoIndex's own default is None (never)
                              train_threshold=cfg.ivf_train_threshold)
         if cfg.index_kind == "sharded":
-            import jax
-
-            from dawnsearch_tpu.parallel.mesh import make_mesh
             from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
-            n = (cfg.mesh_shards if cfg.mesh_shards > 0
-                 else len(jax.devices()))  # 0 = every device
-            mesh = make_mesh({"shard": n}, devices=jax.devices()[:n])
-            return ShardedFlatIndex(mesh=mesh, dim=dim,
+            return ShardedFlatIndex(mesh=_sharded_mesh(cfg), dim=dim,
                                     dtype=cfg.index_dtype,
                                     max_capacity=cfg.index_capacity,
-                                    exact=("f16" if (
-                                        cfg.index_rerank == "device"
-                                        and cfg.index_dtype != "f32")
-                                        else None))
+                                    exact=_exact())
         raise ValueError(f"unknown index_kind {cfg.index_kind}")
+
+    def load_kwargs():
+        kw = {"max_capacity": cfg.index_capacity}
+        if cfg.index_kind in ("flat", "sharded"):
+            kw["exact"] = _exact()
+        if cfg.index_kind == "sharded":
+            kw["mesh"] = _sharded_mesh(cfg)
+        return kw
+
+    factory.load_kwargs = load_kwargs
     return factory
 
 

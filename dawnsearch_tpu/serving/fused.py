@@ -57,9 +57,16 @@ class FusedQueryPath:
     def supports(index) -> bool:
         return isinstance(index, FlatIndex)
 
-    def search_texts(self, texts: list[str], k: int
-                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """-> (embeddings (N, H), distances (N, k), row ids (N, k))."""
+    def dispatch(self, texts: list[str], k: int
+                 ) -> tuple[jax.Array, jax.Array, jax.Array, int]:
+        """Enqueue the fused program; returns DEVICE arrays + k_eff
+        without blocking on execution. Caller must hold the device-state
+        lock for the duration of this call (the program reads the live
+        index buffer references, which a concurrent donating ingest
+        would invalidate) and run finalize() OUTSIDE it — the readback
+        is where the execution wait happens, and holding the lock
+        across it is what produced the p99 3.5 s query tail under
+        concurrent ingest (doc/performance.md)."""
         enc = self.encoder
         ids_list = enc.tokenize_texts(texts)
         input_ids, mask = enc.pad_batch(ids_list)
@@ -73,7 +80,7 @@ class FusedQueryPath:
         fused_sel = scan_select.eligible(ix.count, ix.capacity, ix.dim,
                                          ix.dtype, ix.selector,
                                          ix.fused_min_rows)
-        with METRICS.timer("fused_query"):
+        with METRICS.timer("fused_query_dispatch"):
             emb, d, i = _fused_program(
                 enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
                 ix._codes, ix._scales, jnp.int32(ix.count),
@@ -81,12 +88,25 @@ class FusedQueryPath:
                 include_padding=enc.include_padding_in_pool,
                 k=k_eff, chunk=ix.chunk, approx=approx,
                 kf=kf, exact=ix._exact, fused_sel=fused_sel)
-            emb, d, i = np.asarray(emb), np.asarray(d), np.asarray(i)
-        n = len(texts)
+        return emb, d, i, k_eff
+
+    @staticmethod
+    def finalize(emb, d, i, n: int, k: int, k_eff: int
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Block on the dispatched program and shape the host results."""
+        emb, d, i = np.asarray(emb), np.asarray(d), np.asarray(i)
         if k_eff < k:
             d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)
             i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return emb[:n], d[:n, :k], i[:n, :k]
+
+    def search_texts(self, texts: list[str], k: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (embeddings (N, H), distances (N, k), row ids (N, k)).
+        Synchronous wrapper; concurrent servers use dispatch/finalize."""
+        with METRICS.timer("fused_query"):
+            emb, d, i, k_eff = self.dispatch(texts, k)
+            return self.finalize(emb, d, i, len(texts), k, k_eff)
 
 
 @functools.partial(
@@ -222,15 +242,16 @@ class ShardedFusedIngestPath:
         from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
         return isinstance(index, ShardedFlatIndex) and index.dtype == "i8"
 
-    def ingest(self, texts: list[str],
-               token_ids: list[list[int]] | None = None) -> np.ndarray:
-        """Embed + stripe-append `texts` across shards; returns (n, H)
-        f32 embeddings for durable storage. Caller must hold the
-        provider lock (buffer donation is not reentrant)."""
+    @property
+    def max_batch(self) -> int | None:
+        buckets = getattr(self.encoder, "batch_buckets", None)
+        return buckets[-1] if buckets else None
+
+    def dispatch(self, texts: list[str],
+                 token_ids: list[list[int]] | None = None) -> jax.Array:
+        """Enqueue one bucket-sized sharded ingest program; see
+        FusedIngestPath.dispatch for the locking contract."""
         enc = self.encoder
-        chunked = _chunk_by_bucket(self.ingest, enc, texts, token_ids)
-        if chunked is not None:
-            return chunked
         ix = self.index
         n = len(texts)
         ids_list = (token_ids if token_ids is not None
@@ -252,7 +273,7 @@ class ShardedFusedIngestPath:
             if len(rows):
                 sel[s, : len(rows)] = rows
                 uid_blocks[s, : len(rows)] = uids[rows]
-        with METRICS.timer("fused_ingest"):
+        with METRICS.timer("fused_ingest_dispatch"):
             (ix._codes, ix._scales, ix._exact, ix._ids), emb = \
                 _sharded_fused_ingest_program(
                     enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
@@ -267,11 +288,23 @@ class ShardedFusedIngestPath:
                     mask_padding=enc.mask_padding,
                     include_padding=enc.include_padding_in_pool,
                     has_exact=ix.exact is not None)
-            emb = np.asarray(emb)
         for s in range(S):
             ix._counts[s] += len(per_shard[s])
         ix._next_id = int(uids[-1]) + 1
-        return emb[:n]
+        return emb
+
+    def ingest(self, texts: list[str],
+               token_ids: list[list[int]] | None = None) -> np.ndarray:
+        """Embed + stripe-append `texts` across shards; returns (n, H)
+        f32 embeddings for durable storage. Caller must hold the
+        provider lock (buffer donation is not reentrant)."""
+        chunked = _chunk_by_bucket(self.ingest, self.encoder, texts,
+                                   token_ids)
+        if chunked is not None:
+            return chunked
+        with METRICS.timer("fused_ingest"):
+            emb = np.asarray(self.dispatch(texts, token_ids=token_ids))
+        return emb[: len(texts)]
 
 
 class FusedIngestPath:
@@ -285,17 +318,23 @@ class FusedIngestPath:
     def supports(index) -> bool:
         return isinstance(index, FlatIndex) and index.dtype == "i8"
 
-    def ingest(self, texts: list[str],
-               token_ids: list[list[int]] | None = None) -> np.ndarray:
-        """Embed + append `texts` to the index; returns (n, H) f32
-        embeddings for durable storage. Caller must hold the provider
-        lock (buffer donation is not reentrant). `token_ids` (one list
-        per text, from encoder.tokenize_texts) skips tokenization —
-        the ingest pipeline computes it on a separate thread."""
+    @property
+    def max_batch(self) -> int | None:
+        """Largest batch dispatch() accepts (the encoder's top batch
+        bucket); None = unbounded. Serving loops sub-batch at this size
+        so searches can interleave between ingest dispatches."""
+        buckets = getattr(self.encoder, "batch_buckets", None)
+        return buckets[-1] if buckets else None
+
+    def dispatch(self, texts: list[str],
+                 token_ids: list[list[int]] | None = None) -> jax.Array:
+        """Enqueue encode + quantize + index-write for one bucket-sized
+        batch (len(texts) <= max_batch); bumps count and swaps buffer
+        references, returning the (padded) DEVICE embeddings without
+        blocking on execution. Caller must hold the device-state lock
+        for this call (buffer donation invalidates the old references)
+        and read the result back outside it."""
         enc = self.encoder
-        chunked = _chunk_by_bucket(self.ingest, enc, texts, token_ids)
-        if chunked is not None:
-            return chunked
         ids_list = (token_ids if token_ids is not None
                     else enc.tokenize_texts(texts))
         input_ids, mask = enc.pad_batch(ids_list)
@@ -315,7 +354,7 @@ class FusedIngestPath:
                 return emb
         if ix.count + bsz > ix.capacity:  # reserve scratch rows too
             ix._grow_to(ix.count + bsz)
-        with METRICS.timer("fused_ingest"):
+        with METRICS.timer("fused_ingest_dispatch"):
             if ix.device_rerank:
                 ix._codes, ix._scales, ix._exact, emb = \
                     _fused_ingest_program_exact(
@@ -330,6 +369,20 @@ class FusedIngestPath:
                     ix._codes, ix._scales, jnp.int32(ix.count),
                     cfg=enc.cfg, mask_padding=enc.mask_padding,
                     include_padding=enc.include_padding_in_pool)
-            emb = np.asarray(emb)
         ix.count += n
-        return emb[:n]
+        return emb
+
+    def ingest(self, texts: list[str],
+               token_ids: list[list[int]] | None = None) -> np.ndarray:
+        """Embed + append `texts` to the index; returns (n, H) f32
+        embeddings for durable storage. Caller must hold the provider
+        lock (buffer donation is not reentrant). `token_ids` (one list
+        per text, from encoder.tokenize_texts) skips tokenization —
+        the ingest pipeline computes it on a separate thread."""
+        enc = self.encoder
+        chunked = _chunk_by_bucket(self.ingest, enc, texts, token_ids)
+        if chunked is not None:
+            return chunked
+        with METRICS.timer("fused_ingest"):
+            emb = np.asarray(self.dispatch(texts, token_ids=token_ids))
+        return emb[: len(texts)]

@@ -68,7 +68,20 @@ class SearchService:
         self.instance_id = instance_id
         self.k = k
         self.remote = remote
-        self._lock = threading.Lock()  # provider index mutations
+        # Two-lock split (the reference's never-block-search actor
+        # model, dawnsearch.rs:64-78, rebuilt for async device dispatch):
+        # - _lock guards the DEVICE index state (buffer references +
+        #   count) and is held only while a program is being ENQUEUED —
+        #   jax dispatch is async, so the expensive part (device
+        #   execution + host readback) happens outside it. Donating
+        #   ingest programs invalidate the old buffer references, which
+        #   is why searches must also dispatch under it.
+        # - _ingest_lock serializes whole ingest batches end-to-end
+        #   (screen -> dispatch -> readback -> store) so the device-row
+        #   = store-row contract holds, WITHOUT making queries wait for
+        #   a batch's device execution (the round-2 p99 3.5 s tail).
+        self._lock = threading.Lock()
+        self._ingest_lock = threading.Lock()
         from dawnsearch_tpu.serving.batcher import (
             CoalescingBatcher, SearchBatcher)
         # Concurrent requests' local searches coalesce into one batched
@@ -129,11 +142,17 @@ class SearchService:
             k_fetch = (k + prov.rerank
                        if (quantized and prov.rerank and not on_device)
                        else k)
+            # Lock only around dispatch; the execution wait (readback),
+            # store-side re-rank and metadata join run outside it so an
+            # in-flight ingest batch can enqueue between queries.
             with self._lock:
-                embs, d, row_ids = self._fused.search_texts(texts, k_fetch)
-                if k_fetch > k:  # exact f32 re-rank (same as split path)
-                    d, row_ids = prov._rerank_f32(embs, d, row_ids, k)
-                results = prov.results_from_ids(d, row_ids, self.instance_id)
+                emb_d, d_d, i_d, k_eff = self._fused.dispatch(
+                    texts, k_fetch)
+            embs, d, row_ids = self._fused.finalize(
+                emb_d, d_d, i_d, len(texts), k_fetch, k_eff)
+            if k_fetch > k:  # exact f32 re-rank (same as split path)
+                d, row_ids = prov._rerank_f32(embs, d, row_ids, k)
+            results = prov.results_from_ids(d, row_ids, self.instance_id)
             for i, emb, res in zip(idxs, embs, results):
                 out[i] = (emb, res)
         return out
@@ -228,20 +247,37 @@ class SearchService:
         titles = [p[1] for p in pages]
         texts = [p[2] for p in pages]
         if self._fused_ingest is not None:
-            # one device program: encode -> quantize -> index write
-            with self._lock:
+            # One device program per sub-batch: encode -> quantize ->
+            # index write. The device-state lock is held only while each
+            # program is ENQUEUED; the execution wait (embedding
+            # readback) and the SQLite batch write happen outside it, so
+            # concurrent queries dispatch between sub-batches instead of
+            # stacking up behind a 0.2-0.5 s critical section (the
+            # round-2 p99 3.5 s tail, doc/performance.md). Consistency
+            # note: index rows land before their store rows commit;
+            # results_from_ids drops ids the store can't join yet, so a
+            # query racing an insert simply doesn't see the newest
+            # sub-batch (the reference's actor mailbox has the same
+            # insert-then-search ordering, dawnsearch.rs:64-78).
+            fi = self._fused_ingest
+            with self._ingest_lock:
                 keep = self.provider.screen(urls)
                 kept = [i for i, ok in enumerate(keep) if ok]
                 ids = [None] * len(pages)
-                if kept:
-                    tk = ([token_ids[i] for i in kept]
+                maxb = fi.max_batch or max(len(kept), 1)
+                for s in range(0, len(kept), maxb):
+                    sub = kept[s: s + maxb]
+                    tk = ([token_ids[i] for i in sub]
                           if token_ids is not None else None)
-                    embs = self._fused_ingest.ingest(
-                        [combined[i] for i in kept], token_ids=tk)
+                    with self._lock:
+                        emb_dev = fi.dispatch(
+                            [combined[i] for i in sub], token_ids=tk)
+                    with METRICS.timer("fused_ingest"):
+                        embs = np.asarray(emb_dev)[: len(sub)]
                     stored = self.provider.store_pages(
-                        [urls[i] for i in kept], [titles[i] for i in kept],
-                        [texts[i] for i in kept], embs)
-                    for i, sid in zip(kept, stored):
+                        [urls[i] for i in sub], [titles[i] for i in sub],
+                        [texts[i] for i in sub], embs)
+                    for i, sid in zip(sub, stored):
                         ids[i] = sid
         else:
             embs = self.batcher.embed_many(combined)

@@ -1,0 +1,209 @@
+"""Concurrent-load soak: query threads hammer /api/search over HTTP
+WHILE the extraction service ingests a synthetic WARC.
+
+The round-2 measurement of this workload showed query p99 3.5 s — every
+query stacked behind a batch-1024 fused-ingest dispatch that held the
+provider lock for its full execute+readback+store critical section.
+Round 3 holds the device-state lock only while programs are ENQUEUED
+(serving/search_service.py), so this script is the acceptance gate:
+target p99 <= 300 ms at >= 2k pages/s ingest (VERDICT round 2, item 1).
+
+Reference workload shape: the dawnsearch node serving searches while
+the extraction loop inserts (bin/dawnsearch.rs:64-78 actor split).
+
+Run ON THE CHIP (axon), in the background, and poll the output:
+    python examples/soak_concurrent.py [--prefill 524288] [--pages 8192]
+Prints progress to stderr, ONE summary JSON line to stdout at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.parse
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("DAWNSEARCH_JAX_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms",
+                      os.environ["DAWNSEARCH_JAX_PLATFORM"])
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_stack(prefill: int, max_pages: int):
+    import jax
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.index.provider import SearchProvider
+    from dawnsearch_tpu.models.bert import BertConfig
+    from dawnsearch_tpu.models.encoder import SentenceEncoder
+    from dawnsearch_tpu.models.tokenizer import build_vocab_from_corpus
+    from dawnsearch_tpu.models.tokenizer_native import best_tokenizer
+    from dawnsearch_tpu.models.weights import init_params
+    from dawnsearch_tpu.serving.batcher import EmbeddingBatcher
+    from dawnsearch_tpu.serving.search_service import SearchService
+
+    body = ("The lighthouse keeper carried supplies up the winding stairs "
+            "every morning while the gulls circled over the rocks and the "
+            "fishing boats left the harbor before first light. ") * 6
+    params = init_params(jax.random.key(0))
+    vocab = build_vocab_from_corpus([body], size=4096)
+    enc = SentenceEncoder(params, best_tokenizer(vocab),
+                          cfg=BertConfig(dtype=jnp.bfloat16))
+    batcher = EmbeddingBatcher(enc.encode)
+    provider = SearchProvider(data_dir=None, verify_on_load=False,
+                              max_pages=max_pages)
+    service = SearchService(provider, batcher)
+
+    # Prefill the index + store to serving scale so queries scan a
+    # realistic row count (the fused selector gate needs >= 262144).
+    # Embeddings are synthetic unit vectors; store rows keep the
+    # row_id = store_id - 1 contract intact for the ingest that follows.
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(7)
+    bs = 16384
+    done = 0
+    while done < prefill:
+        n = min(bs, prefill - done)
+        embs = rng.standard_normal((n, 384), dtype=np.float32)
+        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+        provider.insert_pages(
+            [f"https://prefill.example/{done + i}" for i in range(n)],
+            [f"prefill {done + i}" for i in range(n)],
+            ["prefill body"] * n, embs)
+        done += n
+        if done % (bs * 8) == 0:
+            log(f"prefill {done}/{prefill}")
+    log(f"prefill {done} rows in {time.perf_counter() - t0:.1f}s "
+        f"(index {len(provider.index)})")
+    return enc, batcher, provider, service, body
+
+
+def make_warc(path: str, body: str, n_pages: int) -> None:
+    from dawnsearch_tpu.ingest.warc import write_warc
+    words = body.split()
+    rng = np.random.default_rng(3)
+    records = []
+    for i in range(n_pages):
+        shuffled = " ".join(rng.permutation(words))
+        records.append((
+            f"https://soak.example/{i}",
+            (f"<html><head><title>Page {i}</title></head><body>"
+             f"<article><p>{shuffled}</p></article></body></html>"
+             ).encode()))
+    write_warc(path, records)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prefill", type=int, default=524288)
+    ap.add_argument("--pages", type=int, default=8192)
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=1024,
+                    help="ingest_batch_size (the round-2 tail's knob)")
+    ap.add_argument("--port", type=int, default=8931)
+    args = ap.parse_args()
+
+    from dawnsearch_tpu.ingest.extraction_service import (
+        ExtractionService, LocalWarcSource)
+    from dawnsearch_tpu.serving.http_service import start_http_service
+
+    enc, batcher, provider, service, body = build_stack(
+        args.prefill, max_pages=args.prefill + args.pages + 1024)
+
+    td = tempfile.TemporaryDirectory()
+    warc = f"{td.name}/soak.warc.gz"
+    make_warc(warc, body, args.pages)
+
+    # warm the serving + ingest programs (compile outside the window)
+    log("warmup: compiling query + ingest programs")
+    service.insert_pages([(f"https://warm.example/{i}", "w", body)
+                          for i in range(args.batch)])
+    for q in ("lighthouse keeper storm", "fishing boats harbor light"):
+        service.text_search(q, k=10, search_remote=False)
+
+    http, _ = start_http_service(service, listen=f"127.0.0.1:{args.port}")
+    base = f"http://127.0.0.1:{args.port}"
+
+    lat: list[float] = []
+    lat_lock = threading.Lock()
+    errors = [0]
+    stop = threading.Event()
+    queries = [
+        "lighthouse keeper storm", "gulls over the rocks",
+        "fishing boats before first light", "supplies up the stairs",
+        "winding stairs every morning", "the harbor at dawn",
+    ]
+
+    def query_loop(tid: int) -> None:
+        i = tid
+        while not stop.is_set():
+            q = urllib.parse.quote(queries[i % len(queries)])
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(
+                        f"{base}/api/search?q={q}", timeout=30) as r:
+                    r.read()
+                dt = time.perf_counter() - t0
+                with lat_lock:
+                    lat.append(dt)
+            except Exception as e:
+                errors[0] += 1
+                log(f"query error: {e}")
+            i += 1
+
+    n_before = len(provider.store)
+    ex = ExtractionService(service, source=LocalWarcSource(warc),
+                           batch_size=args.batch)
+    threads = [threading.Thread(target=query_loop, args=(t,))
+               for t in range(args.threads)]
+    t0 = time.perf_counter()
+    ex.start()
+    for t in threads:
+        t.start()
+    ex.join(timeout=900)
+    ingest_dt = time.perf_counter() - t0
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+    http.shutdown()
+
+    n_pages = len(provider.store) - n_before
+    pps = n_pages / ingest_dt
+    arr = np.asarray(lat)
+    summary = {
+        "metric": "soak_query_p99_ms",
+        "value": round(float(np.percentile(arr, 99)) * 1000, 1),
+        "unit": "ms",
+        "p50_ms": round(float(np.percentile(arr, 50)) * 1000, 1),
+        "p90_ms": round(float(np.percentile(arr, 90)) * 1000, 1),
+        "max_ms": round(float(arr.max()) * 1000, 1),
+        "queries": int(arr.size),
+        "query_errors": errors[0],
+        "ingest_pages_per_sec": round(pps, 1),
+        "ingest_pages": n_pages,
+        "ingest_seconds": round(ingest_dt, 1),
+        "prefill_rows": args.prefill,
+        "ingest_batch": args.batch,
+        "threads": args.threads,
+    }
+    print(json.dumps(summary), flush=True)
+    batcher.stop()
+    service.shutdown()
+    td.cleanup()
+
+
+if __name__ == "__main__":
+    main()
