@@ -102,7 +102,14 @@ class Insert:
 
     @classmethod
     def from_fields(cls, f: dict) -> "Insert":
-        url, title, text = msgpack.unpackb(zlib.decompress(f["z"]))
+        # bounded decompress: a 1.4 KB datagram must not be allowed to
+        # inflate without limit (zlib bombs reach ~1000x)
+        d = zlib.decompressobj()
+        body = d.decompress(f["z"], MAX_INSERT_BODY + 1)
+        if len(body) > MAX_INSERT_BODY or d.unconsumed_tail:
+            raise ValueError("Insert payload exceeds decompression cap")
+        url, title, text = msgpack.unpackb(body, raw=False,
+                                           max_str_len=MAX_INSERT_BODY)
         return cls(url, title, text)
 
 
@@ -270,20 +277,96 @@ def encode(packet: Packet, wire_format: str = WIRE_DAWN) -> bytes:
     return data
 
 
+# Hostile-input bounds for decode(). Legitimate frames are <= 1472 B
+# (MAX_PACKET); these caps leave slack for future growth while keeping
+# a crafted datagram from allocating unbounded memory. The reference
+# trusts the network outright (udp_service.rs:159-174) — the recv loop
+# here must survive arbitrary bytes (round-2 VERDICT item 7).
+MAX_DATAGRAM = 8 * MAX_PACKET
+_UNPACK_LIMITS = dict(max_str_len=8192, max_bin_len=8192,
+                      max_array_len=256, max_map_len=16)
+MAX_INSERT_BODY = 65536  # zlib-bomb cap: Insert text expands to <=64 KiB
+
+
 def decode(data: bytes) -> Packet:
     """Decode either wire format (sniffed from the frame shape: dawn is
-    a 2-array with an int tag, reference a 1-map with a str key)."""
-    obj = msgpack.unpackb(data, raw=False)
-    if isinstance(obj, dict) and len(obj) == 1:
-        ((name, values),) = obj.items()
-        if isinstance(name, str):
-            return _ref_packet(name, values)
-    if isinstance(obj, (list, tuple)) and len(obj) == 2:
-        tag, fields = obj
-        cls = _TYPES.get(tag)
-        if cls is not None:
-            return cls.from_fields(fields)
+    a 2-array with an int tag, reference a 1-map with a str key).
+
+    Raises ValueError on ANY malformed/hostile frame — oversized,
+    truncated, wrong field types, zlib bombs, non-normalized
+    embeddings — never an uncaught decoder exception: the UDP recv
+    loop treats ValueError as "drop and count", anything else would be
+    a bug."""
+    if len(data) > MAX_DATAGRAM:
+        raise ValueError(f"datagram {len(data)} B exceeds {MAX_DATAGRAM}")
+    try:
+        obj = msgpack.unpackb(data, raw=False, **_UNPACK_LIMITS)
+    except Exception as e:
+        raise ValueError(f"undecodable msgpack frame: {e}") from None
+    try:
+        if isinstance(obj, dict) and len(obj) == 1:
+            ((name, values),) = obj.items()
+            if isinstance(name, str):
+                if not isinstance(values, (list, tuple)):
+                    raise ValueError("reference variant body not an array")
+                return _validate(_ref_packet(name, values))
+        if isinstance(obj, (list, tuple)) and len(obj) == 2:
+            tag, fields = obj
+            cls = _TYPES.get(tag) if isinstance(tag, int) else None
+            if cls is not None:
+                if not isinstance(fields, dict):
+                    raise ValueError("dawn packet fields not a map")
+                return _validate(cls.from_fields(fields))
+    except ValueError:
+        raise
+    except Exception as e:
+        # KeyError / IndexError / TypeError / zlib.error / unicode
+        # errors from hostile field contents all mean the same thing
+        raise ValueError(f"malformed packet: {type(e).__name__}: {e}"
+                         ) from None
     raise ValueError("unrecognized packet frame")
+
+
+def _validate(p: Packet) -> Packet:
+    """Post-construction type/shape checks — a frame that parses but
+    carries wrong-typed fields must not reach the handlers."""
+    def req(cond: bool, what: str) -> None:
+        if not cond:
+            raise ValueError(f"malformed {type(p).__name__}: {what}")
+
+    _int = (int,)
+    if isinstance(p, Search):
+        req(isinstance(p.search_id, _int), "search_id")
+        req(p.distance_limit is None
+            or isinstance(p.distance_limit, (int, float)), "distance_limit")
+    elif isinstance(p, Page):
+        req(isinstance(p.search_id, _int), "search_id")
+        req(isinstance(p.distance, (int, float)), "distance")
+        req(all(isinstance(s, str)
+                for s in (p.url, p.title, p.text, p.instance_id)),
+            "string fields")
+        req(isinstance(p.page_id, _int), "page_id")
+    elif isinstance(p, Insert):
+        req(all(isinstance(s, str) for s in (p.url, p.title, p.text)),
+            "string fields")
+        req(len(p.url) + len(p.title) + len(p.text) <= MAX_INSERT_BODY,
+            "body too large")
+    elif isinstance(p, GetEmbedding):
+        req(isinstance(p.search_id, _int) and isinstance(p.page_id, _int),
+            "ids")
+    elif isinstance(p, Embedding):
+        req(isinstance(p.search_id, _int), "search_id")
+    elif isinstance(p, Announce):
+        req(isinstance(p.instance_id, str), "instance_id")
+        req(isinstance(p.accept_insert, bool), "accept_insert")
+        req(isinstance(p.pages_indexed, _int), "pages_indexed")
+    elif isinstance(p, Peers):
+        for q in p.peers:
+            req(isinstance(q.instance_id, str)
+                and isinstance(q.addr, str)
+                and isinstance(q.accept_insert, bool)
+                and isinstance(q.pages_indexed, int), "peer entry")
+    return p
 
 
 def clip_page_text(url: str, title: str, text: str,

@@ -48,6 +48,23 @@ PEER_EXPIRY_S = 300.0  # udp_service.rs:343
 ANNOUNCE_INTERVAL_S = 60.0  # dawnsearch.rs:122-128
 INSERT_REPLICATION = 3  # udp_service.rs:389-390
 
+# Per-source flood guard (the reference trusts the network,
+# udp_service.rs:159-174; exceeding it is this repo's robustness
+# pattern). Sliding 1 s window per source IP: beyond RATE_LIMIT_PPS
+# well-formed or MALFORMED_LIMIT broken packets, the rest of that
+# window's datagrams from the source are dropped and counted.
+RATE_LIMIT_PPS = 2000
+MALFORMED_LIMIT = 20
+
+
+class _SrcWindow:
+    __slots__ = ("start", "count", "malformed")
+
+    def __init__(self, now: float):
+        self.start = now
+        self.count = 0
+        self.malformed = 0
+
 
 class _ActiveSearch:
     __slots__ = ("pages", "event", "lock")
@@ -77,6 +94,7 @@ class UdpService:
         self._sock.settimeout(0.25)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        self._src_windows: dict[str, _SrcWindow] = {}
         self.service = None  # SearchService, attached after construction
 
     def attach(self, service) -> None:
@@ -176,7 +194,26 @@ class UdpService:
 
     # -- inbound ------------------------------------------------------------
 
+    def _rate_ok(self, ip: str, now: float, malformed: bool = False) -> bool:
+        """Sliding-window flood guard; True = keep processing this src.
+        Windows are pruned opportunistically (bounded memory even under
+        address-spoofed floods)."""
+        w = self._src_windows.get(ip)
+        if w is None or now - w.start >= 1.0:
+            if len(self._src_windows) > 4096:  # spoofed-src flood
+                self._src_windows.clear()
+            w = self._src_windows[ip] = _SrcWindow(now)
+        if malformed:
+            w.malformed += 1
+            return w.malformed <= MALFORMED_LIMIT
+        w.count += 1
+        return w.count <= RATE_LIMIT_PPS and w.malformed <= MALFORMED_LIMIT
+
     def _recv_loop(self) -> None:
+        """Survives arbitrary bytes: packets.decode raises ValueError on
+        ANY hostile frame (size caps, type checks, zlib bounds —
+        tests/test_packet_fuzz.py), malformed sources are rate-limited,
+        and handler bugs are logged without killing the loop."""
         while not self._stop.is_set():
             try:
                 data, src = self._sock.recvfrom(65536)
@@ -184,8 +221,22 @@ class UdpService:
                 continue
             except OSError:
                 break
+            now = time.time()
+            if not self._rate_ok(src[0], now):
+                METRICS.inc("packets_rate_dropped", 1)
+                continue
             try:
-                self._handle(packets.decode(data), src)
+                pkt = packets.decode(data)
+            except ValueError as e:
+                # hostile/garbage frame: count, debug-log (exception
+                # spam at info+ would itself be a log-flood DoS), and
+                # penalize the source
+                METRICS.inc("packets_malformed", 1)
+                self._rate_ok(src[0], now, malformed=True)
+                log.debug("malformed packet from %s: %s", src, e)
+                continue
+            try:
+                self._handle(pkt, src)
             except Exception:
                 log.exception("packet from %s failed", src)
 

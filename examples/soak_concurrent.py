@@ -127,6 +127,14 @@ def main() -> None:
     warc = f"{td.name}/soak.warc.gz"
     make_warc(warc, body, args.pages)
 
+    # Pre-grow the index past everything this run will insert: capacity
+    # growth recompiles the (capacity-specialized) query + ingest
+    # programs, and a ~2 min tunnel cold-compile inside the measurement
+    # window would poison p99 with a one-off that steady-state serving
+    # (doubling growth, O(log N) compiles per index lifetime) amortizes.
+    provider.index._grow_to(
+        args.prefill + args.pages + 2 * args.batch + 4096)
+
     # warm the serving + ingest programs (compile outside the window)
     log("warmup: compiling query + ingest programs")
     service.insert_pages([(f"https://warm.example/{i}", "w", body)
@@ -136,6 +144,16 @@ def main() -> None:
 
     http, _ = start_http_service(service, listen=f"127.0.0.1:{args.port}")
     base = f"http://127.0.0.1:{args.port}"
+
+    # warm the EXACT serving path (the HTTP handler's default k differs
+    # from text_search's — a different top-k shape would cold-compile
+    # inside the measurement window and poison p99 with a one-off)
+    for q in ("lighthouse keeper storm", "gulls over the rocks"):
+        with urllib.request.urlopen(
+                f"{base}/api/search?q={urllib.parse.quote(q)}",
+                timeout=600) as r:
+            r.read()
+    log("warmup: HTTP query path compiled")
 
     lat: list[float] = []
     lat_lock = threading.Lock()
@@ -199,6 +217,14 @@ def main() -> None:
         "ingest_batch": args.batch,
         "threads": args.threads,
     }
+    from dawnsearch_tpu.utils.logging import METRICS
+    snap = METRICS.snapshot()
+    for key in ("fused_query_dispatch", "fused_ingest_dispatch",
+                "fused_ingest", "index_search"):
+        for suffix in ("p50_ms", "p99_ms", "count"):
+            k = f"{key}_{suffix}"
+            if k in snap:
+                summary[k] = round(snap[k], 1)
     print(json.dumps(summary), flush=True)
     batcher.stop()
     service.shutdown()

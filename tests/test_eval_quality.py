@@ -1,0 +1,61 @@
+"""Smoke-test the weights-drop quality harness (examples/eval_quality.py)
+against the synthesized all-MiniLM-L6-v2 checkpoint layout.
+
+Random weights can't pass the semantic gates, so CI runs the harness in
+--allow-random mode and asserts the MECHANICS: every stage executes,
+parity against the real HF pipeline holds on the shared checkpoint, and
+strict mode correctly fails random weights (the gate actually gates).
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from tests.test_real_checkpoint_layout import model_dir  # noqa: F401,E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_eval_module():
+    spec = importlib.util.spec_from_file_location(
+        "eval_quality", os.path.join(REPO, "examples", "eval_quality.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def run_eval(model_dir, capsys, *extra):
+    mod = load_eval_module()
+    argv = sys.argv
+    sys.argv = ["eval_quality.py", model_dir, *extra]
+    try:
+        rc = mod.main()
+    finally:
+        sys.argv = argv
+    lines = [json.loads(s) for s in capsys.readouterr().out.splitlines()
+             if s.startswith("{")]
+    return rc, {o["stage"]: o for o in lines}
+
+
+def test_harness_mechanics_allow_random(model_dir, capsys):  # noqa: F811
+    rc, stages = run_eval(model_dir, capsys, "--allow-random")
+    assert rc == 0
+    assert set(stages) == {"parity", "separation", "retrieval", "summary"}
+    # parity runs for real even on random weights — the checkpoint is
+    # shared with HF, so the pipelines must agree
+    assert stages["parity"]["status"] == "ok", stages["parity"]
+    assert stages["summary"]["semantic_gates"] == "skipped"
+
+
+def test_strict_mode_fails_random_weights(model_dir, capsys):  # noqa: F811
+    """The semantic gates must actually gate: random weights have no
+    paraphrase structure, so strict mode exits nonzero."""
+    rc, stages = run_eval(model_dir, capsys)
+    assert rc == 1
+    assert stages["summary"]["status"] == "FAIL"
