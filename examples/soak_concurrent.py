@@ -140,20 +140,29 @@ def main() -> None:
     service.insert_pages([(f"https://warm.example/{i}", "w", body)
                           for i in range(args.batch)])
     for q in ("lighthouse keeper storm", "fishing boats harbor light"):
-        service.text_search(q, k=10, search_remote=False)
+        service.text_search(q, search_remote=False)  # default k = HTTP's
 
     http, _ = start_http_service(service, listen=f"127.0.0.1:{args.port}")
     base = f"http://127.0.0.1:{args.port}"
 
-    # warm the EXACT serving path (the HTTP handler's default k differs
-    # from text_search's — a different top-k shape would cold-compile
-    # inside the measurement window and poison p99 with a one-off)
-    for q in ("lighthouse keeper storm", "gulls over the rocks"):
-        with urllib.request.urlopen(
-                f"{base}/api/search?q={urllib.parse.quote(q)}",
-                timeout=600) as r:
-            r.read()
-    log("warmup: HTTP query path compiled")
+    # Warm the EXACT serving shapes: the HTTP handler's default k AND
+    # every coalesced batch bucket the query threads can produce (with
+    # T threads the CoalescingBatcher forms batches of 1..T, which pad
+    # to the encoder's 1- and 8-buckets). A shape first seen mid-window
+    # cold-compiles ~30-120 s through the tunnel UNDER THE DEVICE LOCK,
+    # stalling both queries and ingest — observed as a 27 s ingest gap
+    # and a 55 s readback p99 before this warmup was exact.
+    warm_qs = ["lighthouse keeper storm", "gulls over the rocks",
+               "fishing boats before first light", "the harbor at dawn",
+               "supplies up the stairs", "winding stairs morning",
+               "storm over the rocks", "first light boats"]
+    svc_k = service.k  # text_search default (the /api/search path)
+    for b in (1, min(8, len(warm_qs))):
+        service._fused_text_batch([(q, svc_k) for q in warm_qs[:b]])
+    with urllib.request.urlopen(
+            f"{base}/api/search?q=lighthouse", timeout=600) as r:
+        r.read()
+    log("warmup: HTTP query path compiled (batch buckets 1, 8)")
 
     lat: list[float] = []
     lat_lock = threading.Lock()
