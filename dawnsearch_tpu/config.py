@@ -77,6 +77,14 @@ class Config:
     # joins a reference swarm; decode always accepts both)
     wire_format: str = "dawn"
     search_deadline_ms: float = 200.0  # P2P collection deadline (udp_service.rs:301)
+    # Two-phase remote search (the reference's own sketched evolution,
+    # udp_packets.rs:40-43 commented-out SearchSummary/PageRequest):
+    # responders reply with tiny distance summaries, the searcher merges
+    # globally and requests only the winning pages — cuts reply bytes
+    # ~k*fanout/k at wide fan-out for one extra round-trip. Dawn wire
+    # format only; legacy/reference peers still answer with full pages
+    # and merge fine (doc/networking.md).
+    two_phase_search: bool = False
     announce_interval_s: float = 60.0  # tracker heartbeat (dawnsearch.rs:122-128)
     jax_platform: str = ""  # "" = default; "cpu" forces host platform
     jax_cpu_devices: int = 0  # >0: virtual host device count (testing)

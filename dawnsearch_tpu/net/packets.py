@@ -41,26 +41,37 @@ MAX_PACKET = 1472  # stay under typical MTU (udp_packets.rs:22-24)
 WIRE_DAWN = "dawn"
 WIRE_REFERENCE = "reference"
 
-# packet tags
-SEARCH, PAGE, INSERT, GET_EMBEDDING, EMBEDDING, ANNOUNCE, PEERS = range(1, 8)
+# packet tags (8/9: the reference's own sketched two-phase evolution,
+# udp_packets.rs:40-43 commented-out SearchSummary/PageRequest — dawn
+# wire format only)
+(SEARCH, PAGE, INSERT, GET_EMBEDDING, EMBEDDING, ANNOUNCE, PEERS,
+ SUMMARY, PAGE_REQUEST) = range(1, 10)
 
 
 @dataclasses.dataclass
 class Search:
-    """Query fan-out (udp_packets.rs:28-39)."""
+    """Query fan-out (udp_packets.rs:28-39). `two_phase` asks the
+    responder for a Summary instead of full Pages; peers that predate
+    the flag ignore it and reply with Pages (the searcher merges
+    both)."""
     search_id: int
     distance_limit: float | None
     embedding: np.ndarray  # f32[384] unit vector
+    two_phase: bool = False
 
     TAG = SEARCH
 
     def fields(self) -> dict:
-        return {"si": self.search_id, "dl": self.distance_limit,
-                "em": to_i24_bytes(self.embedding)}
+        f = {"si": self.search_id, "dl": self.distance_limit,
+             "em": to_i24_bytes(self.embedding)}
+        if self.two_phase:  # absent = False keeps old peers byte-stable
+            f["tp"] = True
+        return f
 
     @classmethod
     def from_fields(cls, f: dict) -> "Search":
-        return cls(f["si"], f.get("dl"), from_i24_bytes(f["em"]))
+        return cls(f["si"], f.get("dl"), from_i24_bytes(f["em"]),
+                   bool(f.get("tp", False)))
 
 
 @dataclasses.dataclass
@@ -197,11 +208,53 @@ class Peers:
         return cls([PeerInfo.from_wire(w) for w in f["ps"]])
 
 
+@dataclasses.dataclass
+class Summary:
+    """Two-phase search, phase-1 reply: the responder's local top-k as
+    (page_id, distance) pairs — ~16 B/hit instead of a ~1.4 KB Page.
+    The reference sketched exactly this (udp_packets.rs:40-43,
+    SearchSummary) but never built it. Dawn wire format only."""
+    search_id: int
+    instance_id: str
+    page_ids: list[int]
+    distances: list[float]
+
+    TAG = SUMMARY
+
+    def fields(self) -> dict:
+        return {"si": self.search_id, "ii": self.instance_id,
+                "pi": list(self.page_ids),
+                "di": [float(d) for d in self.distances]}
+
+    @classmethod
+    def from_fields(cls, f: dict) -> "Summary":
+        return cls(f["si"], f["ii"], list(f["pi"]), list(f["di"]))
+
+
+@dataclasses.dataclass
+class PageRequest:
+    """Two-phase search, phase 2: the searcher asks one responder for
+    the specific pages that survived the global merge
+    (udp_packets.rs:40-43, sketched PageRequest)."""
+    search_id: int
+    page_ids: list[int]
+
+    TAG = PAGE_REQUEST
+
+    def fields(self) -> dict:
+        return {"si": self.search_id, "pi": list(self.page_ids)}
+
+    @classmethod
+    def from_fields(cls, f: dict) -> "PageRequest":
+        return cls(f["si"], list(f["pi"]))
+
+
 _TYPES = {cls.TAG: cls
           for cls in (Search, Page, Insert, GetEmbedding, Embedding,
-                      Announce, Peers)}
+                      Announce, Peers, Summary, PageRequest)}
 
-Packet = Search | Page | Insert | GetEmbedding | Embedding | Announce | Peers
+Packet = (Search | Page | Insert | GetEmbedding | Embedding | Announce
+          | Peers | Summary | PageRequest)
 
 
 # --- reference wire format (rmp-serde 1.1.2 enum layout) --------------------
@@ -216,7 +269,9 @@ _REF_BY_NAME = {v: k for k, v in _REF_VARIANT.items()}
 
 def _ref_values(p: Packet) -> list:
     """Field values in Rust declaration order (rmp-serde serializes
-    struct variants as positional arrays)."""
+    struct variants as positional arrays). Summary/PageRequest never
+    reach here (_encode_unchecked rejects them: no reference layout
+    exists, udp_packets.rs:40-43)."""
     if isinstance(p, Search):
         return [p.search_id, p.distance_limit, to_i24_bytes(p.embedding)]
     if isinstance(p, Page):
@@ -261,6 +316,12 @@ def _ref_packet(name: str, v: list) -> Packet:
 
 def _encode_unchecked(packet: Packet, wire_format: str) -> bytes:
     if wire_format == WIRE_REFERENCE:
+        if type(packet) not in _REF_VARIANT:
+            # the reference never shipped its SearchSummary/PageRequest
+            # sketch (udp_packets.rs:40-43): no byte layout exists
+            raise ValueError(
+                f"{type(packet).__name__} has no reference wire layout "
+                "(two-phase search is dawn-format only)")
         # f32 floats (0xca) and bin-typed bytes, exactly as rmp writes them
         return msgpack.packb({_REF_VARIANT[type(packet)]:
                               _ref_values(packet)},
@@ -366,6 +427,17 @@ def _validate(p: Packet) -> Packet:
                 and isinstance(q.addr, str)
                 and isinstance(q.accept_insert, bool)
                 and isinstance(q.pages_indexed, int), "peer entry")
+    elif isinstance(p, Summary):
+        req(isinstance(p.search_id, _int), "search_id")
+        req(isinstance(p.instance_id, str), "instance_id")
+        req(len(p.page_ids) == len(p.distances) <= 64, "pair arity")
+        req(all(isinstance(i, _int) for i in p.page_ids), "page_ids")
+        req(all(isinstance(d, (int, float)) for d in p.distances),
+            "distances")
+    elif isinstance(p, PageRequest):
+        req(isinstance(p.search_id, _int), "search_id")
+        req(len(p.page_ids) <= 64
+            and all(isinstance(i, _int) for i in p.page_ids), "page_ids")
     return p
 
 

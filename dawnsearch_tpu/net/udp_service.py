@@ -36,8 +36,8 @@ import numpy as np
 from dawnsearch_tpu.index.provider import FoundPage
 from dawnsearch_tpu.net import packets
 from dawnsearch_tpu.net.packets import (
-    Announce, Embedding, GetEmbedding, Insert, Page, PeerInfo, Peers, Search,
-    clip_insert, clip_page_text,
+    Announce, Embedding, GetEmbedding, Insert, Page, PageRequest, PeerInfo,
+    Peers, Search, Summary, clip_insert, clip_page_text,
 )
 from dawnsearch_tpu.net.tracker import parse_addr
 from dawnsearch_tpu.utils.logging import METRICS, service_logger
@@ -67,10 +67,13 @@ class _SrcWindow:
 
 
 class _ActiveSearch:
-    __slots__ = ("pages", "event", "lock")
+    __slots__ = ("pages", "summaries", "expected", "event", "lock")
 
     def __init__(self):
         self.pages: list[FoundPage] = []
+        # two-phase: (instance_id, src_addr, page_id, distance) tuples
+        self.summaries: list[tuple[str, tuple, int, float]] = []
+        self.expected: int | None = None  # phase-2 page count to wake on
         self.event = threading.Event()
         self.lock = threading.Lock()
 
@@ -95,6 +98,15 @@ class UdpService:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._src_windows: dict[str, _SrcWindow] = {}
+        # Two-phase search (config flag; dawn wire only — the reference
+        # format has no Summary/PageRequest layout, udp_packets.rs:40-43)
+        self.two_phase = (getattr(cfg, "two_phase_search", False)
+                          and self.wire == packets.WIRE_DAWN)
+        # responder-side: search_id -> (expiry_ts, {page_id: distance})
+        # so a PageRequest can be answered with the distances the
+        # Summary promised, without re-running the search
+        self._summary_cache: dict[int, tuple[float, dict[int, float]]] = {}
+        self._summary_lock = threading.Lock()
         self.service = None  # SearchService, attached after construction
 
     def attach(self, service) -> None:
@@ -140,8 +152,9 @@ class UdpService:
         st = _ActiveSearch()
         with self._active_lock:
             self._active[sid] = st
-        pkt = packets.encode(Search(sid, distance_limit, embedding),
-                             self.wire)
+        pkt = packets.encode(
+            Search(sid, distance_limit, embedding,
+                   two_phase=self.two_phase), self.wire)
         estimated = 0
         for p in peers:
             try:
@@ -149,13 +162,47 @@ class UdpService:
                 estimated += p.pages_indexed  # optimistic (udp_service.rs:320)
             except OSError:
                 log.debug("send to %s failed", p.addr)
-        st.event.wait(self.deadline_s)  # collect until deadline
+        st.event.wait(self.deadline_s)  # phase 1: collect until deadline
+        if self.two_phase:
+            self._request_winning_pages(sid, st, k)
         with self._active_lock:
             st = self._active.pop(sid)
         with st.lock:
             pages = list(st.pages)
         METRICS.inc("remote_searches", 1)
         return pages, estimated, len(peers)
+
+    def _request_winning_pages(self, sid: int, st: _ActiveSearch,
+                               k: int) -> None:
+        """Two-phase phase 2: merge the Summary distances globally, ask
+        each responder only for its winners, and wait (early-waking) for
+        the full Pages. Legacy peers that already sent full Pages
+        participate in the merge for free."""
+        with st.lock:
+            summaries = list(st.summaries)
+            have = {(p.instance_id, p.page_id) for p in st.pages}
+        if not summaries:
+            return
+        ranked = sorted(summaries, key=lambda s: s[3])[:k]
+        wanted: dict[tuple, tuple[str, list[int]]] = {}
+        n_req = 0
+        for iid, src, pid, _d in ranked:
+            if (iid, pid) in have:
+                continue  # a legacy peer already sent the full page
+            wanted.setdefault(src, (iid, []))[1].append(pid)
+            n_req += 1
+        if not n_req:
+            return
+        with st.lock:
+            st.expected = len(st.pages) + n_req
+            st.event.clear()
+        for src, (_iid, pids) in wanted.items():
+            try:
+                self._sock.sendto(
+                    packets.encode(PageRequest(sid, pids), self.wire), src)
+            except OSError:
+                pass
+        st.event.wait(self.deadline_s)  # phase 2, same silent-partial model
 
     def replicate(self, url: str, title: str, text: str) -> None:
         acceptors = [p for p in self.fresh_peers() if p.accept_insert]
@@ -252,6 +299,19 @@ class UdpService:
                         page_id=pkt.page_id, distance=pkt.distance,
                         url=pkt.url, title=pkt.title, text=pkt.text,
                         instance_id=pkt.instance_id))
+                    if (st.expected is not None
+                            and len(st.pages) >= st.expected):
+                        st.event.set()  # phase-2 complete: wake early
+        elif isinstance(pkt, Summary):
+            with self._active_lock:
+                st = self._active.get(pkt.search_id)
+            if st is not None:
+                with st.lock:
+                    st.summaries.extend(
+                        (pkt.instance_id, src, int(i), float(d))
+                        for i, d in zip(pkt.page_ids, pkt.distances))
+        elif isinstance(pkt, PageRequest):
+            self._handle_page_request(pkt, src)
         elif isinstance(pkt, Insert):
             if self.cfg.accept_insert and self.service is not None:
                 self.service.insert_pages(
@@ -289,21 +349,89 @@ class UdpService:
             return
         result = self.service.embedding_search(pkt.embedding,
                                                search_remote=False)
+        hits = [h for h in result.pages
+                if pkt.distance_limit is None
+                or h.distance < pkt.distance_limit]  # udp_service.rs:195-199
+        if pkt.two_phase and self.wire == packets.WIRE_DAWN:
+            # phase 1: one tiny Summary instead of k full Pages; cache
+            # the promised distances for the PageRequest that follows
+            self._sweep_summary_cache()
+            with self._summary_lock:
+                self._summary_cache[pkt.search_id] = (
+                    time.time() + 30.0,
+                    {h.page_id: h.distance for h in hits})
+            reply = Summary(pkt.search_id, self.instance_id,
+                            [h.page_id for h in hits],
+                            [h.distance for h in hits])
+            try:
+                data = packets.encode(reply, self.wire)
+                self._sock.sendto(data, src)
+                METRICS.inc("reply_bytes", len(data))
+            except (OSError, ValueError):
+                pass
+            METRICS.inc("searches_served", 1)
+            log.debug("served search %x: summary of %d to %s",
+                      pkt.search_id, len(hits), src)
+            return
         sent = 0
-        for hit in result.pages:
-            if pkt.distance_limit is not None and \
-                    hit.distance >= pkt.distance_limit:
-                continue  # udp_service.rs:195-199
+        for hit in hits:
             reply = Page(pkt.search_id, hit.distance, hit.url, hit.title,
                          clip_page_text(hit.url, hit.title, hit.text),
                          self.instance_id, hit.page_id)
             try:
-                self._sock.sendto(packets.encode(reply, self.wire), src)
+                data = packets.encode(reply, self.wire)
+                self._sock.sendto(data, src)
+                METRICS.inc("reply_bytes", len(data))
                 sent += 1
             except (OSError, ValueError):
                 pass
         METRICS.inc("searches_served", 1)
         log.debug("served search %x: %d pages to %s", pkt.search_id, sent, src)
+
+    def _sweep_summary_cache(self) -> None:
+        now = time.time()
+        with self._summary_lock:
+            dead = [sid for sid, (exp, _) in self._summary_cache.items()
+                    if exp < now]
+            for sid in dead:
+                del self._summary_cache[sid]
+
+    def _handle_page_request(self, pkt: PageRequest,
+                             src: tuple[str, int]) -> None:
+        """Phase 2: send full Pages for the ids the searcher's global
+        merge selected (the reference's sketched PageRequest flow,
+        udp_packets.rs:40-43)."""
+        if self.service is None:
+            return
+        with self._summary_lock:
+            entry = self._summary_cache.get(pkt.search_id)
+        if entry is None:
+            return  # expired or never summarized: searcher times out
+        _, dist_by_id = entry
+        store = self.service.provider.store
+        # FoundPage.page_id is the store id (1-based sqlite rowid), the
+        # same id space GetEmbedding uses
+        meta = store.get_many([int(i) for i in pkt.page_ids
+                               if int(i) in dist_by_id])
+        sent = 0
+        for pid in pkt.page_ids:
+            pid = int(pid)
+            rec = meta.get(pid)
+            if rec is None or pid not in dist_by_id:
+                continue
+            reply = Page(pkt.search_id, dist_by_id[pid], rec.url,
+                         rec.title,
+                         clip_page_text(rec.url, rec.title, rec.text),
+                         self.instance_id, pid)
+            try:
+                data = packets.encode(reply, self.wire)
+                self._sock.sendto(data, src)
+                METRICS.inc("reply_bytes", len(data))
+                sent += 1
+            except (OSError, ValueError):
+                pass
+        log.debug("page-request %x: %d pages to %s",
+                  pkt.search_id, sent, src)
 
     # -- membership -----------------------------------------------------------
 

@@ -60,6 +60,13 @@ class Metrics:
         finally:
             self.observe(name, time.perf_counter() - t0)
 
+    def reset(self) -> None:
+        """Zero counters and timings (benchmarks call this after
+        warmup so percentiles exclude compile-time one-offs)."""
+        with self._lock:
+            self._counters.clear()
+            self._timings.clear()
+
     def snapshot(self) -> dict:
         with self._lock:
             out: dict = dict(self._counters)

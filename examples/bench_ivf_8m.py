@@ -1,4 +1,5 @@
-"""IVF vs flat at 8M rows on the real chip (VERDICT r1 item 3c).
+"""IVF vs flat at 8M rows on the real chip (VERDICT r1 item 3c;
+clustered mode: VERDICT r2 item 6).
 
 8M is the regime AutoIndex's flat->IVF migration threshold targets
 (index/auto.py DEFAULT_TRAIN_THRESHOLD); round 1 never measured it.
@@ -6,7 +7,15 @@ This records, per engine: QPS at batch 1024 k=10, raw recall@10 vs
 exact f32 ground truth, and recall@10 with the serving path's f32
 re-rank of k+30 candidates.
 
-Run:  PYTHONPATH=/root/repo:/root/.axon_site python examples/bench_ivf_8m.py
+`--clustered` swaps the isotropic corpus for a mixture of 4096
+Gaussians (sigma chosen so within-cluster cosine ~0.93 vs ~0 between)
+and draws queries as perturbations of corpus rows — the one corpus
+class where a coarse k-means partition carries real signal. This is
+IVF's earn-or-demote benchmark: if IVF can't win here, it can't win
+anywhere (the reference's own bucket experiment,
+examples_old/search_bucket.rs, had the same question).
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site python examples/bench_ivf_8m.py [--clustered]
 (~20 min: 8M-row builds + ground truth streaming on host BLAS).
 """
 
@@ -27,7 +36,9 @@ from bench import CORPUS_BLOCK, corpus_blocks  # noqa: E402
 from dawnsearch_tpu.index.flat import FlatIndex, search_kernel  # noqa: E402
 from dawnsearch_tpu.index.ivf import IVFIndex  # noqa: E402
 
-N_ROWS = 8_000_000
+import os
+
+N_ROWS = int(os.environ.get("BENCH_IVF_ROWS", 8_000_000))  # smoke override
 NQ = 128
 K = 10
 
@@ -43,14 +54,52 @@ def queries(nq: int = NQ) -> np.ndarray:
     return q[:nq]
 
 
-def ground_truth(qs: np.ndarray):
+# ---- clustered mode (mixture of Gaussians) --------------------------------
+
+N_CLUSTERS = 4096
+SIGMA = 0.02       # within-cluster: cos(row, center) ~ 1/sqrt(1+384s^2) ~ 0.93
+SIGMA_Q = 0.015    # queries perturb corpus rows a little less
+
+
+def _centers() -> np.ndarray:
+    rng = np.random.default_rng(5)
+    c = rng.standard_normal((N_CLUSTERS, 384)).astype(np.float32)
+    return c / np.linalg.norm(c, axis=-1, keepdims=True)
+
+
+def clustered_blocks(n_rows: int, seed: int = 0, block: int = CORPUS_BLOCK):
+    """Deterministic per-block mixture sampling (same contract as
+    corpus_blocks: build and ground truth stream identical rows)."""
+    centers = _centers()
+    for s0 in range(0, n_rows, block):
+        n = min(block, n_rows - s0)
+        rng = np.random.default_rng(seed + 1000 + s0)
+        cid = rng.integers(0, N_CLUSTERS, size=n)
+        v = centers[cid] + SIGMA * rng.standard_normal(
+            (n, 384)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        yield s0, v
+
+
+def clustered_queries(nq: int = NQ) -> np.ndarray:
+    """Perturbed corpus rows: the realistic clustered-query model whose
+    true neighbors live in the query's own cluster."""
+    s0, v = next(clustered_blocks(CORPUS_BLOCK))
+    rng = np.random.default_rng(11)
+    rows = v[rng.integers(0, len(v), size=nq)]
+    q = rows + SIGMA_Q * rng.standard_normal((nq, 384)).astype(np.float32)
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def ground_truth(qs: np.ndarray, blocks_fn=None):
     """Exact f32 top-K streamed over the corpus; keeps blocks for
     re-rank lookups."""
+    blocks_fn = blocks_fn or corpus_blocks
     best_d = np.full((len(qs), K), np.inf)
     best_i = np.full((len(qs), K), -1, np.int64)
     t0 = time.perf_counter()
     corpus = {}
-    for s0, v in corpus_blocks(N_ROWS):
+    for s0, v in blocks_fn(N_ROWS):
         corpus[s0] = v
         dd = 1.0 - qs @ v.T
         idx = np.argpartition(dd, K, axis=1)[:, :K]
@@ -160,15 +209,20 @@ def time_ivf(ix: IVFIndex, nprobe: int, batch: int = 1024,
 
 
 def main() -> None:
-    qs = queries()
-    truth, corpus = ground_truth(qs)
+    clustered = "--clustered" in sys.argv
+    blocks_fn = clustered_blocks if clustered else corpus_blocks
+    qs = clustered_queries() if clustered else queries()
+    log({"mode": "clustered" if clustered else "isotropic",
+         "clusters": N_CLUSTERS if clustered else None,
+         "sigma": SIGMA if clustered else None})
+    truth, corpus = ground_truth(qs, blocks_fn)
 
     # ---- flat 8M ----
     cap = -(-N_ROWS // 16384) * 16384  # fused-selector tile multiple
     flat = FlatIndex(dtype="i8", capacity=cap, max_capacity=N_ROWS,
                      segment=cap)
     t0 = time.perf_counter()
-    for _, v in corpus_blocks(N_ROWS):
+    for _, v in blocks_fn(N_ROWS):
         flat.add(v)
     log({"step": "flat_build", "seconds": round(time.perf_counter() - t0, 1),
          "mb": round(flat.nbytes / 1e6)})
@@ -190,12 +244,12 @@ def main() -> None:
     ivf = IVFIndex(dtype="i8", n_centroids=C, nprobe=16, list_capacity=L,
                    query_sub_batch=16)
     t0 = time.perf_counter()
-    sample = next(corpus_blocks(N_ROWS, seed=99, block=1_000_000))[1]
+    sample = next(blocks_fn(N_ROWS, seed=99, block=1_000_000))[1]
     ivf.train(sample, iters=8)
     log({"step": "ivf_train", "seconds": round(time.perf_counter() - t0, 1),
          "centroids": C, "list_capacity": L})
     t0 = time.perf_counter()
-    for _, v in corpus_blocks(N_ROWS):
+    for _, v in blocks_fn(N_ROWS):
         ivf.add(v)
     log({"step": "ivf_build", "seconds": round(time.perf_counter() - t0, 1),
          "mb": round(ivf.nbytes / 1e6),

@@ -163,6 +163,8 @@ def main() -> None:
             f"{base}/api/search?q=lighthouse", timeout=600) as r:
         r.read()
     log("warmup: HTTP query path compiled (batch buckets 1, 8)")
+    from dawnsearch_tpu.utils.logging import METRICS
+    METRICS.reset()  # percentiles below exclude warmup compiles
 
     lat: list[float] = []
     lat_lock = threading.Lock()
@@ -226,7 +228,6 @@ def main() -> None:
         "ingest_batch": args.batch,
         "threads": args.threads,
     }
-    from dawnsearch_tpu.utils.logging import METRICS
     snap = METRICS.snapshot()
     for key in ("fused_query_dispatch", "fused_ingest_dispatch",
                 "fused_ingest", "index_search"):
