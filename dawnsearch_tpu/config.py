@@ -34,10 +34,14 @@ class Config:
     model_dir: str | None = None  # safetensors + vocab for all-MiniLM-L6-v2
     embed_batch_size: int = 64  # cross-request batching cap
     # pages per ingest batch (tokenize + one fused device program +
-    # one store transaction); large batches amortize the dispatch
-    # round-trip (~80 ms through a tunnel) — measured 3.2k -> 4.3k
-    # pages/s standalone going 256 -> 1024
-    ingest_batch_size: int = 1024
+    # one store transaction). 512 won the round-3 concurrent-load soak
+    # on BOTH axes (4.2k pages/s under 4-thread query load at p99
+    # 324-335 ms, vs 1024's 2.9k at 657 ms and 256's 2.3k at 406 ms —
+    # doc/performance.md "Concurrent-load soak"); batches amortize the
+    # ~80 ms tunneled dispatch round-trip, but a 1024 encode blocks the
+    # device queue twice as long per program for queries sharing the
+    # chip
+    ingest_batch_size: int = 512
     # extraction worker processes (0 = in-thread). The extraction
     # thread's Python share serializes with tokenize/insert on the GIL
     # at ~3k pages/s; workers break that for long production runs at a
@@ -46,6 +50,12 @@ class Config:
     # guard its entry point with `if __name__ == "__main__":` (standard
     # multiprocessing contract; `python -m dawnsearch_tpu` is guarded)
     ingest_workers: int = 0
+    # pages/s ceiling for background ingest (0 = unlimited). Ingest
+    # encodes share the chip with queries; the concurrent-load soak
+    # (doc/performance.md) measures the tail-latency trade. 2000 holds
+    # query p99 under ~300 ms on one v5e while ingesting; unlimited
+    # reaches ~4.2k pages/s at p99 ~330 ms.
+    ingest_rate_limit: float = 0.0
     embed_max_wait_ms: float = 5.0  # batcher flush deadline
     # 512 matches the reference's full BERT window (model.rs:123,147);
     # a 2048-char page (page_source.rs:113) is ~400-500 tokens.

@@ -196,10 +196,18 @@ class ExtractionService:
                  max_pages: int | None = None,
                  ledger: WarcLedger | None = None,
                  between_files_s: float | None = None,
-                 workers: int = 0):
+                 workers: int = 0,
+                 rate_limit: float = 0.0):
         self.service = service
         self.source = source if source is not None else CommonCrawlSource()
         self.batch_size = batch_size
+        # pages/s ceiling (0 = unlimited). Ingest shares the chip with
+        # queries; each insert batch occupies the device for its encode,
+        # so unthrottled bulk ingest sets query tail latency. The
+        # concurrent-load soak (doc/performance.md) quantifies the
+        # trade; latency-sensitive mixed deployments set this to bound
+        # ingest's device occupancy instead of shrinking batch size.
+        self.rate_limit = rate_limit
         self.workers = workers if hasattr(
             self.source, "specs") else 0  # stream-only sources stay in-thread
         self.max_pages = max_pages  # stop after N (tests); None = forever
@@ -309,6 +317,16 @@ class ExtractionService:
 
     def _insert(self, triples: list[tuple[str, str, str]],
                 token_ids: list[list[int]] | None) -> None:
+        if self.rate_limit > 0:
+            # pace so the rolling rate stays under the ceiling; sleeping
+            # BEFORE the insert keeps the device idle window in front of
+            # the dispatch, where queries can use it
+            min_interval = len(triples) / self.rate_limit
+            last = getattr(self, "_last_insert_t", 0.0)
+            wait = last + min_interval - time.perf_counter()
+            if wait > 0 and not self._stop.is_set():
+                time.sleep(wait)
+            self._last_insert_t = time.perf_counter()
         t0 = time.perf_counter()
         # kwargs only when pre-tokenized, so duck-typed test services
         # with the plain insert_pages(pages) signature keep working

@@ -193,7 +193,8 @@ class DawnNode:
             self.extractor = ExtractionService(
                 self.service, source=source,
                 batch_size=self.cfg.ingest_batch_size, ledger=ledger,
-                workers=self.cfg.ingest_workers)
+                workers=self.cfg.ingest_workers,
+                rate_limit=self.cfg.ingest_rate_limit)
             self.extractor.start()
         self._schedule_save()
         log.info("node %s up (web=%s udp=%s index_cc=%s, %d pages)",

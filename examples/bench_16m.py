@@ -2,18 +2,25 @@
 
 QPS with the fused score+select kernel (candidate folding active at
 this size: 131072 window winners fold to 16384 before the final exact
-top_k) + recall vs a sampled exact ground truth. Measured (s8 +
-packed-key selector): 14,060 QPS at raw recall 0.966; 8M rows in the
-same harness: 25,544 QPS at 0.977 (doc/performance.md).
+top_k) + recall vs a sampled exact ground truth, RAW and with the
+serving path's host f32 re-rank of k+30 candidates (the shipped
+default; round-2 VERDICT item 2 demanded the re-ranked number be
+measured, not inferred, at this envelope). If k+30 leaves recall
+under 0.99, a kf sweep (64, 128) records what candidate width would
+restore it. Candidate vectors for the re-rank are re-generated from
+the seeded corpus blocks in a second streaming pass — the 16M corpus
+never resides on host (24 GB f32).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python examples/bench_16m.py
 (~20 min: the 16M-row host build dominates.)
+BENCH_16M_ROWS=8388608 runs the same harness at the 8M tier.
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -27,10 +34,41 @@ from bench import corpus_blocks  # noqa: E402
 from dawnsearch_tpu.index.flat import FlatIndex  # noqa: E402
 from dawnsearch_tpu.ops.scan_select import search_select  # noqa: E402
 
-N = 1 << 24  # 16,777,216
+N = int(os.environ.get("BENCH_16M_ROWS", 1 << 24))  # default 16,777,216
 K = 10
 BATCH = 1024
 NQ = 64
+
+
+def gather_rows(ids: np.ndarray) -> dict[int, np.ndarray]:
+    """Regenerate only the corpus rows in `ids` by streaming the seeded
+    blocks again (identical data to the build pass by construction)."""
+    want = np.unique(ids[ids >= 0])
+    out: dict[int, np.ndarray] = {}
+    for s0, v in corpus_blocks(N):
+        lo = np.searchsorted(want, s0)
+        hi = np.searchsorted(want, s0 + len(v))
+        for r in want[lo:hi]:
+            out[int(r)] = v[int(r) - s0]
+    return out
+
+
+def rerank_recall(qs: np.ndarray, ids: np.ndarray, truth: np.ndarray
+                  ) -> float:
+    """Exact-f32 re-rank of the fused selector's candidates (the
+    provider's _rerank_f32 semantics) -> recall@K vs ground truth."""
+    rows = gather_rows(ids)
+    hits = []
+    for b in range(len(qs)):
+        cand = np.asarray([c for c in ids[b] if c >= 0], np.int64)
+        if not len(cand):
+            hits.append(0.0)
+            continue
+        vecs = np.stack([rows[int(c)] for c in cand])
+        exact = 1.0 - qs[b] @ vecs.T
+        top = cand[np.argsort(exact, kind="stable")[:K]]
+        hits.append(len(set(top.tolist()) & set(truth[b].tolist())) / K)
+    return float(np.mean(hits))
 
 
 def log(o):
@@ -92,6 +130,29 @@ def main() -> None:
          "qps": round(BATCH / best, 1),
          "per_batch_ms": round(best * 1000, 2),
          "recall_at_10": round(recall, 4)})
+
+    # serving default: fetch K+30, host f32 re-rank (provider.rerank=30);
+    # ALSO time the wider fetch — that is the QPS the re-ranked recall
+    # actually costs
+    for kf in (K + 30, 64, 128):
+        kwf = dict(k=kf, reps=4)
+        d, i = many(*args, **kwf)
+        np.asarray(d)
+        bestf = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(many(*args, **kwf)[0][0, 0])
+            bestf = min(bestf, (time.perf_counter() - t0) / kwf["reps"])
+        cand = np.asarray(many(*args, **kwf)[1])[:NQ]
+        rr = rerank_recall(qs[:NQ], cand, best_i)
+        log({"engine": "flat_i8_fused", "rows": N, "k_fetch": kf,
+             "qps": round(BATCH / bestf, 1),
+             "per_batch_ms": round(bestf * 1000, 2),
+             "recall_rerank_at_10": round(rr, 4)})
+        if rr >= 0.99 and kf > K + 30:
+            break  # found the width that restores the target
+        if rr >= 0.99 and kf == K + 30:
+            break  # shipped default already meets it
 
 
 if __name__ == "__main__":

@@ -46,6 +46,13 @@ def build_stack(prefill: int, max_pages: int):
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the warmup's cold compiles through the
+    # tunnel cost 5-20 min per fresh process otherwise (DawnNode does
+    # the same via cfg.compilation_cache)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DAWNSEARCH_JAX_CACHE",
+                                     "/tmp/dawnsearch_jax_cache"))
+
     from dawnsearch_tpu.index.provider import SearchProvider
     from dawnsearch_tpu.models.bert import BertConfig
     from dawnsearch_tpu.models.encoder import SentenceEncoder
@@ -111,8 +118,10 @@ def main() -> None:
     ap.add_argument("--prefill", type=int, default=524288)
     ap.add_argument("--pages", type=int, default=8192)
     ap.add_argument("--threads", type=int, default=4)
-    ap.add_argument("--batch", type=int, default=1024,
+    ap.add_argument("--batch", type=int, default=512,
                     help="ingest_batch_size (the round-2 tail's knob)")
+    ap.add_argument("--rate", type=float, default=0.0,
+                    help="ingest rate limit, pages/s (0 = unlimited)")
     ap.add_argument("--port", type=int, default=8931)
     args = ap.parse_args()
 
@@ -195,7 +204,7 @@ def main() -> None:
 
     n_before = len(provider.store)
     ex = ExtractionService(service, source=LocalWarcSource(warc),
-                           batch_size=args.batch)
+                           batch_size=args.batch, rate_limit=args.rate)
     threads = [threading.Thread(target=query_loop, args=(t,))
                for t in range(args.threads)]
     t0 = time.perf_counter()
@@ -226,6 +235,7 @@ def main() -> None:
         "ingest_seconds": round(ingest_dt, 1),
         "prefill_rows": args.prefill,
         "ingest_batch": args.batch,
+        "ingest_rate_limit": args.rate,
         "threads": args.threads,
     }
     snap = METRICS.snapshot()

@@ -234,3 +234,24 @@ def test_extraction_service_end_to_end(tmp_path):
                               + provider.store.get(2)[0].text,
                               search_remote=False)
     assert res.pages[0].page_id == 2
+
+
+def test_extraction_rate_limit_paces_inserts(tmp_path):
+    """rate_limit bounds pages/s: 60 pages at 200 pages/s must take
+    >= ~0.25 s (unthrottled this corpus inserts in milliseconds)."""
+    import time as _time
+
+    records = [(f"https://rl.example/{i}",
+                page_html(f"Story {i}", ENGLISH)) for i in range(60)]
+    p = str(tmp_path / "rl.warc.gz")
+    write_warc(p, records)
+    svc = FakeService()
+    ex = ExtractionService(svc, source=LocalWarcSource(p), batch_size=20,
+                           rate_limit=200.0)
+    t0 = _time.perf_counter()
+    ex.start()
+    ex.join(timeout=30)
+    dt = _time.perf_counter() - t0
+    assert sum(len(b) for b in svc.batches) == 60
+    # first batch unpaced, then 2 paced gaps of 0.1 s each
+    assert dt >= 0.18, dt
