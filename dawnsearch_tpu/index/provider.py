@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 import time
 from typing import Sequence
 
@@ -65,6 +66,16 @@ class SearchProvider:
         self.data_dir = data_dir
         self.max_pages = max_pages
         self.dim = dim
+        # Device-state lock: guards the index buffer references against
+        # concurrent use-after-donation (donating writes invalidate the
+        # old buffers a concurrently dispatched search would read).
+        # SearchService shares THIS lock for its dispatch-only critical
+        # sections; the provider itself takes it around its own index
+        # mutations so the rare store-recovery paths are race-free even
+        # though the service calls store_pages outside the lock.
+        # Reentrant: insert_pages runs both under the service's hold and
+        # standalone.
+        self.device_lock = threading.RLock()
         # Quantized indexes retrieve k+rerank candidates and re-rank them
         # with the store's exact f32 embeddings (SURVEY §7 hard parts:
         # "re-ranking top candidates at f32") — candidate ORDER becomes
@@ -162,7 +173,8 @@ class SearchProvider:
                 for r, pid in zip(chunk, ids) if pid is not None)
             i += len(chunk)
         if accepted_rows:
-            self.index.add(np.stack(accepted_rows))
+            with self.device_lock:
+                self.index.add(np.stack(accepted_rows))
             METRICS.inc("pages_inserted", len(accepted_rows))
         return out
 
@@ -219,7 +231,8 @@ class SearchProvider:
             if sid is None and hasattr(self.index, "count"):
                 log.warning("store rejected %r mid-batch; rolling back "
                             "%d index rows", url, n - j)
-                self.index.count = base + j  # tail rows become scratch
+                with self.device_lock:
+                    self.index.count = base + j  # tail rows become scratch
                 ids.append(None)
                 rest = rows[j + 1:]
                 if rest:
@@ -237,8 +250,9 @@ class SearchProvider:
             ids.append(sid)
             for url2, title2, text2, emb2 in rows[j + 1:]:
                 ids.append(self.store.insert(url2, title2, text2, emb2))
-            self.index = self._make_index()
-            self._fill_index_from_db()
+            with self.device_lock:
+                self.index = self._make_index()
+                self._fill_index_from_db()
             break
         return ids
 

@@ -75,12 +75,16 @@ class SearchService:
         #   jax dispatch is async, so the expensive part (device
         #   execution + host readback) happens outside it. Donating
         #   ingest programs invalidate the old buffer references, which
-        #   is why searches must also dispatch under it.
+        #   is why searches must also dispatch under it. It is the
+        #   PROVIDER's reentrant device_lock so the provider's own index
+        #   mutations (store-recovery rollback/rebuild) stay race-free
+        #   even when called outside the service's hold.
         # - _ingest_lock serializes whole ingest batches end-to-end
         #   (screen -> dispatch -> readback -> store) so the device-row
         #   = store-row contract holds, WITHOUT making queries wait for
         #   a batch's device execution (the round-2 p99 3.5 s tail).
-        self._lock = threading.Lock()
+        self._lock = getattr(provider, "device_lock", None) \
+            or threading.RLock()
         self._ingest_lock = threading.Lock()
         from dawnsearch_tpu.serving.batcher import (
             CoalescingBatcher, SearchBatcher)
