@@ -45,7 +45,28 @@ def main(argv=None) -> int:
                          help="bulk-load .npz sidecars into the data dir "
                               "instead of embedding WARCs")
     sidecar.add_argument("--config", default="DawnSearch.toml")
+    evalq = sub.add_parser(
+        "eval-quality",
+        help="weights-drop quality gate: HF parity + retrieval gates "
+             "against model_dir (examples/eval_quality.py)")
+    evalq.add_argument("model_dir")
+    evalq.add_argument("--allow-random", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.command == "eval-quality":
+        import importlib.util
+        import os as _os
+        spec = importlib.util.spec_from_file_location(
+            "eval_quality",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), "examples",
+                "eval_quality.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        import sys as _sys
+        _sys.argv = ["eval_quality.py", args.model_dir] + (
+            ["--allow-random"] if args.allow_random else [])
+        return mod.main()
 
     if args.command == "sidecar":
         from dawnsearch_tpu.config import Config as _Config
