@@ -66,20 +66,21 @@ class Config:
     pool_impl: str = "xla"  # "xla" | "fused"
     index_capacity: int = 1_000_000  # page cap (search_provider.rs:164-166)
     index_dtype: str = "i8"  # "f32" | "bf16" | "i8"
-    index_kind: str = "flat"  # "flat" | "ivf" | "sharded" (device-parallel)
+    index_kind: str = "flat"  # "flat" | "sharded" (device-parallel);
+    # "ivf" was removed in round 3 — measured 53x slower than flat at
+    # LOWER recall even on clustered corpora (doc/performance.md);
+    # the experiment lives in examples/ivf_index.py
     # "host" re-ranks quantized candidates with the store's f32 rows;
     # "device" keeps an f16 shadow buffer on the chip and re-ranks inside
     # the search program (+2 bytes/dim HBM, no host round-trip)
     index_rerank: str = "host"
+    # DEPRECATED (round 3): parsed for old-TOML compatibility only —
+    # index_kind="ivf" was removed (see index_kind above); these flags
+    # have no effect. The experiment keeps them as constructor args in
+    # examples/ivf_index.py / examples/auto_index.py.
     ivf_ncentroids: int = 256
     ivf_nprobe: int = 16
-    # rows at which index_kind="ivf" trains centroids and migrates
-    # flat->IVF (AutoIndex); IVF measured worse than flat on isotropic
-    # data even at 8M rows (doc/performance.md) so this only matters
-    # for corpora with real cluster structure
     ivf_train_threshold: int = 100_000
-    # copies per vector (reference inserts into the 3 nearest buckets,
-    # examples_old/search_bucket.rs:16-17) — recall lever at m-x memory
     ivf_multi_assign: int = 1
     mesh_shards: int = 0  # device-parallel index shards; 0 = all devices
     search_k: int = 20  # results per query (search_provider.rs:214)

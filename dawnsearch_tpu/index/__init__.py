@@ -49,10 +49,19 @@ def load_index(path: str, **kwargs):
             kw = _filtered(ShardedFlatIndex, kwargs)
             kw.setdefault("mesh", kwargs.get("mesh"))
             return ShardedFlatIndex.load(path, **kw)
-        from dawnsearch_tpu.index.auto import AutoIndex
-        return AutoIndex.load(path, **_filtered(AutoIndex, kwargs))
+        # "auto" snapshots: IVF/AutoIndex left the product tree in
+        # round 3 (measured 53x slower than flat at LOWER recall even
+        # in its purpose-built clustered regime — doc/performance.md).
+        # Raising here routes SearchProvider to its rebuild-from-store
+        # path, which re-materializes the corpus as the configured
+        # index kind: automatic migration. The experiment lives on in
+        # examples/ivf_index.py / examples/auto_index.py.
+        raise ValueError(
+            f"snapshot kind {kind!r} is no longer a product index tier "
+            "(the provider rebuilds from the page store)")
     if "centroids" in names:
-        from dawnsearch_tpu.index.ivf import IVFIndex
-        return IVFIndex.load(path, **_filtered(IVFIndex, kwargs))
+        raise ValueError(
+            "IVF snapshots are no longer a product index tier "
+            "(the provider rebuilds from the page store)")
     from dawnsearch_tpu.index.flat import FlatIndex
     return FlatIndex.load(path, **_filtered(FlatIndex, kwargs))

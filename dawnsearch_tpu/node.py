@@ -97,15 +97,20 @@ def make_index_factory(cfg: Config, dim: int = 384):
                              max_capacity=cfg.index_capacity,
                              exact=_exact())
         if cfg.index_kind == "ivf":
-            from dawnsearch_tpu.index.auto import AutoIndex
-            return AutoIndex(dim=dim, dtype=cfg.index_dtype,
-                             max_capacity=cfg.index_capacity,
-                             n_centroids=cfg.ivf_ncentroids,
-                             nprobe=cfg.ivf_nprobe,
-                             multi_assign=cfg.ivf_multi_assign,
-                             # index_kind="ivf" must actually reach IVF:
-                             # AutoIndex's own default is None (never)
-                             train_threshold=cfg.ivf_train_threshold)
+            # Round-3 removal after the earn-or-demote benchmark: IVF
+            # measured 555 QPS at re-ranked recall 0.988 vs flat's
+            # 29,254 QPS at 0.9992 IN ITS OWN best regime (8M rows,
+            # 4096 tight clusters, cluster-local queries —
+            # doc/performance.md). 53x slower at lower recall is not a
+            # product tier on this hardware; scale past one chip is
+            # index_kind="sharded". The experiment remains runnable at
+            # examples/ivf_index.py + examples/bench_ivf_8m.py.
+            raise ValueError(
+                'index_kind="ivf" was removed (measured strictly worse '
+                'than "flat" on both axes in every regime incl. '
+                "clustered corpora — doc/performance.md); use \"flat\" "
+                'or "sharded", or see examples/ivf_index.py for the '
+                "experiment")
         if cfg.index_kind == "sharded":
             from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
             return ShardedFlatIndex(mesh=_sharded_mesh(cfg), dim=dim,

@@ -1,5 +1,14 @@
 """AutoIndex: exact flat index with an *opt-in* IVF migration at scale.
 
+DEMOTED to examples/ in round 3: IVF was benchmarked in its purpose-built
+best regime (8M rows drawn from 4096 tight Gaussians, cluster-local
+queries — `bench_ivf_8m.py --clustered`) and still lost to the flat MXU
+scan on BOTH axes: 555 QPS at re-ranked recall 0.988 (nprobe 8) vs
+flat's 29,254 QPS at 0.9992. Per-query HBM gathers cannot compete with
+the sequential scan on this hardware at these scales; the scale story
+is the device-sharded flat index. Kept here as the experiment the
+reference also kept (examples_old/search_bucket.rs).
+
 USearch gives the reference one growable object with good behavior at
 every size (search_provider.rs:35-42,280-284). On TPU, measured brute
 force stays the fastest engine at every size we could test — including
@@ -21,7 +30,11 @@ import os
 import numpy as np
 
 from dawnsearch_tpu.index.flat import FlatIndex
-from dawnsearch_tpu.index.ivf import IVFIndex
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from ivf_index import IVFIndex  # noqa: E402
 from dawnsearch_tpu.ops.vector import EM_LEN
 from dawnsearch_tpu.utils.logging import service_logger
 

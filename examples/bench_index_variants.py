@@ -28,7 +28,8 @@ if os.environ.get("DAWNSEARCH_JAX_PLATFORM"):
                       os.environ["DAWNSEARCH_JAX_PLATFORM"])
 
 from dawnsearch_tpu.index.flat import FlatIndex
-from dawnsearch_tpu.index.ivf import IVFIndex
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ivf_index import IVFIndex  # demoted experiment (round 3)
 
 K = 10
 

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 from bench import CORPUS_BLOCK, corpus_blocks  # noqa: E402
 from dawnsearch_tpu.index.flat import FlatIndex, search_kernel  # noqa: E402
-from dawnsearch_tpu.index.ivf import IVFIndex  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ivf_index import IVFIndex  # demoted experiment (round 3)  # noqa: E402
 
 import os
 
@@ -173,7 +174,7 @@ def time_ivf(ix: IVFIndex, nprobe: int, batch: int = 1024,
              reps: int = 4) -> float:
     """Same timing discipline as flat: reps inside one dispatch with a
     carried data dependency, host readback at the end."""
-    from dawnsearch_tpu.index.ivf import _ivf_search
+    from ivf_index import _ivf_search
 
     rng = np.random.default_rng(7)
     q = rng.standard_normal((batch, 384)).astype(np.float32)

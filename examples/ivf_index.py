@@ -1,5 +1,10 @@
 """IVFIndex: inverted-file ANN index for large shards, TPU-first.
 
+DEMOTED to examples/ in round 3 (was dawnsearch_tpu/index/ivf.py): see
+auto_index.py for the damning clustered-regime measurement. This stays
+a working, tested experiment — the reference's own bucket-search
+experiment (examples_old/search_bucket.rs) is its ancestor.
+
 The stand-in for USearch's HNSW engine
 (/root/reference/src/search/search_provider.rs:35-42): a graph ANN is
 pointer-chasing-hostile on TPU, but the reference itself validated a

@@ -35,3 +35,16 @@ def unit_vectors(rng):
         return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
     return make
+
+
+def load_example(module_name: str):
+    """Import a module from examples/ (experiments demoted out of the
+    product tree stay tested here so they don't rot)."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "examples", module_name + ".py")
+    spec = importlib.util.spec_from_file_location(module_name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod

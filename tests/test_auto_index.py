@@ -1,8 +1,11 @@
-"""AutoIndex: flat->IVF upgrade, id stability, persistence in both stages."""
+"""AutoIndex (examples/auto_index.py — demoted experiment, round 3):
+flat->IVF upgrade, id stability, persistence in both stages."""
 
 import numpy as np
 
-from dawnsearch_tpu.index.auto import AutoIndex
+from tests.conftest import load_example
+
+AutoIndex = load_example("auto_index").AutoIndex
 
 
 def test_upgrade_preserves_ids(unit_vectors):
@@ -35,8 +38,7 @@ def test_save_load_flat_stage(tmp_path, unit_vectors):
     ix.add(x)
     p = str(tmp_path / "auto.npz")
     ix.save(p)
-    from dawnsearch_tpu.index import load_index
-    ld = load_index(p)
+    ld = AutoIndex.load(p)  # product load_index no longer routes here
     assert isinstance(ld, AutoIndex) and ld.ivf is None and len(ld) == 50
     np.testing.assert_array_equal(ld.search(x[:4], 2)[1], ix.search(x[:4], 2)[1])
     ld.add(unit_vectors(3))
@@ -50,7 +52,6 @@ def test_save_load_ivf_stage(tmp_path, unit_vectors):
     assert ix.ivf is not None
     p = str(tmp_path / "auto.npz")
     ix.save(p)
-    from dawnsearch_tpu.index import load_index
-    ld = load_index(p)
+    ld = AutoIndex.load(p)
     assert ld.ivf is not None and len(ld) == 300
     np.testing.assert_array_equal(ld.search(x[:4], 3)[1], ix.search(x[:4], 3)[1])

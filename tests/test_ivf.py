@@ -1,9 +1,13 @@
-"""IVFIndex: exactness oracle (nprobe == C), recall, spill/grow, persistence."""
+"""IVFIndex (examples/ivf_index.py — demoted experiment, round 3):
+exactness oracle (nprobe == C), recall, spill/grow, persistence."""
 
 import numpy as np
 import pytest
 
-from dawnsearch_tpu.index.ivf import IVFIndex, train_centroids
+from tests.conftest import load_example
+
+_ivf = load_example("ivf_index")
+IVFIndex, train_centroids = _ivf.IVFIndex, _ivf.train_centroids
 
 
 def exact_topk(q, x, k):

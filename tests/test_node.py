@@ -88,13 +88,41 @@ def test_node_rebuild_without_snapshot(tmp_path):
         assert data["results"][0]["url"] == "https://e.com/a"
 
 
-def test_node_ivf_config(tmp_path):
-    cfg = make_cfg(tmp_path, index_kind="ivf", ivf_ncentroids=8, ivf_nprobe=8)
+def test_node_ivf_config_removed(tmp_path):
+    """index_kind="ivf" left the product tree in round 3 (53x slower
+    than flat at lower recall in its own best regime); the config must
+    fail fast with a pointer, not silently serve a worse engine."""
+    import pytest
+
+    cfg = make_cfg(tmp_path, index_kind="ivf")
+    with pytest.raises(ValueError, match="removed"):
+        DawnNode(cfg, encoder=HashEncoder())
+
+
+def test_node_migrates_legacy_auto_snapshot(tmp_path):
+    """A node restarted on a round-2 era AutoIndex snapshot rebuilds
+    the index from the page store as the configured (flat) kind — the
+    demotion migrates data automatically."""
+    cfg = make_cfg(tmp_path)
     with DawnNode(cfg, encoder=HashEncoder()) as node:
         base = f"http://127.0.0.1:{node.http_port}"
         post_json(base + "/api/insert", {"pages": [
             {"url": f"https://e.com/{i}", "title": f"T{i}", "text": f"b {i}"}
             for i in range(5)]})
+    # overwrite the snapshot with an auto-kind one (legacy layout)
+    import numpy as np
+
+    from dawnsearch_tpu.index.provider import INDEX_FILE
+    import os
+    np.savez(os.path.join(cfg.data_dir, "legacy"), kind="auto",
+             stage="flat", payload=np.zeros(4, np.uint8),
+             n_centroids=4, nprobe=4, train_threshold=-1,
+             multi_assign=1, dtype="i8", dim=384)
+    os.replace(os.path.join(cfg.data_dir, "legacy.npz"),
+               os.path.join(cfg.data_dir, INDEX_FILE))
+    with DawnNode(cfg, encoder=HashEncoder()) as node:
+        base = f"http://127.0.0.1:{node.http_port}"
+        assert get_json(base + "/api/stats")["pages_indexed"] == 5
         data = get_json(base + "/api/search?q=T2%0Ab+2")
         assert data["results"][0]["url"] == "https://e.com/2"
 
