@@ -308,9 +308,12 @@ def bench_ingest(n_pages: int = 4096) -> float:
         scratch = SearchService(
             SearchProvider(data_dir=None, verify_on_load=False), batcher)
         scratch.insert_pages([(f"https://warm/{i}", "w", body)
-                              for i in range(1024)])
+                              for i in range(512)])
+        # batch 512 = the shipped ingest_batch_size default (round-3
+        # soak: best on both axes under mixed load; 1024 measured 4238
+        # pages/s standalone in BENCH_r02 for continuity)
         ex = ExtractionService(service, source=LocalWarcSource(warc),
-                               batch_size=1024)
+                               batch_size=512)
         t0 = time.perf_counter()
         ex.start()
         ex.join(timeout=600)

@@ -46,9 +46,8 @@ def load_index(path: str, **kwargs):
             kind = str(z["kind"])
         if kind == "sharded":
             from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
-            kw = _filtered(ShardedFlatIndex, kwargs)
-            kw.setdefault("mesh", kwargs.get("mesh"))
-            return ShardedFlatIndex.load(path, **kw)
+            return ShardedFlatIndex.load(
+                path, **_filtered(ShardedFlatIndex, kwargs))
         # "auto" snapshots: IVF/AutoIndex left the product tree in
         # round 3 (measured 53x slower than flat at LOWER recall even
         # in its purpose-built clustered regime — doc/performance.md).

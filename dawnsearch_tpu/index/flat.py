@@ -375,6 +375,15 @@ class FlatIndex:
         crosses the fused gate); device inputs are the caller's
         contract — a readback through the tunneled dispatch path would
         cost more than the search."""
+        d, i, k_eff, single = self.search_dispatch(queries, k)
+        return self.search_finalize(d, i, k, k_eff, single)
+
+    def search_dispatch(self, queries: np.ndarray | jax.Array, k: int):
+        """Enqueue the search program without blocking on execution;
+        -> opaque state for search_finalize. A caller serializing
+        against donating writers (SearchProvider.device_lock) needs to
+        hold its lock only across THIS call — the execution wait lives
+        in search_finalize."""
         _check_unit_queries(queries, self.count, self.capacity, self.dim,
                             self.dtype, self.selector, self.fused_min_rows)
         q = jnp.asarray(queries, jnp.float32)
@@ -404,6 +413,12 @@ class FlatIndex:
             d, i = _search(self._codes, self._scales, q,
                            jnp.int32(self.count), k_eff, self.chunk,
                            approx=approx)
+        return d, i, k_eff, single
+
+    @staticmethod
+    def search_finalize(d, i, k: int, k_eff: int, single: bool
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """Block on the dispatched search and shape the host results."""
         d, i = np.asarray(d), np.asarray(i)
         if k_eff < k:  # pad to requested k
             d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)
@@ -471,7 +486,12 @@ class FlatIndex:
         idx._codes = jnp.asarray(codes, jdt)
         if dtype == "i8":
             idx._scales = jnp.asarray(scales, jnp.float32)
-        if has_exact:
+        # Config is policy: an explicitly passed exact=None DROPS a
+        # snapshot's shadow buffer (it would silently hold +2 bytes/dim
+        # of HBM against the operator's choice — and diverge from
+        # ShardedFlatIndex.load, round-3 review); absent kwarg follows
+        # the snapshot via the setdefault above.
+        if has_exact and idx.exact == "f16":
             idx._exact = jnp.asarray(exact, jnp.float16)
         elif idx.exact == "f16":
             # Caller requested a shadow buffer the snapshot doesn't

@@ -91,14 +91,6 @@ class SearchProvider:
             index_factory.load_kwargs = {"max_capacity": max_pages}
         make_index = index_factory
         self._make_index = make_index
-        # Snapshots store data, not policy: reload must re-apply the
-        # factory's configuration (max_capacity/selector/exact/mesh) or
-        # a restarted node silently loses its cap semantics (round-2
-        # VERDICT weak #4). Factories advertise it via .load_kwargs
-        # (a dict, or a callable for lazily built values like a mesh).
-        lk = getattr(make_index, "load_kwargs", None)
-        self._load_kwargs = dict(lk() if callable(lk) else (lk or {}))
-
         index_path = (None if data_dir is None
                       else os.path.join(data_dir, INDEX_FILE))
         self.index_path = index_path
@@ -106,7 +98,16 @@ class SearchProvider:
         if index_path and os.path.exists(index_path):
             try:
                 from dawnsearch_tpu.index import load_index
-                self.index = load_index(index_path, **self._load_kwargs)
+                # Snapshots store data, not policy: reload re-applies
+                # the factory's configuration (max_capacity/exact/mesh)
+                # or a restarted node silently loses its cap semantics
+                # (round-2 VERDICT weak #4). Factories advertise it via
+                # .load_kwargs — a dict, or a callable evaluated ONLY
+                # here so lazily built values (a device mesh) aren't
+                # constructed on fresh starts that never load.
+                lk = getattr(make_index, "load_kwargs", None)
+                lk = dict(lk() if callable(lk) else (lk or {}))
+                self.index = load_index(index_path, **lk)
                 loaded = len(self.index) == len(self.store)
                 if not loaded:
                     log.warning("index snapshot stale (%d rows vs %d pages); "
@@ -259,10 +260,17 @@ class SearchProvider:
     # -- search -----------------------------------------------------------
 
     def search_embeddings(
-        self, queries: np.ndarray, k: int = 20, instance_id: str = ""
+        self, queries: np.ndarray, k: int = 20, instance_id: str = "",
+        dispatch_lock=None,
     ) -> list[SearchResult]:
         """Batched query -> per-query top-k with metadata join
-        (search_provider.rs:202-248, batched)."""
+        (search_provider.rs:202-248, batched).
+
+        `dispatch_lock`: hold this lock only while the search program
+        is ENQUEUED (index.search_dispatch), releasing it for the
+        execution wait, re-rank, and store join — the same tail-latency
+        contract as the fused text path (serving/search_service.py).
+        None = plain blocking search."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         # Reject non-unit queries like the reference
         # (search_provider.rs:206-208, tolerance vector.rs:185-192).
@@ -282,7 +290,14 @@ class SearchProvider:
         k_fetch = (k + self.rerank
                    if (quantized and self.rerank and not on_device) else k)
         t0 = time.perf_counter()
-        dists, ids = self.index.search(queries, k_fetch)
+        if dispatch_lock is not None and hasattr(self.index,
+                                                 "search_dispatch"):
+            with dispatch_lock:
+                pending = self.index.search_dispatch(queries, k_fetch)
+            dists, ids = self.index.search_finalize(
+                pending[0], pending[1], k_fetch, *pending[2:])
+        else:
+            dists, ids = self.index.search(queries, k_fetch)
         METRICS.observe("index_search", time.perf_counter() - t0)
         if k_fetch > k:
             dists, ids = self._rerank_f32(queries, dists, ids, k)

@@ -208,6 +208,14 @@ class Peers:
         return cls([PeerInfo.from_wire(w) for w in f["ps"]])
 
 
+# Hard cap on Summary pairs / PageRequest ids per packet: bounds a
+# hostile frame AND keeps both under the MTU budget (~16 B/pair).
+# SENDERS must clamp to this (udp_service clamps hits and chunks
+# requests) — a bigger search_k must not make a legit peer look
+# malformed to the receiver's validator.
+SUMMARY_MAX = 64
+
+
 @dataclasses.dataclass
 class Summary:
     """Two-phase search, phase-1 reply: the responder's local top-k as
@@ -430,13 +438,14 @@ def _validate(p: Packet) -> Packet:
     elif isinstance(p, Summary):
         req(isinstance(p.search_id, _int), "search_id")
         req(isinstance(p.instance_id, str), "instance_id")
-        req(len(p.page_ids) == len(p.distances) <= 64, "pair arity")
+        req(len(p.page_ids) == len(p.distances) <= SUMMARY_MAX,
+            "pair arity")
         req(all(isinstance(i, _int) for i in p.page_ids), "page_ids")
         req(all(isinstance(d, (int, float)) for d in p.distances),
             "distances")
     elif isinstance(p, PageRequest):
         req(isinstance(p.search_id, _int), "search_id")
-        req(len(p.page_ids) <= 64
+        req(len(p.page_ids) <= SUMMARY_MAX
             and all(isinstance(i, _int) for i in p.page_ids), "page_ids")
     return p
 

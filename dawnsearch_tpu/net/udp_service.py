@@ -67,13 +67,22 @@ class _SrcWindow:
 
 
 class _ActiveSearch:
-    __slots__ = ("pages", "summaries", "expected", "event", "lock")
+    __slots__ = ("pages", "summaries", "responded", "expected",
+                 "contacted", "event", "lock")
 
     def __init__(self):
         self.pages: list[FoundPage] = []
         # two-phase: (instance_id, src_addr, page_id, distance) tuples
         self.summaries: list[tuple[str, tuple, int, float]] = []
-        self.expected: int | None = None  # phase-2 page count to wake on
+        self.responded: set[str] = set()  # iids that sent a Summary
+        # phase 2: the exact (instance_id, page_id) keys still awaited;
+        # keyed (not a count) so a straggling phase-1 Page from a
+        # legacy peer can't wake the searcher before the requested
+        # winners arrive
+        self.expected: set[tuple[str, int]] | None = None
+        # phase 1: fan-out size; when every contacted peer has
+        # summarized, phase 1 ends early instead of burning the deadline
+        self.contacted: int = 0
         self.event = threading.Event()
         self.lock = threading.Lock()
 
@@ -150,6 +159,7 @@ class UdpService:
             return [], 0, 0  # no deadline when alone (udp_service.rs:301-312)
         sid = random.getrandbits(63)
         st = _ActiveSearch()
+        st.contacted = len(peers)  # phase-1 early-wake threshold
         with self._active_lock:
             self._active[sid] = st
         pkt = packets.encode(
@@ -185,23 +195,27 @@ class UdpService:
             return
         ranked = sorted(summaries, key=lambda s: s[3])[:k]
         wanted: dict[tuple, tuple[str, list[int]]] = {}
-        n_req = 0
+        awaiting: set[tuple[str, int]] = set()
         for iid, src, pid, _d in ranked:
             if (iid, pid) in have:
                 continue  # a legacy peer already sent the full page
             wanted.setdefault(src, (iid, []))[1].append(pid)
-            n_req += 1
-        if not n_req:
+            awaiting.add((iid, pid))
+        if not awaiting:
             return
         with st.lock:
-            st.expected = len(st.pages) + n_req
+            st.expected = awaiting  # keyed: stragglers can't satisfy it
             st.event.clear()
         for src, (_iid, pids) in wanted.items():
-            try:
-                self._sock.sendto(
-                    packets.encode(PageRequest(sid, pids), self.wire), src)
-            except OSError:
-                pass
+            # chunk at the wire cap so search_k > SUMMARY_MAX still
+            # round-trips instead of tripping the peer's validator
+            for c in range(0, len(pids), packets.SUMMARY_MAX):
+                try:
+                    self._sock.sendto(packets.encode(
+                        PageRequest(sid, pids[c: c + packets.SUMMARY_MAX]),
+                        self.wire), src)
+                except OSError:
+                    pass
         st.event.wait(self.deadline_s)  # phase 2, same silent-partial model
 
     def replicate(self, url: str, title: str, text: str) -> None:
@@ -244,7 +258,9 @@ class UdpService:
     def _rate_ok(self, ip: str, now: float, malformed: bool = False) -> bool:
         """Sliding-window flood guard; True = keep processing this src.
         Windows are pruned opportunistically (bounded memory even under
-        address-spoofed floods)."""
+        address-spoofed floods). `now` is time.monotonic(): a wall-clock
+        step backwards must not freeze every window and blackhole
+        legitimate peers."""
         w = self._src_windows.get(ip)
         if w is None or now - w.start >= 1.0:
             if len(self._src_windows) > 4096:  # spoofed-src flood
@@ -268,7 +284,7 @@ class UdpService:
                 continue
             except OSError:
                 break
-            now = time.time()
+            now = time.monotonic()
             if not self._rate_ok(src[0], now):
                 METRICS.inc("packets_rate_dropped", 1)
                 continue
@@ -299,9 +315,11 @@ class UdpService:
                         page_id=pkt.page_id, distance=pkt.distance,
                         url=pkt.url, title=pkt.title, text=pkt.text,
                         instance_id=pkt.instance_id))
-                    if (st.expected is not None
-                            and len(st.pages) >= st.expected):
-                        st.event.set()  # phase-2 complete: wake early
+                    if st.expected is not None:
+                        st.expected.discard(
+                            (pkt.instance_id, pkt.page_id))
+                        if not st.expected:
+                            st.event.set()  # every winner arrived
         elif isinstance(pkt, Summary):
             with self._active_lock:
                 st = self._active.get(pkt.search_id)
@@ -310,6 +328,12 @@ class UdpService:
                     st.summaries.extend(
                         (pkt.instance_id, src, int(i), float(d))
                         for i, d in zip(pkt.page_ids, pkt.distances))
+                    st.responded.add(pkt.instance_id)
+                    # phase-1 early wake: every contacted peer answered
+                    # (empty summaries count — no-hit peers reply too)
+                    if (st.expected is None and st.contacted
+                            and len(st.responded) >= st.contacted):
+                        st.event.set()
         elif isinstance(pkt, PageRequest):
             self._handle_page_request(pkt, src)
         elif isinstance(pkt, Insert):
@@ -354,7 +378,10 @@ class UdpService:
                 or h.distance < pkt.distance_limit]  # udp_service.rs:195-199
         if pkt.two_phase and self.wire == packets.WIRE_DAWN:
             # phase 1: one tiny Summary instead of k full Pages; cache
-            # the promised distances for the PageRequest that follows
+            # the promised distances for the PageRequest that follows.
+            # Clamped at the wire cap (best SUMMARY_MAX by distance) so
+            # a large search_k can't make this reply look malformed.
+            hits = hits[: packets.SUMMARY_MAX]
             self._sweep_summary_cache()
             with self._summary_lock:
                 self._summary_cache[pkt.search_id] = (

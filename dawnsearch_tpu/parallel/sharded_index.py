@@ -384,6 +384,13 @@ class ShardedFlatIndex:
 
         Host (numpy) queries must be unit-normalized once any shard
         crosses the fused-selector gate (see FlatIndex.search)."""
+        d, u, B, k_local, single = self.search_dispatch(queries, k)
+        return self.search_finalize(d, u, k, B, k_local, single)
+
+    def search_dispatch(self, queries: np.ndarray | jax.Array, k: int):
+        """Enqueue the sharded search; the execution wait lives in
+        search_finalize (same locking contract as
+        FlatIndex.search_dispatch)."""
         from dawnsearch_tpu.index.flat import _check_unit_queries
         _check_unit_queries(queries, int(self._counts.min()),
                             self.cap_per_shard, self.dim, self.dtype,
@@ -413,6 +420,11 @@ class ShardedFlatIndex:
             has_exact=self.exact is not None,
             approx=self.dtype != "f32", dp_axis=self.dp_axis,
             fused_sel=fused_sel)
+        return d, u, B, k_local, single
+
+    @staticmethod
+    def search_finalize(d, u, k: int, B: int, k_local: int, single: bool
+                        ) -> tuple[np.ndarray, np.ndarray]:
         d, u = np.asarray(d)[:B], np.asarray(u)[:B]
         if k_local < k:
             d = np.pad(d, ((0, 0), (0, k - k_local)), constant_values=np.inf)

@@ -163,9 +163,13 @@ class SearchService:
 
     def _local_search_batch(self, embeddings: np.ndarray, k: int
                             ) -> list[SearchResult]:
-        with self._lock:
-            return self.provider.search_embeddings(
-                embeddings, k=k, instance_id=self.instance_id)
+        # dispatch_lock: the device lock covers only program enqueue;
+        # execution wait + re-rank + store join run outside it (same
+        # tail contract as the fused text path — UDP-served searches
+        # and more-like-this go through here)
+        return self.provider.search_embeddings(
+            embeddings, k=k, instance_id=self.instance_id,
+            dispatch_lock=self._lock)
 
     def embedding_search(self, embedding: np.ndarray, k: int | None = None,
                          search_remote: bool = True) -> SearchResult:

@@ -394,3 +394,23 @@ def test_fused_path_rejects_nonunit_host_queries(unit_vectors):
     idx2.add(x[:100])
     d2, i2 = idx2.search(2.0 * x[:4], 5)
     assert (i2[:, 0] == np.arange(4)).all()
+
+
+def test_load_explicit_exact_none_drops_shadow(unit_vectors, tmp_path):
+    """Config is policy: an operator flipping index_rerank device->host
+    passes exact=None on reload, and the snapshot's f16 shadow must be
+    DROPPED (round-3 review: it silently held +2 B/dim of HBM and
+    diverged from ShardedFlatIndex.load)."""
+    x = unit_vectors(100)
+    idx = FlatIndex(dtype="i8", capacity=256, segment=256, exact="f16")
+    idx.add(x)
+    p = str(tmp_path / "shadow.npz")
+    idx.save(p)
+    # absent kwarg: snapshot wins (back-compat)
+    idx2 = FlatIndex.load(p)
+    assert idx2.device_rerank
+    # explicit None: config wins
+    idx3 = FlatIndex.load(p, exact=None)
+    assert not idx3.device_rerank and idx3._exact is None
+    d, i = idx3.search(x[:4], 5)
+    assert (i[:, 0] == np.arange(4)).all()

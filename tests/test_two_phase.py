@@ -84,6 +84,22 @@ def _run_mode(tmp_path, two_phase: bool):
         nodes += [s, *rs]
         _fill(rs, body)
         assert s.udp.two_phase == two_phase
+        if two_phase:
+            # phase-1 early wake: with every peer answering on loopback,
+            # the search must not burn both full deadlines (round-3
+            # review: it used to sleep the whole phase-1 window)
+            import time
+            t0 = time.perf_counter()
+            res = s.service.text_search("doc 0-1\n" + body
+                                        + " variant 0 1", k=20)
+            dt = time.perf_counter() - t0
+            assert any(p.url == "https://r0.example/1" for p in res.pages)
+            assert dt < 2 * s.cfg.search_deadline_ms / 1000.0, dt
+            # search_k above the wire cap still round-trips (summary
+            # clamped, PageRequest chunked at SUMMARY_MAX)
+            res = s.service.text_search("doc 2-4\n" + body
+                                        + " variant 2 4", k=80)
+            assert any(p.url == "https://r2.example/4" for p in res.pages)
         return _reply_bytes_for_search(
             s, "doc 1-3\n" + body + " variant 1 3")
     finally:
