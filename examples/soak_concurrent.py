@@ -42,7 +42,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_stack(prefill: int, max_pages: int):
+def build_stack(prefill: int, max_pages: int, device_rerank: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -70,8 +70,15 @@ def build_stack(prefill: int, max_pages: int):
     enc = SentenceEncoder(params, best_tokenizer(vocab),
                           cfg=BertConfig(dtype=jnp.bfloat16))
     batcher = EmbeddingBatcher(enc.encode)
+    factory = None
+    if device_rerank:
+        # the f16-shadow tier (config index_rerank="device"): candidates
+        # re-rank on device inside the fused program instead of a host
+        # f32 pass — a second soak operating point for the tail story
+        from dawnsearch_tpu.index.flat import FlatIndex
+        factory = lambda: FlatIndex(dim=384, dtype="i8", exact="f16")
     provider = SearchProvider(data_dir=None, verify_on_load=False,
-                              max_pages=max_pages)
+                              max_pages=max_pages, index_factory=factory)
     service = SearchService(provider, batcher)
 
     # Prefill the index + store to serving scale so queries scan a
@@ -123,6 +130,9 @@ def main() -> None:
     ap.add_argument("--rate", type=float, default=0.0,
                     help="ingest rate limit, pages/s (0 = unlimited)")
     ap.add_argument("--port", type=int, default=8931)
+    ap.add_argument("--device-rerank", action="store_true",
+                    help="f16-shadow on-device re-rank tier "
+                         "(config index_rerank='device')")
     args = ap.parse_args()
 
     from dawnsearch_tpu.ingest.extraction_service import (
@@ -130,7 +140,8 @@ def main() -> None:
     from dawnsearch_tpu.serving.http_service import start_http_service
 
     enc, batcher, provider, service, body = build_stack(
-        args.prefill, max_pages=args.prefill + args.pages + 1024)
+        args.prefill, max_pages=args.prefill + args.pages + 1024,
+        device_rerank=args.device_rerank)
 
     td = tempfile.TemporaryDirectory()
     warc = f"{td.name}/soak.warc.gz"
@@ -141,8 +152,9 @@ def main() -> None:
     # programs, and a ~2 min tunnel cold-compile inside the measurement
     # window would poison p99 with a one-off that steady-state serving
     # (doubling growth, O(log N) compiles per index lifetime) amortizes.
-    provider.index._grow_to(
-        args.prefill + args.pages + 2 * args.batch + 4096)
+    target_cap = args.prefill + args.pages + 2 * args.batch + 4096
+    if provider.index.capacity < target_cap:
+        provider.index._grow_to(target_cap)
 
     # warm the serving + ingest programs (compile outside the window)
     log("warmup: compiling query + ingest programs")
@@ -237,6 +249,7 @@ def main() -> None:
         "ingest_batch": args.batch,
         "ingest_rate_limit": args.rate,
         "threads": args.threads,
+        "rerank": "device_f16" if args.device_rerank else "host_f32",
     }
     snap = METRICS.snapshot()
     for key in ("fused_query_dispatch", "fused_ingest_dispatch",
