@@ -45,6 +45,14 @@ def main(argv=None) -> int:
                          help="bulk-load .npz sidecars into the data dir "
                               "instead of embedding WARCs")
     sidecar.add_argument("--config", default="DawnSearch.toml")
+    mig = sub.add_parser(
+        "migrate",
+        help="compact a reference dawnsearch.sqlite (or a gappy "
+             "pages.sqlite) into a fresh pages.sqlite with contiguous "
+             "ids (doc/migration.md)")
+    mig.add_argument("--data-dir", default=None,
+                     help="defaults to the config's data_dir")
+    mig.add_argument("--config", default="DawnSearch.toml")
     evalq = sub.add_parser(
         "eval-quality",
         help="weights-drop quality gate: HF parity + retrieval gates "
@@ -67,6 +75,15 @@ def main(argv=None) -> int:
         _sys.argv = ["eval_quality.py", args.model_dir] + (
             ["--allow-random"] if args.allow_random else [])
         return mod.main()
+
+    if args.command == "migrate":
+        import json as _json
+
+        from dawnsearch_tpu.config import Config as _Config
+        from dawnsearch_tpu.index.migrate import migrate_data_dir
+        data_dir = args.data_dir or _Config.load(args.config).data_dir
+        print(_json.dumps(migrate_data_dir(data_dir)))
+        return 0
 
     if args.command == "sidecar":
         from dawnsearch_tpu.config import Config as _Config

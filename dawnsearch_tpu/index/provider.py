@@ -31,6 +31,11 @@ log = service_logger("SearchProvider")
 
 INDEX_FILE = "index.dawn.npz"  # reference: index.usearch
 DB_FILE = "pages.sqlite"
+# The reference node's store (search_provider.rs:81). Same schema
+# modulo column affinity, so a node pointed at a reference data_dir
+# adopts it in place and rebuilds the device index from it — the
+# switching path for existing reference deployments (doc/migration.md).
+REFERENCE_DB_FILE = "dawnsearch.sqlite"
 
 
 @dataclasses.dataclass
@@ -82,7 +87,16 @@ class SearchProvider:
         # exact; only candidates the i8 scan missed entirely stay missed.
         # 0 disables.
         self.rerank = rerank
-        db_path = ":memory:" if data_dir is None else os.path.join(data_dir, DB_FILE)
+        if data_dir is None:
+            db_path = ":memory:"
+        else:
+            db_path = os.path.join(data_dir, DB_FILE)
+            ref_db = os.path.join(data_dir, REFERENCE_DB_FILE)
+            if not os.path.exists(db_path) and os.path.exists(ref_db):
+                log.info("adopting reference store %s (the device index "
+                         "rebuilds from it; index.usearch is ignored)",
+                         ref_db)
+                db_path = ref_db
         self.store = PageStore(db_path, dim=dim)
         if index_factory is None:
             def index_factory():
@@ -126,10 +140,19 @@ class SearchProvider:
         """Rebuild device index from SQLite (search_provider.rs:127-153)."""
         t0 = time.perf_counter()
         n = 0
-        expected = self.store.max_id() + 1
+        expected = self.store.max_id()  # ids are 1-based and contiguous
         for ids, embs in self.store.iter_embeddings():
             # Contract: device row r = insertion order (0-based); sqlite
             # rowids are the same order 1-based, so store_id = row_id + 1.
+            # An adopted store with id gaps would silently break every
+            # join downstream — refuse loudly and point at the fix.
+            if len(ids) and (ids[0] != n + 1 or ids[-1] != n + len(ids)):
+                raise ValueError(
+                    f"store ids are not contiguous from 1 (got "
+                    f"{ids[0]}..{ids[-1]} where {n + 1}.."
+                    f"{n + len(ids)} was expected); run "
+                    "`python -m dawnsearch_tpu migrate --data-dir "
+                    f"{self.data_dir}` to compact the store")
             self.index.add(embs)
             n += len(ids)
         if n:

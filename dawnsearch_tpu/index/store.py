@@ -60,9 +60,21 @@ class PageStore:
             " text TEXT NOT NULL,"
             " embedding BLOB NOT NULL)"
         )
-        self.conn.execute(
-            "CREATE UNIQUE INDEX IF NOT EXISTS page_url ON page(url)"
-        )
+        try:
+            self.conn.execute(
+                "CREATE UNIQUE INDEX IF NOT EXISTS page_url ON page(url)"
+            )
+            self._unique_url = True
+        except sqlite3.IntegrityError:
+            # An adopted reference store (dawnsearch.sqlite) can hold
+            # duplicate URLs: its dup guard is check-then-insert with a
+            # non-unique index (search_provider.rs:96-99, 254-263). Keep
+            # lookups indexed and fall back to the same explicit check
+            # in insert().
+            self.conn.execute(
+                "CREATE INDEX IF NOT EXISTS page_url_scan ON page(url)"
+            )
+            self._unique_url = False
         self.conn.commit()
 
     def __len__(self) -> int:
@@ -89,6 +101,8 @@ class PageStore:
         """Insert; returns new rowid or None on duplicate URL."""
         blob = embedding_to_bytes(embedding)  # validates normalization
         with self._lock:
+            if not self._unique_url and self.has_url(url):
+                return None
             try:
                 cur = self.conn.execute(
                     "INSERT INTO page (url, title, text, embedding) "
@@ -136,6 +150,9 @@ class PageStore:
         with self._lock:
             try:
                 for url, title, text, blob in encoded:
+                    if not self._unique_url and self.has_url(url):
+                        ids.append(None)
+                        continue
                     try:
                         cur = self.conn.execute(
                             "INSERT INTO page (url, title, text, embedding) "
