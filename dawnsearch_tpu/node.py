@@ -183,7 +183,8 @@ class DawnNode:
         if self.cfg.web:
             from dawnsearch_tpu.serving.http_service import start_http_service
             self.http_server, self._http_thread = start_http_service(
-                self.service, self.cfg.web_listen_address)
+                self.service, self.cfg.web_listen_address,
+                accept_insert=self.cfg.accept_insert)
         if self.udp is not None:
             self.udp.start()
         if self.cfg.index_cc:

@@ -41,9 +41,20 @@ def _result_json(result) -> dict:
     }
 
 
+MAX_INSERT_BYTES = 16 << 20  # bound /api/insert bodies (memory DoS)
+
+
 class _Handler(BaseHTTPRequestHandler):
     service: SearchService  # set by make_server
+    accept_remote_insert = False  # set by make_server (cfg.accept_insert)
     protocol_version = "HTTP/1.1"
+    # Idle keep-alive connections must not pin handler threads forever
+    # (ThreadingHTTPServer spawns one per connection; a client that
+    # connects and goes silent would otherwise hold it indefinitely)
+    timeout = 60
+
+    def _is_local(self) -> bool:
+        return self.client_address[0] in ("127.0.0.1", "::1")
 
     def log_message(self, fmt, *args):  # route through our logger
         log.debug("%s " + fmt, self.client_address[0], *args)
@@ -103,7 +114,7 @@ class _Handler(BaseHTTPRequestHandler):
             # Debug endpoint: loopback-only, and the trace directory is
             # server-chosen (under data_dir) — a remote caller must not
             # pick filesystem paths or tie up handler threads.
-            if self.client_address[0] not in ("127.0.0.1", "::1"):
+            if not self._is_local():
                 self._send_json(403, {"error": "profile is loopback-only"})
                 return
             seconds = min(float(qs.get("seconds", ["2"])[0]), 30.0)
@@ -148,20 +159,46 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         """POST /api/insert {"pages": [...]}; POST /api/save (on-demand
-        index snapshot, reference SearchMsg::Save, search_service.rs:190)."""
+        index snapshot, reference SearchMsg::Save, search_service.rs:190).
+
+        Write surfaces are gated like the reference's: remote inserts
+        require `accept_insert` (the UDP tier's gate, config.rs:60 /
+        udp_service.rs:376-394) and save is an admin op, loopback-only.
+        Bodies are size-bounded — the recv path must survive hostile
+        input (same bar as net/packets.decode)."""
         try:
             path = urlsplit(self.path).path
             if path == "/api/save":
+                if not self._is_local():
+                    self._send_json(403, {"error": "save is loopback-only"})
+                    return
                 self.service.save()
                 self._send_json(200, {"saved": True})
                 return
             if path != "/api/insert":
                 self._send_json(404, {"error": "not found"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(length) or b"{}")
-            pages = [(p["url"], p.get("title", ""), p.get("text", ""))
-                     for p in body.get("pages", [])]
+            if not (self._is_local() or self.accept_remote_insert):
+                self._send_json(
+                    403, {"error": "node does not accept_insert"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
+            if not 0 <= length <= MAX_INSERT_BYTES:
+                self._send_json(413, {"error": "body too large"})
+                return
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+                pages = [(str(p["url"]), str(p.get("title", "")),
+                          str(p.get("text", "")))
+                         for p in body.get("pages", [])]
+            except (json.JSONDecodeError, UnicodeDecodeError, KeyError,
+                    TypeError, AttributeError) as e:
+                self._send_json(400, {"error": f"bad request: {e}"})
+                return
             ids = self.service.insert_pages(pages)
             self._send_json(200, {"inserted": [i for i in ids if i is not None],
                                   "skipped": sum(1 for i in ids if i is None)})
@@ -170,20 +207,23 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(500, {"error": str(e)})
 
 
-def make_server(service: SearchService, listen: str = "0.0.0.0:8080"
-                ) -> ThreadingHTTPServer:
+def make_server(service: SearchService, listen: str = "0.0.0.0:8080",
+                accept_insert: bool = False) -> ThreadingHTTPServer:
     host, _, port = listen.rpartition(":")
-    handler = type("Handler", (_Handler,), {"service": service})
+    handler = type("Handler", (_Handler,),
+                   {"service": service, "accept_remote_insert": accept_insert})
     server = ThreadingHTTPServer((host or "0.0.0.0", int(port)), handler)
     return server
 
 
-def start_http_service(service: SearchService, listen: str = "0.0.0.0:8080"
+def start_http_service(service: SearchService, listen: str = "0.0.0.0:8080",
+                       accept_insert: bool = False
                        ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Serve in a daemon thread (reference spawns a tokio task,
     dawnsearch.rs:98-103). Returns (server, thread); server.shutdown()
-    stops it."""
-    server = make_server(service, listen)
+    stops it. `accept_insert` opens /api/insert to non-loopback callers
+    (the same gate the UDP tier applies to replicated inserts)."""
+    server = make_server(service, listen, accept_insert=accept_insert)
     thread = threading.Thread(target=server.serve_forever, daemon=True,
                               name="http-service")
     thread.start()

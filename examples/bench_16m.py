@@ -36,7 +36,10 @@ from dawnsearch_tpu.ops.scan_select import search_select  # noqa: E402
 
 N = int(os.environ.get("BENCH_16M_ROWS", 1 << 24))  # default 16,777,216
 K = 10
-BATCH = 1024
+# At 24M+ rows the (BATCH, N/128) candidate array joins the codes as a
+# first-order HBM tenant (2 GB at 32M/1024); BENCH_16M_BATCH=256 keeps
+# the 32M tier inside the 15.75 GB envelope.
+BATCH = int(os.environ.get("BENCH_16M_BATCH", 1024))
 NQ = 64
 
 

@@ -4,6 +4,7 @@ import hashlib
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -275,3 +276,86 @@ def test_http_profile_endpoint(http, tmp_path):
         assert data["trace_dir"].endswith("/profile")
     else:
         assert "error" in data
+
+
+def post(url: str, data: bytes, headers=None):
+    req = urllib.request.Request(url, data=data,
+                                 headers=headers or {}, method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_write_surfaces_gated_for_remote_callers(http):
+    """/api/insert requires accept_insert for non-loopback callers (the
+    UDP tier's gate, udp_service.rs:376-394); /api/save is loopback-only.
+    Source faked via _is_local — every test socket is loopback."""
+    base, _ = http
+    import dawnsearch_tpu.serving.http_service as hs
+    orig = hs._Handler._is_local
+    hs._Handler._is_local = lambda self: False
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(base + "/api/insert",
+                 json.dumps({"pages": [{"url": "https://r/1"}]}).encode())
+        assert e.value.code == 403
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(base + "/api/save", b"")
+        assert e.value.code == 403
+        # reads stay open to remote callers
+        status, _ = get(base + "/api/stats")
+        assert status == 200
+    finally:
+        hs._Handler._is_local = orig
+
+
+def test_http_remote_insert_allowed_with_accept_insert(service):
+    server, thread = start_http_service(service, "127.0.0.1:0",
+                                        accept_insert=True)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    import dawnsearch_tpu.serving.http_service as hs
+    orig = hs._Handler._is_local
+    hs._Handler._is_local = lambda self: False
+    try:
+        status, data = post(
+            base + "/api/insert",
+            json.dumps({"pages": [{"url": "https://r/2", "title": "t",
+                                   "text": "x"}]}).encode())
+        assert status == 200 and len(data["inserted"]) == 1
+    finally:
+        hs._Handler._is_local = orig
+        server.shutdown()
+
+
+def test_http_insert_hostile_bodies(http):
+    base, _ = http
+    # oversized declared body -> 413 before any read
+    req = urllib.request.Request(
+        base + "/api/insert", data=b"",
+        headers={"Content-Length": str((16 << 20) + 1)}, method="POST")
+    # urllib would block sending a body it doesn't have; do it raw
+    import http.client as hc
+    host, port = base[len("http://"):].split(":")
+    conn = hc.HTTPConnection(host, int(port), timeout=10)
+    conn.putrequest("POST", "/api/insert")
+    conn.putheader("Content-Length", str((16 << 20) + 1))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
+
+    # malformed JSON -> 400, not 500, and the server survives
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(base + "/api/insert", b"{not json")
+    assert e.value.code == 400
+    # pages entries missing "url" -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(base + "/api/insert",
+             json.dumps({"pages": [{"title": "no url"}]}).encode())
+    assert e.value.code == 400
+    # non-dict pages entries -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(base + "/api/insert", json.dumps({"pages": [42]}).encode())
+    assert e.value.code == 400
+    # server still serves after the abuse
+    status, _ = get(base + "/api/stats")
+    assert status == 200
