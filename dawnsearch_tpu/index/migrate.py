@@ -52,11 +52,15 @@ def migrate_store(src_db: str, dst_db: str, dim: int = 384,
         copied = skipped_bad = skipped_dup = 0
         cur = src.execute(
             "SELECT id, url, title, text, embedding FROM page ORDER BY id")
-        with dst.transaction():
-            while True:
-                rows = cur.fetchmany(batch)
-                if not rows:
-                    break
+        while True:
+            rows = cur.fetchmany(batch)
+            if not rows:
+                break
+            # One transaction per batch, not per store: the destination
+            # is fresh and private, so partial progress is harmless
+            # (callers write to a staging file), and a store-sized
+            # transaction would balloon the WAL to ~source size.
+            with dst.transaction():
                 for row_id, url, title, text, blob in rows:
                     try:
                         emb = bytes_to_embedding(blob, dim)
@@ -89,22 +93,43 @@ def migrate_data_dir(data_dir: str, dim: int = 384) -> dict:
 
     Prefers `dawnsearch.sqlite` as the source; with only a
     `pages.sqlite` present (e.g. one that fails the contiguity check),
-    compacts it via a `pages.sqlite.migrating` staging file and an
-    atomic rename. `index.usearch` / stale snapshots are left in place
-    — they are never read and a fresh snapshot lands beside them on the
-    first save.
+    compacts it in place, keeping the original at
+    `pages.sqlite.pre-migrate`. Either way the copy lands in a
+    `pages.sqlite.migrating` staging file first and is moved into place
+    by one atomic rename. `index.usearch` / stale snapshots are left in
+    place — they are never read and a fresh snapshot lands beside them
+    on the first save.
     """
     ref = os.path.join(data_dir, REFERENCE_DB_FILE)
     ours = os.path.join(data_dir, DB_FILE)
+    # Both branches copy into a staging file and move it into place with
+    # ONE atomic rename, so no failure point leaves a partial (or empty)
+    # pages.sqlite shadowing the source data: an interrupted run leaves
+    # only a stale staging file, cleaned up on the next attempt.
+    staging = ours + ".migrating"
+    for leftover in (staging, staging + "-wal", staging + "-shm"):
+        if os.path.exists(leftover):
+            os.remove(leftover)  # a previous attempt died mid-copy
     if os.path.exists(ref) and not os.path.exists(ours):
-        return migrate_store(ref, ours, dim=dim)
+        summary = migrate_store(ref, staging, dim=dim)
+        os.replace(staging, ours)
+        log.info("adopted %s as %s", ref, ours)
+        return summary
     if os.path.exists(ours):
-        staging = ours + ".migrating"
-        if os.path.exists(staging):
-            os.remove(staging)  # a previous attempt died mid-copy
-        summary = migrate_store(ours, staging, dim=dim)
         backup = ours + ".pre-migrate"
-        os.replace(ours, backup)
+        if os.path.exists(backup):
+            # Never clobber an earlier backup — it may be the only copy
+            # of rows a previous migration skipped. Checked before the
+            # copy so a refusal costs nothing.
+            raise FileExistsError(
+                f"{backup} already exists; move it aside before "
+                "migrating again")
+        summary = migrate_store(ours, staging, dim=dim)
+        try:
+            os.link(ours, backup)  # keeps pages.sqlite in place: no
+            # window where the data_dir has no store at all
+        except OSError:  # filesystem without hardlinks
+            os.replace(ours, backup)
         os.replace(staging, ours)
         summary["backup"] = backup
         return summary

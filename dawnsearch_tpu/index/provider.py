@@ -98,6 +98,19 @@ class SearchProvider:
                          ref_db)
                 db_path = ref_db
         self.store = PageStore(db_path, dim=dim)
+        try:
+            self._init_index(index_factory, data_dir, dim, index_dtype,
+                             max_pages, verify_on_load)
+        except BaseException:
+            # The constructor raising (contiguity refusal, cap guard,
+            # corrupt store) must not strand the just-opened SQLite
+            # connection and its WAL sidecars — retry loops would
+            # accumulate handles on the adopted file.
+            self.store.close()
+            raise
+
+    def _init_index(self, index_factory, data_dir, dim, index_dtype,
+                    max_pages, verify_on_load) -> None:
         if index_factory is None:
             def index_factory():
                 return FlatIndex(dim=dim, dtype=index_dtype,
@@ -141,6 +154,15 @@ class SearchProvider:
         t0 = time.perf_counter()
         n = 0
         expected = self.store.max_id()  # ids are 1-based and contiguous
+        if expected > self.max_pages:
+            # Without this guard the rebuild dies mid-fill on the
+            # index's own "index full" ValueError with no hint that the
+            # cap is configuration, not corruption — exactly on the
+            # large adopted deployments the migration path targets.
+            raise ValueError(
+                f"store holds {expected} pages but max_pages="
+                f"{self.max_pages}; raise max_pages in the config to "
+                "serve this store")
         for ids, embs in self.store.iter_embeddings():
             # Contract: device row r = insertion order (0-based); sqlite
             # rowids are the same order 1-based, so store_id = row_id + 1.

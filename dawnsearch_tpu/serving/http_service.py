@@ -65,6 +65,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(data)))
+        if self.close_connection:
+            # close_connection alone closes the socket server-side;
+            # say so in the response too (keep-alive clients otherwise
+            # discover the closure only on their next request)
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(data)
 
@@ -165,29 +170,44 @@ class _Handler(BaseHTTPRequestHandler):
         require `accept_insert` (the UDP tier's gate, config.rs:60 /
         udp_service.rs:376-394) and save is an admin op, loopback-only.
         Bodies are size-bounded — the recv path must survive hostile
-        input (same bar as net/packets.decode)."""
+        input (same bar as net/packets.decode).
+
+        Every response sent without consuming the request body must
+        close the connection: on HTTP/1.1 keep-alive the unread body
+        bytes would otherwise be parsed as the next request line,
+        desyncing the client."""
         try:
             path = urlsplit(self.path).path
             if path == "/api/save":
                 if not self._is_local():
+                    self.close_connection = True
                     self._send_json(403, {"error": "save is loopback-only"})
                     return
+                self.close_connection = True  # body (if any) unread
                 self.service.save()
                 self._send_json(200, {"saved": True})
                 return
             if path != "/api/insert":
+                self.close_connection = True
                 self._send_json(404, {"error": "not found"})
                 return
             if not (self._is_local() or self.accept_remote_insert):
+                self.close_connection = True
                 self._send_json(
                     403, {"error": "node does not accept_insert"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except ValueError:
+                self.close_connection = True
                 self._send_json(400, {"error": "bad Content-Length"})
                 return
-            if not 0 <= length <= MAX_INSERT_BYTES:
+            if length < 0:
+                self.close_connection = True
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
+            if length > MAX_INSERT_BYTES:
+                self.close_connection = True
                 self._send_json(413, {"error": "body too large"})
                 return
             try:

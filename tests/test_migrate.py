@@ -169,6 +169,84 @@ def test_migrate_refuses_overwrite(tmp_path):
                       str(tmp_path / "dawnsearch.sqlite"))
 
 
+def test_interrupted_migration_leaves_no_partial_store(tmp_path,
+                                                       monkeypatch):
+    """A migrate run that dies mid-copy must not leave a partial (or
+    empty) pages.sqlite shadowing the reference data — the copy lands
+    in a staging file and only an atomic rename publishes it."""
+    rows, _ = unit_rows(6)
+    make_reference_db(str(tmp_path / "dawnsearch.sqlite"), rows)
+
+    from dawnsearch_tpu.index.store import PageStore
+    real_insert = PageStore.insert
+    calls = {"n": 0}
+
+    def dying_insert(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("disk full")
+        return real_insert(self, *a, **kw)
+
+    monkeypatch.setattr(PageStore, "insert", dying_insert)
+    with pytest.raises(RuntimeError, match="disk full"):
+        migrate_data_dir(str(tmp_path))
+    monkeypatch.setattr(PageStore, "insert", real_insert)
+
+    # the die left only staging debris; adoption/migration still sees
+    # the untouched reference store
+    assert not (tmp_path / "pages.sqlite").exists()
+    summary = migrate_data_dir(str(tmp_path))
+    assert summary["copied"] == 6
+    prov = SearchProvider(data_dir=str(tmp_path), max_pages=100)
+    assert len(prov.index) == 6
+    prov.shutdown()
+
+
+def test_second_compaction_refuses_to_clobber_backup(tmp_path):
+    """pages.sqlite.pre-migrate may be the only copy of rows a previous
+    migration skipped — a re-run must refuse, not overwrite it."""
+    rows, _ = unit_rows(4)
+    del rows[1]
+    make_reference_db(str(tmp_path / "pages.sqlite"), rows)
+    summary = migrate_data_dir(str(tmp_path))
+    assert os.path.exists(summary["backup"])
+    with pytest.raises(FileExistsError, match="pre-migrate"):
+        migrate_data_dir(str(tmp_path))
+    # the refusal cost nothing: store and backup both intact
+    prov = SearchProvider(data_dir=str(tmp_path), max_pages=100)
+    assert len(prov.index) == 3
+    prov.shutdown()
+
+
+def test_adopting_oversized_store_names_the_cap(tmp_path):
+    """A reference store larger than max_pages must fail the rebuild
+    with the remedy (raise max_pages), not a bare 'index full'."""
+    rows, _ = unit_rows(8)
+    make_reference_db(str(tmp_path / "dawnsearch.sqlite"), rows)
+    with pytest.raises(ValueError, match="max_pages"):
+        SearchProvider(data_dir=str(tmp_path), max_pages=4)
+    # ...and the refusal closed the store: the adopted file is free to
+    # be migrated/moved immediately (no lingering connection)
+    prov = SearchProvider(data_dir=str(tmp_path), max_pages=100)
+    assert len(prov.index) == 8
+    prov.shutdown()
+
+
+def test_constructor_raise_closes_store(tmp_path, monkeypatch):
+    rows, _ = unit_rows(5)
+    del rows[2]  # gappy -> contiguity refusal
+    make_reference_db(str(tmp_path / "dawnsearch.sqlite"), rows)
+    from dawnsearch_tpu.index.store import PageStore
+    closed = []
+    real_close = PageStore.close
+    monkeypatch.setattr(PageStore, "close",
+                        lambda self: (closed.append(True),
+                                      real_close(self))[1])
+    with pytest.raises(ValueError, match="migrate"):
+        SearchProvider(data_dir=str(tmp_path), max_pages=100)
+    assert closed
+
+
 def test_migrate_cli(tmp_path, capsys):
     rows, _ = unit_rows(3)
     make_reference_db(str(tmp_path / "dawnsearch.sqlite"), rows)

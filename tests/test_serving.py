@@ -359,3 +359,49 @@ def test_http_insert_hostile_bodies(http):
     # server still serves after the abuse
     status, _ = get(base + "/api/stats")
     assert status == 200
+
+
+def test_http_early_errors_close_keepalive_connection(http):
+    """Responses sent without consuming the POST body must carry
+    Connection: close — otherwise the unread body bytes desync the
+    next request on an HTTP/1.1 keep-alive connection."""
+    import http.client as hc
+    base, _ = http
+    host, port = base[len("http://"):].split(":")
+
+    # negative Content-Length is a malformed header -> 400, not 413
+    conn = hc.HTTPConnection(host, int(port), timeout=10)
+    conn.putrequest("POST", "/api/insert")
+    conn.putheader("Content-Length", "-5")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert resp.getheader("Connection") == "close"
+    conn.close()
+
+    # oversized POST WITH the body on the wire: the 413 must close the
+    # connection or the body bytes get parsed as the next request line
+    conn = hc.HTTPConnection(host, int(port), timeout=10)
+    body = b"x" * ((16 << 20) + 1)
+    conn.putrequest("POST", "/api/insert")
+    conn.putheader("Content-Length", str(len(body)))
+    conn.endheaders()
+    try:
+        conn.send(body)
+    except (BrokenPipeError, ConnectionResetError):
+        pass  # server may close before the full body is accepted
+    resp = conn.getresponse()
+    assert resp.status == 413
+    assert resp.getheader("Connection") == "close"
+    conn.close()
+
+    # unknown POST path with a body: same contract
+    conn = hc.HTTPConnection(host, int(port), timeout=10)
+    conn.request("POST", "/api/nope", body=b'{"pages": []}')
+    resp = conn.getresponse()
+    assert resp.status == 404
+    assert resp.getheader("Connection") == "close"
+    conn.close()
+
+    status, _ = get(base + "/api/stats")
+    assert status == 200
