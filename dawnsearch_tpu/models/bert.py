@@ -60,9 +60,14 @@ class BertConfig:
     # QKV + attention + out-proj + LN + FFN + LN in ONE pass, one HBM
     # round trip per layer — measured 24.1k -> 31.3k sentences/s over
     # the per-op kernels at B=2048 S=128 on v5e and faster at every
-    # probed shape (doc/performance.md). "ops" = per-op kernels per
-    # attn_impl/ffn_impl above (also the automatic fallback when
-    # head_dim/hidden don't fit the packed-lane envelope).
+    # probed shape (doc/performance.md). "layer_i8" = the same kernel
+    # with the dense projections on the s8 MXU path (W8A8 dynamic
+    # quantization) — measured +21%/+28% at BERT-base/large shapes but
+    # a 3% LOSS at MiniLM's thin K=384, so it is opt-in for wider
+    # models only (doc/performance.md "i8 projections"). "ops" =
+    # per-op kernels per attn_impl/ffn_impl above (also the automatic
+    # fallback when head_dim/hidden don't fit the packed-lane
+    # envelope).
     layer_impl: str = "layer"
 
     @property
@@ -149,11 +154,14 @@ def _layer_fwd(
     # an explicit attn_impl/ffn_impl="xla" override routes around ALL
     # Pallas kernels (e.g. to sidestep a platform Mosaic bug or A/B) —
     # the whole-layer kernel must not silently ignore it
-    if (cfg.layer_impl == "layer" and cfg.attn_impl != "xla"
+    if (cfg.layer_impl in ("layer", "layer_i8") and cfg.attn_impl != "xla"
             and cfg.ffn_impl != "xla" and 128 % hd == 0 and H % 128 == 0):
-        from dawnsearch_tpu.ops.layer import fused_bert_layer
+        from dawnsearch_tpu.ops.layer import (fused_bert_layer,
+                                              fused_bert_layer_i8)
+        kernel = (fused_bert_layer_i8 if cfg.layer_impl == "layer_i8"
+                  else fused_bert_layer)
         bias2d = None if mask_bias is None else mask_bias[:, 0, 0, :]
-        return fused_bert_layer(
+        return kernel(
             x.astype(cfg.dtype), bias2d,
             layer["qkv_w"], layer["qkv_b"],
             layer["attn_out_w"], layer["attn_out_b"],

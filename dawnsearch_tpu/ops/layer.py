@@ -147,6 +147,69 @@ def _layer_kernel(x_ref, bias_ref, qkv_w_ref, qkv_b_ref, ao_w_ref,
     o_ref[...] = y.reshape(TB, S, H).astype(o_ref.dtype)
 
 
+def _mm_i8(x32: jax.Array, wq_ref, ws_ref) -> jax.Array:
+    """(M, K) f32 @ per-column-quantized i8 weights -> (M, N) f32.
+
+    Dynamic per-row symmetric quantization of the activations (the
+    selector kernel's proven recipe, ops/scan_select.py:152-157, moved
+    in-kernel): row scale = absmax/127, s8xs8->s32 on the MXU (394 TOPS
+    nominal — 2x the bf16 rate), both scales folded back in f32. Row
+    quantization error is ~0.4% of row absmax; measured end-to-end
+    effect is in fused_bert_layer_i8's docstring."""
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-6)
+    xq = jnp.round(x32 * (127.0 / s)).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (s * (1.0 / 127.0)) * \
+        ws_ref[...].astype(jnp.float32)
+
+
+def _layer_kernel_i8(x_ref, bias_ref, qkv_wq_ref, qkv_ws_ref, qkv_b_ref,
+                     ao_wq_ref, ao_ws_ref, ao_b_ref, aln_s_ref, aln_b_ref,
+                     w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref,
+                     fln_s_ref, fln_b_ref, o_ref, *,
+                     nh: int, hd: int, eps: float):
+    """_layer_kernel with the four projections on the s8 MXU path.
+
+    Attention (softmax numerics) stays in the compute dtype; residuals,
+    LayerNorm and gelu stay f32 — in fact MORE of the datapath is f32
+    than in the bf16 kernel because the i8 matmuls take f32 in and give
+    f32 out, so the bf16 round trips between projections disappear."""
+    TB, S, H = x_ref.shape
+    x = x_ref[...]                      # (TB, S, H) compute dtype
+    dt = x.dtype
+    x32 = x.reshape(TB * S, H).astype(jnp.float32)
+
+    qkv = _mm_i8(x32, qkv_wq_ref, qkv_ws_ref) + \
+        qkv_b_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(dt)
+    q = qkv[:, :H].reshape(TB, S, H)
+    k = qkv[:, H: 2 * H].reshape(TB, S, H)
+    v = qkv[:, 2 * H:].reshape(TB, S, H)
+
+    ctx = _packed_attention_block(
+        q, k, v, bias_ref[...], nh=nh, hd=hd,
+        scale=1.0 / (hd ** 0.5)).reshape(TB * S, H)  # f32
+
+    att = _mm_i8(ctx, ao_wq_ref, ao_ws_ref) + \
+        ao_b_ref[...].astype(jnp.float32) + x32
+    x1 = _ln(att, aln_s_ref, aln_b_ref, eps)         # (TB*S, H) f32
+
+    h = _mm_i8(x1, w1q_ref, w1s_ref) + b1_ref[...].astype(jnp.float32)
+    h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))    # f32
+    y = _mm_i8(h, w2q_ref, w2s_ref) + b2_ref[...].astype(jnp.float32) + x1
+    y = _ln(y, fln_s_ref, fln_b_ref, eps)
+    o_ref[...] = y.reshape(TB, S, H).astype(o_ref.dtype)
+
+
+def _quant_cols(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(K, N) f32 weights -> (i8 codes, (1, N) f32 per-column scales)."""
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                    1e-12) / 127.0
+    return jnp.round(w / s).astype(jnp.int8), s.astype(jnp.float32)
+
+
 def _tile_rows(B: int, S: int, H: int, I: int, hd: int) -> int:
     """Sequences per grid step under a VMEM activation budget.
 
@@ -209,3 +272,80 @@ def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
       qkv_w.astype(dt), qkv_b[None, :], ao_w.astype(dt), ao_b[None, :],
       aln_s[None, :], aln_b[None, :], w1.astype(dt), b1[None, :],
       w2.astype(dt), b2[None, :], fln_s[None, :], fln_b[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "eps"))
+def fused_bert_layer_i8(x: jax.Array, bias: jax.Array | None, qkv_w,
+                        qkv_b, ao_w, ao_b, aln_s, aln_b, w1, b1, w2, b2,
+                        fln_s, fln_b, *, nh: int,
+                        eps: float = 1e-12) -> jax.Array:
+    """fused_bert_layer with W8A8 projections on the s8 MXU path.
+
+    The roofline measurement (examples/bench_mm_roofline.py) pinned the
+    bf16 kernel at 80-94% of the chip's SUSTAINED bf16 matmul rate —
+    the remaining throughput lever is the i8 MXU rate (2x nominal), not
+    scheduling. Here the four dense projections run s8xs8->s32: weights
+    are quantized per-column at trace time (once per layer per forward,
+    O(weights) — negligible), activations per-row inside the kernel.
+    Attention/softmax, residuals, LayerNorm and gelu keep the bf16
+    kernel's f32 numerics.
+
+    Opt-in via BertConfig(layer_impl="layer_i8"), and shape-dependent —
+    measured on v5e at S=128 (doc/performance.md "i8 projections"):
+
+        MiniLM  (H=384)          0.97x — a LOSS; stay on "layer"
+        base    (H=768, I=3072)  1.21x, cos vs bf16 >= 0.99984
+        large   (H=1024, I=4096) 1.28x, cos vs bf16 >= 0.99920
+
+    At MiniLM's thin K=384 the MXU's int8 rate gives back nothing (a
+    fixed-scale diagnostic isolated quantization cost at ~4% and the
+    MXU gain at ~0%), so the flagship default stays bf16; the i8 path
+    is for the wider models this encoder also serves."""
+    B, S, H = x.shape
+    hd = H // nh
+    I = w1.shape[1]
+    assert 128 % hd == 0 and H % 128 == 0
+    if bias is None:
+        bias = jnp.zeros((B, S), jnp.float32)
+    tb = _tile_rows(B, S, H, I, hd)
+    dt = x.dtype
+
+    qkv_wq, qkv_ws = _quant_cols(qkv_w.astype(jnp.float32))
+    ao_wq, ao_ws = _quant_cols(ao_w.astype(jnp.float32))
+    w1q, w1s = _quant_cols(w1.astype(jnp.float32))
+    w2q, w2s = _quant_cols(w2.astype(jnp.float32))
+
+    xspec = pl.BlockSpec((tb, S, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_layer_kernel_i8, nh=nh, hd=hd, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, S, H), dt),
+        grid=(B // tb,),
+        in_specs=[
+            xspec,
+            pl.BlockSpec((tb, 1, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((H, 3 * H)), const((1, 3 * H)), const((1, 3 * H)),
+            const((H, H)), const((1, H)), const((1, H)),
+            const((1, H)), const((1, H)),
+            const((H, I)), const((1, I)), const((1, I)),
+            const((I, H)), const((1, H)), const((1, H)),
+            const((1, H)), const((1, H)),
+        ],
+        out_specs=xspec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, bias[:, None, :].astype(jnp.float32),
+      qkv_wq, qkv_ws, qkv_b[None, :],
+      ao_wq, ao_ws, ao_b[None, :],
+      aln_s[None, :], aln_b[None, :],
+      w1q, w1s, b1[None, :],
+      w2q, w2s, b2[None, :],
+      fln_s[None, :], fln_b[None, :])

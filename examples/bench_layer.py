@@ -46,13 +46,18 @@ def time_encoder(layer_impl: str, B: int, S: int, n_chunks: int = 8,
 
 
 def main() -> None:
+    # pass --i8 to add the W8A8 projection kernel to the A/B
+    # (doc/performance.md "i8 projections": a loss at MiniLM shapes,
+    # +21%/+28% at BERT-base/large)
+    impls = ("ops", "layer", "layer_i8") if "--i8" in sys.argv \
+        else ("ops", "layer")
     # tiny probe first (wedge safety for a brand-new kernel)
-    for impl in ("ops", "layer"):
+    for impl in impls:
         sps = time_encoder(impl, 8, 128, n_chunks=1, reps=1)
-        print(f"probe  B=8 S=128 {impl:5s}: ok ({sps:,.0f}/s)", flush=True)
+        print(f"probe  B=8 S=128 {impl:8s}: ok ({sps:,.0f}/s)", flush=True)
     for B, S in ((2048, 128), (512, 128), (128, 512), (256, 256)):
         row = []
-        for impl in ("ops", "layer"):
+        for impl in impls:
             sps = time_encoder(impl, B, S)
             row.append(f"{impl} {sps:10,.1f}/s")
         print(f"B={B:5d} S={S:4d}: " + "   ".join(row), flush=True)

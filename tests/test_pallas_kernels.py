@@ -105,6 +105,28 @@ def test_fused_layer_matches_xla():
     np.testing.assert_allclose(fused, ref, atol=1e-4)
 
 
+def test_fused_layer_i8_close_to_f32():
+    """W8A8 whole-layer kernel (layer_impl="layer_i8") stays within
+    quantization tolerance of the f32 XLA encoder, masked rows
+    included. Measured on-chip cos >= 0.9992 up to BERT-large shapes
+    (doc/performance.md "i8 projections"); the assert bound is looser
+    because interpret-mode runs this at MiniLM shape only."""
+    params = init_params(jax.random.key(0))
+    r = np.random.default_rng(13)
+    ids = jnp.asarray(r.integers(100, 30000, (8, 32)), jnp.int32)
+    mask = np.ones((8, 32), np.int32)
+    mask[2, 7:] = 0
+    mask = jnp.asarray(mask)
+    ref = np.asarray(encode_batch(
+        params, ids, mask, cfg=BertConfig(attn_impl="xla", ffn_impl="xla")))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        i8 = np.asarray(encode_batch(
+            params, ids, mask,
+            cfg=BertConfig(layer_impl="layer_i8", dtype=dtype)))
+        cos = np.sum(i8 * ref, axis=-1)
+        assert np.all(cos > 0.999), (dtype, cos.min())
+
+
 def test_fused_layer_bf16_close_to_f32():
     """bf16 whole-layer kernel stays within bf16 tolerance of f32 XLA."""
     params = init_params(jax.random.key(0))
