@@ -62,7 +62,10 @@ class Config:
     seq_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512)
     compute_dtype: str = "bf16"  # encoder matmul dtype: "bf16" | "f32"
     attn_impl: str = "fused"  # "fused" (packed Pallas) | "xla"
-    layer_impl: str = "layer"  # "layer" (whole-layer Pallas) | "ops"
+    # "layer" (whole-layer Pallas) | "layer_i8" (W8A8 projections —
+    # +21/+28% at BERT-base/large widths, a LOSS at MiniLM; see
+    # doc/performance.md "i8 projections") | "ops" (per-op kernels)
+    layer_impl: str = "layer"
     pool_impl: str = "xla"  # "xla" | "fused"
     index_capacity: int = 1_000_000  # page cap (search_provider.rs:164-166)
     index_dtype: str = "i8"  # "f32" | "bf16" | "i8"

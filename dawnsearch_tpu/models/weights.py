@@ -140,6 +140,17 @@ def config_from_hf(model_dir: str) -> BertConfig | None:
         return None
     with open(path) as f:
         hf = json.load(f)
+    act = hf.get("hidden_act", "gelu")
+    if act != "gelu":
+        # Every kernel and the XLA fallback compute exact erf-gelu (the
+        # checked HF config for this model family says "gelu"; the
+        # reference notes the same divergence risk, model.rs:31-33).
+        # Running a gelu_new/relu checkpoint through erf-gelu would be
+        # silently wrong numerics — refuse instead.
+        raise ValueError(
+            f"{path}: hidden_act={act!r} is not supported (this encoder "
+            "computes exact erf gelu); re-export the model or use a "
+            "gelu-activation checkpoint")
     return BertConfig(
         vocab_size=hf.get("vocab_size", 30522),
         hidden_size=hf.get("hidden_size", 384),
@@ -163,9 +174,14 @@ def load_params(model_dir: str | None, cfg: BertConfig | None = None,
     if model_dir:
         hf_cfg = config_from_hf(model_dir)
         if hf_cfg is not None:
+            # model_dir/config.json owns the SHAPE fields; the caller's
+            # cfg owns every compute-policy field (dtype + kernel
+            # selection) — dropping any of them here would silently
+            # override the node's configured layer_impl/ffn_impl
             cfg = hf_cfg if cfg is None else dataclasses.replace(
                 hf_cfg, dtype=cfg.dtype, attn_impl=cfg.attn_impl,
-                pool_impl=cfg.pool_impl)
+                ffn_impl=cfg.ffn_impl, pool_impl=cfg.pool_impl,
+                layer_impl=cfg.layer_impl)
     if cfg is None:
         cfg = MINILM_L6
     if model_dir:

@@ -181,6 +181,93 @@ def test_loader_reports_pretrained(model_dir):
     assert set(params.keys()) == {"embeddings", "layers"}
 
 
+def test_compute_policy_survives_config_json(model_dir):
+    """model_dir/config.json owns the SHAPE fields only — the caller's
+    kernel selection (layer_impl/ffn_impl/attn_impl/dtype) must survive
+    the merge (a dropped field here silently overrides the node's
+    configured kernels)."""
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.models.bert import BertConfig
+    from dawnsearch_tpu.models.weights import load_params
+
+    ask = BertConfig(dtype=jnp.bfloat16, attn_impl="xla", ffn_impl="xla",
+                     pool_impl="fused", layer_impl="layer_i8")
+    _, pretrained, cfg = load_params(model_dir, cfg=ask)
+    assert pretrained is True
+    assert cfg.hidden_size == 384 and cfg.num_layers == 6  # from json
+    assert (cfg.dtype, cfg.attn_impl, cfg.ffn_impl, cfg.pool_impl,
+            cfg.layer_impl) == (jnp.bfloat16, "xla", "xla", "fused",
+                                "layer_i8")
+
+
+def test_non_gelu_checkpoint_refused(model_dir, tmp_path):
+    """hidden_act != gelu must fail loudly: every kernel and the XLA
+    fallback compute exact erf-gelu, so a gelu_new/relu checkpoint
+    would be silently wrong numerics."""
+    import shutil
+
+    from dawnsearch_tpu.models.weights import load_params
+
+    d = tmp_path / "gelu_new"
+    shutil.copytree(model_dir, d)
+    with open(d / "config.json") as f:
+        hf = json.load(f)
+    hf["hidden_act"] = "gelu_new"
+    with open(d / "config.json", "w") as f:
+        json.dump(hf, f)
+    with pytest.raises(ValueError, match="hidden_act"):
+        load_params(str(d))
+
+
+def test_wide_model_family_checkpoint_drop(tmp_path):
+    """A non-MiniLM BERT shape (wider hidden, fewer layers) loads by
+    dropping its HF-layout checkpoint + config.json into model_dir —
+    the model-family contract (the reference is hardcoded to one model,
+    embedding_service.rs:60-85) — and runs through BOTH whole-layer
+    kernels, including the W8A8 path built for wide models."""
+    import jax
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.models.bert import BertConfig, encode_batch
+    from dawnsearch_tpu.models.weights import (init_params, load_params,
+                                               save_safetensors)
+
+    shape = BertConfig(vocab_size=512, hidden_size=256, num_layers=2,
+                       num_heads=8, intermediate_size=1024,
+                       max_position_embeddings=64)
+    params = init_params(jax.random.key(3), shape)
+    d = tmp_path / "wide"
+    d.mkdir()
+    save_safetensors(params, str(d / "model.safetensors"), shape)
+    with open(d / "config.json", "w") as f:
+        json.dump({"hidden_act": "gelu", "hidden_size": 256,
+                   "num_hidden_layers": 2, "num_attention_heads": 8,
+                   "intermediate_size": 1024, "vocab_size": 512,
+                   "max_position_embeddings": 64, "type_vocab_size": 2,
+                   "layer_norm_eps": 1e-12}, f)
+
+    loaded, pretrained, cfg = load_params(str(d))
+    assert pretrained is True and cfg.hidden_size == 256
+    r = np.random.default_rng(5)
+    ids = jnp.asarray(r.integers(1, 512, (4, 16)), jnp.int32)
+    mask = np.ones((4, 16), np.int32)
+    mask[2, 9:] = 0
+    mask = jnp.asarray(mask)
+    ref = np.asarray(encode_batch(
+        loaded, ids, mask,
+        cfg=BertConfig(**{**cfg.__dict__, "attn_impl": "xla",
+                          "ffn_impl": "xla"})))
+    for impl in ("layer", "layer_i8"):
+        out = np.asarray(encode_batch(
+            loaded, ids, mask,
+            cfg=BertConfig(**{**cfg.__dict__, "layer_impl": impl})))
+        cos = np.sum(out * ref, axis=-1)
+        assert np.all(cos > 0.999), (impl, cos.min())
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
+                                   atol=0.01)
+
+
 def test_bert_prefixed_checkpoint_also_loads(model_dir, tmp_path):
     # some exports carry a "bert." prefix on every tensor
     from safetensors import safe_open
