@@ -31,7 +31,10 @@ class Config:
     debug: int = 0
 
     # --- TPU engine section (new) ---
-    model_dir: str | None = None  # safetensors + vocab for all-MiniLM-L6-v2
+    # safetensors + vocab.txt + config.json; shapes and model family
+    # (BERT/MiniLM or MPNet) are read from config.json — drop
+    # all-MiniLM-L6-v2 or all-mpnet-base-v2 here (models/weights.py)
+    model_dir: str | None = None
     embed_batch_size: int = 64  # cross-request batching cap
     # pages per ingest batch (tokenize + one fused device program +
     # one store transaction). 512 won the round-3 concurrent-load soak

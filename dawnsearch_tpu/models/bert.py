@@ -45,6 +45,15 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
+    # "bert" | "mpnet" — mpnet (models/mpnet.py) shares this config and
+    # the layer stack but swaps the embedding recipe (RoBERTa-offset
+    # position ids, no token types) and adds a shared relative-position
+    # attention bias; all-mpnet-base-v2 is the other canonical
+    # sentence-transformers family (the reference hardcodes MiniLM,
+    # embedding_service.rs:60-85)
+    model_type: str = "bert"
+    pad_token_id: int = 0  # mpnet checkpoints use 1 (RoBERTa layout)
+    relative_attention_num_buckets: int = 32  # mpnet only
     # compute dtype for matmuls; softmax/layernorm stay f32
     dtype: Any = jnp.float32
     # "fused" = packed Pallas kernel (heads stay on lanes, scores stay
@@ -98,15 +107,22 @@ def _attention(
     layer: Params,
     cfg: BertConfig,
     mask_bias: jax.Array | None,
+    pos_bias: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-head self-attention (reference model.rs:284-348) via one
     fused QKV matmul; softmax in f32. attn_impl="fused" routes the
-    softmax(QKᵀ)·V through the Pallas kernel (scores never reach HBM)."""
+    softmax(QKᵀ)·V through the Pallas kernel (scores never reach HBM).
+
+    pos_bias: optional (nh, S, S) f32 additive score bias, shared by
+    every layer (MPNet's relative-position bias); per-head, so the
+    packed kernel path is bypassed in favor of the einsum path here —
+    the whole-layer kernel carries it natively (ops/layer.py)."""
     B, S, H = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     qkv = _dense(x, layer["qkv_w"], layer["qkv_b"], cfg.dtype)  # (B,S,3H)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    if cfg.attn_impl == "fused" and 128 % hd == 0 and H % 128 == 0:
+    if (cfg.attn_impl == "fused" and pos_bias is None
+            and 128 % hd == 0 and H % 128 == 0):
         # packed kernel: heads stay on the feature axis — no
         # (B,S,nh,hd)->(B,nh,S,hd) relayouts in or out (4 per layer on
         # the einsum path), scores never reach HBM, and every matmul is
@@ -119,7 +135,7 @@ def _attention(
     q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
-    if cfg.attn_impl == "fused":
+    if cfg.attn_impl == "fused" and pos_bias is None:
         from dawnsearch_tpu.ops.attention import fused_attention
         bias2d = None if mask_bias is None else mask_bias[:, 0, 0, :]
         ctx = fused_attention(q, k, v, bias2d, nh=nh).astype(cfg.dtype)
@@ -127,6 +143,8 @@ def _attention(
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(hd))
+        if pos_bias is not None:
+            scores = scores + pos_bias[None]  # (1,nh,S,S), every layer
         if mask_bias is not None:
             scores = scores + mask_bias  # (B,1,1,S): -inf on padded keys
         if cfg.dtype == jnp.bfloat16:
@@ -147,9 +165,13 @@ def _attention(
 
 
 def _layer_fwd(
-    x: jax.Array, layer: Params, cfg: BertConfig, mask_bias: jax.Array | None
+    x: jax.Array, layer: Params, cfg: BertConfig,
+    mask_bias: jax.Array | None, pos_bias: jax.Array | None = None
 ) -> jax.Array:
-    """One transformer layer (reference model.rs:467-499): post-LN BERT."""
+    """One transformer layer (reference model.rs:467-499): post-LN BERT.
+
+    pos_bias: optional (nh, S, S) shared relative-position score bias
+    (MPNet); carried by the whole-layer kernel, einsum path otherwise."""
     H, hd = cfg.hidden_size, cfg.head_dim
     # an explicit attn_impl/ffn_impl="xla" override routes around ALL
     # Pallas kernels (e.g. to sidestep a platform Mosaic bug or A/B) —
@@ -169,8 +191,8 @@ def _layer_fwd(
             layer["ffn_in_w"], layer["ffn_in_b"],
             layer["ffn_out_w"], layer["ffn_out_b"],
             layer["ffn_ln_scale"], layer["ffn_ln_bias"],
-            nh=cfg.num_heads, eps=cfg.layer_norm_eps)
-    attn = _attention(x, layer, cfg, mask_bias)
+            nh=cfg.num_heads, eps=cfg.layer_norm_eps, rel_bias=pos_bias)
+    attn = _attention(x, layer, cfg, mask_bias, pos_bias)
     x = _layer_norm(x + attn, layer["attn_ln_scale"], layer["attn_ln_bias"],
                     cfg.layer_norm_eps)
     if cfg.ffn_impl == "fused":
@@ -224,11 +246,20 @@ def bert_forward(
         mask_bias = jnp.where(
             attention_mask[:, None, None, :].astype(bool), 0.0, -1e30
         ).astype(jnp.float32)
+    return encoder_scan(x, params["layers"], cfg, mask_bias)
 
+
+def encoder_scan(
+    x: jax.Array, layers: Params, cfg: BertConfig,
+    mask_bias: jax.Array | None, pos_bias: jax.Array | None = None
+) -> jax.Array:
+    """Scan the stacked layer pytree over (B, S, H) hidden states —
+    shared by the BERT and MPNet families (the layer math is identical;
+    MPNet adds the shared pos_bias, models/mpnet.py)."""
     def scan_body(h, layer):
-        return _layer_fwd(h, layer, cfg, mask_bias), None
+        return _layer_fwd(h, layer, cfg, mask_bias, pos_bias), None
 
-    x, _ = jax.lax.scan(scan_body, x, params["layers"])
+    x, _ = jax.lax.scan(scan_body, x, layers)
     return x.astype(jnp.float32)
 
 
@@ -266,10 +297,16 @@ def encode_batch(
 
     This is the jittable unit the serving batcher calls per (batch, seq)
     bucket; equivalent of the reference's calculate_embedding
-    (embedding_service.rs:97-139) minus tokenization.
+    (embedding_service.rs:97-139) minus tokenization. Routes by
+    cfg.model_type so the serving stack is model-family-agnostic.
     """
-    hidden = bert_forward(params, input_ids, attention_mask, cfg=cfg,
-                          mask_padding=mask_padding)
+    if cfg.model_type == "mpnet":
+        from dawnsearch_tpu.models.mpnet import mpnet_forward
+        hidden = mpnet_forward(params, input_ids, attention_mask, cfg=cfg,
+                               mask_padding=mask_padding)
+    else:
+        hidden = bert_forward(params, input_ids, attention_mask, cfg=cfg,
+                              mask_padding=mask_padding)
     if cfg.pool_impl == "fused":
         from dawnsearch_tpu.ops.attention import fused_mean_pool
         return fused_mean_pool(hidden, attention_mask,

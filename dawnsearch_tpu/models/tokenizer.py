@@ -78,18 +78,32 @@ def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
     return tokens
 
 
+# RoBERTa/MPNet-style vocabs name the same four specials differently
+# (all-mpnet-base-v2 vocab.txt: <s>=0 <pad>=1 </s>=2 <unk>=3); accept
+# either naming so one tokenizer serves both encoder families
+_SPECIAL_ALIASES = {PAD: "<pad>", UNK: "<unk>", CLS: "<s>", SEP: "</s>"}
+
+
+def special_id(vocab: dict[str, int], tok: str) -> int:
+    """Resolve a BERT-named special token, falling back to its
+    RoBERTa/MPNet alias; raises if the vocab has neither."""
+    if tok in vocab:
+        return vocab[tok]
+    alias = _SPECIAL_ALIASES[tok]
+    if alias in vocab:
+        return vocab[alias]
+    raise ValueError(f"vocab missing special token {tok}/{alias}")
+
+
 class WordPieceTokenizer:
     def __init__(self, vocab: dict[str, int], lowercase: bool = True):
         self.vocab = vocab
         self.inv_vocab = {i: t for t, i in vocab.items()}
         self.lowercase = lowercase
-        for tok in (PAD, UNK, CLS, SEP):
-            if tok not in vocab:
-                raise ValueError(f"vocab missing special token {tok}")
-        self.pad_id = vocab[PAD]
-        self.unk_id = vocab[UNK]
-        self.cls_id = vocab[CLS]
-        self.sep_id = vocab[SEP]
+        self.pad_id = special_id(vocab, PAD)
+        self.unk_id = special_id(vocab, UNK)
+        self.cls_id = special_id(vocab, CLS)
+        self.sep_id = special_id(vocab, SEP)
 
     @classmethod
     def from_vocab_file(cls, path: str, lowercase: bool = True) -> "WordPieceTokenizer":

@@ -13,7 +13,8 @@ import ctypes
 
 import numpy as np
 
-from dawnsearch_tpu.models.tokenizer import PAD, UNK, CLS, SEP, WordPieceTokenizer
+from dawnsearch_tpu.models.tokenizer import (PAD, UNK, CLS, SEP,
+                                             WordPieceTokenizer, special_id)
 from dawnsearch_tpu.utils import nativelib
 
 
@@ -40,10 +41,12 @@ class NativeWordPieceTokenizer:
                          for i in range(max(vocab.values()) + 1))
         data = blob.encode("utf-8")
         self._handle = lib.dawn_tok_new(data, len(data))
-        self.pad_id = vocab.get(PAD, 0)
-        self.unk_id = vocab.get(UNK, 0)
-        self.cls_id = vocab.get(CLS, 0)
-        self.sep_id = vocab.get(SEP, 0)
+        # alias-aware (MPNet vocabs name these <pad>/<unk>/<s>/</s>;
+        # the C++ side resolves the same aliases, tokenizer.cpp)
+        self.pad_id = special_id(vocab, PAD)
+        self.unk_id = special_id(vocab, UNK)
+        self.cls_id = special_id(vocab, CLS)
+        self.sep_id = special_id(vocab, SEP)
 
     @classmethod
     def from_vocab_file(cls, path: str, lowercase: bool = True

@@ -34,10 +34,11 @@ def init_params(key: jax.Array, cfg: BertConfig = MINILM_L6) -> Params:
     emb = {
         "word": w(next(keys), (cfg.vocab_size, H)),
         "position": w(next(keys), (cfg.max_position_embeddings, H)),
-        "token_type": w(next(keys), (cfg.type_vocab_size, H)),
         "ln_scale": jnp.ones((H,), jnp.float32),
         "ln_bias": jnp.zeros((H,), jnp.float32),
     }
+    if cfg.model_type != "mpnet":  # mpnet has no token types
+        emb["token_type"] = w(next(keys), (cfg.type_vocab_size, H))
     layers = {
         "qkv_w": w(next(keys), (L, H, 3 * H)),
         "qkv_b": jnp.zeros((L, 3 * H), jnp.float32),
@@ -52,15 +53,22 @@ def init_params(key: jax.Array, cfg: BertConfig = MINILM_L6) -> Params:
         "ffn_ln_scale": jnp.ones((L, H), jnp.float32),
         "ffn_ln_bias": jnp.zeros((L, H), jnp.float32),
     }
-    return {"embeddings": emb, "layers": layers}
+    out = {"embeddings": emb, "layers": layers}
+    if cfg.model_type == "mpnet":
+        out["rel_bias"] = w(next(keys),
+                            (cfg.relative_attention_num_buckets,
+                             cfg.num_heads))
+    return out
 
 
 def _strip_prefix(tensors: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
-    """Accept both `bert.embeddings...` and `embeddings...` namings."""
+    """Accept `bert.`/`mpnet.`-prefixed and bare tensor namings."""
     out = {}
     for name, t in tensors.items():
-        if name.startswith("bert."):
-            name = name[len("bert."):]
+        for pre in ("bert.", "mpnet."):
+            if name.startswith(pre):
+                name = name[len(pre):]
+                break
         out[name] = t
     return out
 
@@ -68,8 +76,14 @@ def _strip_prefix(tensors: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
 def from_hf_tensors(
     tensors: Mapping[str, np.ndarray], cfg: BertConfig = MINILM_L6
 ) -> Params:
-    """HF BertModel tensor dict (numpy) -> stacked pytree."""
+    """HF BertModel/MPNetModel tensor dict (numpy) -> stacked pytree.
+
+    MPNet keys (HF modeling_mpnet.py): separate attention.attn.{q,k,v,o}
+    linears (fused to the shared qkv layout here), attention.LayerNorm,
+    the encoder-level relative_attention_bias table, and no token-type
+    embedding."""
     t = _strip_prefix(tensors)
+    mpnet = cfg.model_type == "mpnet"
 
     def get(name: str) -> np.ndarray:
         if name not in t:
@@ -79,10 +93,11 @@ def from_hf_tensors(
     emb = {
         "word": get("embeddings.word_embeddings.weight"),
         "position": get("embeddings.position_embeddings.weight"),
-        "token_type": get("embeddings.token_type_embeddings.weight"),
         "ln_scale": get("embeddings.LayerNorm.weight"),
         "ln_bias": get("embeddings.LayerNorm.bias"),
     }
+    if not mpnet:
+        emb["token_type"] = get("embeddings.token_type_embeddings.weight")
 
     per_layer: dict[str, list[np.ndarray]] = {k: [] for k in (
         "qkv_w", "qkv_b", "attn_out_w", "attn_out_b",
@@ -90,21 +105,29 @@ def from_hf_tensors(
         "ffn_in_w", "ffn_in_b", "ffn_out_w", "ffn_out_b",
         "ffn_ln_scale", "ffn_ln_bias",
     )}
+    if mpnet:
+        names = dict(q="attention.attn.q", k="attention.attn.k",
+                     v="attention.attn.v", o="attention.attn.o",
+                     attn_ln="attention.LayerNorm")
+    else:
+        names = dict(q="attention.self.query", k="attention.self.key",
+                     v="attention.self.value", o="attention.output.dense",
+                     attn_ln="attention.output.LayerNorm")
     for i in range(cfg.num_layers):
         p = f"encoder.layer.{i}."
-        wq = get(p + "attention.self.query.weight").T
-        wk = get(p + "attention.self.key.weight").T
-        wv = get(p + "attention.self.value.weight").T
+        wq = get(p + names["q"] + ".weight").T
+        wk = get(p + names["k"] + ".weight").T
+        wv = get(p + names["v"] + ".weight").T
         per_layer["qkv_w"].append(np.concatenate([wq, wk, wv], axis=1))
         per_layer["qkv_b"].append(np.concatenate([
-            get(p + "attention.self.query.bias"),
-            get(p + "attention.self.key.bias"),
-            get(p + "attention.self.value.bias"),
+            get(p + names["q"] + ".bias"),
+            get(p + names["k"] + ".bias"),
+            get(p + names["v"] + ".bias"),
         ]))
-        per_layer["attn_out_w"].append(get(p + "attention.output.dense.weight").T)
-        per_layer["attn_out_b"].append(get(p + "attention.output.dense.bias"))
-        per_layer["attn_ln_scale"].append(get(p + "attention.output.LayerNorm.weight"))
-        per_layer["attn_ln_bias"].append(get(p + "attention.output.LayerNorm.bias"))
+        per_layer["attn_out_w"].append(get(p + names["o"] + ".weight").T)
+        per_layer["attn_out_b"].append(get(p + names["o"] + ".bias"))
+        per_layer["attn_ln_scale"].append(get(p + names["attn_ln"] + ".weight"))
+        per_layer["attn_ln_bias"].append(get(p + names["attn_ln"] + ".bias"))
         per_layer["ffn_in_w"].append(get(p + "intermediate.dense.weight").T)
         per_layer["ffn_in_b"].append(get(p + "intermediate.dense.bias"))
         per_layer["ffn_out_w"].append(get(p + "output.dense.weight").T)
@@ -114,7 +137,11 @@ def from_hf_tensors(
 
     layers = {k: jnp.asarray(np.stack(v)) for k, v in per_layer.items()}
     emb = {k: jnp.asarray(v) for k, v in emb.items()}
-    return {"embeddings": emb, "layers": layers}
+    out = {"embeddings": emb, "layers": layers}
+    if mpnet:
+        out["rel_bias"] = jnp.asarray(
+            get("encoder.relative_attention_bias.weight"))
+    return out
 
 
 def load_safetensors(path: str, cfg: BertConfig = MINILM_L6) -> Params:
@@ -140,6 +167,11 @@ def config_from_hf(model_dir: str) -> BertConfig | None:
         return None
     with open(path) as f:
         hf = json.load(f)
+    model_type = hf.get("model_type", "bert")
+    if model_type not in ("bert", "mpnet"):
+        raise ValueError(
+            f"{path}: model_type={model_type!r} is not a supported "
+            "encoder family (bert, mpnet)")
     act = hf.get("hidden_act", "gelu")
     if act != "gelu":
         # Every kernel and the XLA fallback compute exact erf-gelu (the
@@ -160,6 +192,11 @@ def config_from_hf(model_dir: str) -> BertConfig | None:
         max_position_embeddings=hf.get("max_position_embeddings", 512),
         type_vocab_size=hf.get("type_vocab_size", 2),
         layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+        model_type=model_type,
+        pad_token_id=hf.get("pad_token_id",
+                            1 if model_type == "mpnet" else 0),
+        relative_attention_num_buckets=hf.get(
+            "relative_attention_num_buckets", 32),
     )
 
 
@@ -198,36 +235,47 @@ def param_count(params: Params) -> int:
 
 def to_hf_tensors(params: Params, cfg: BertConfig = MINILM_L6
                   ) -> dict[str, np.ndarray]:
-    """Stacked pytree -> HF BertModel tensor dict (inverse of
+    """Stacked pytree -> HF BertModel/MPNetModel tensor dict (inverse of
     from_hf_tensors): un-stack layers, split fused QKV, transpose back
     to torch's (out, in). Lets a node export weights any HF consumer
     (or another node's model_dir) can load."""
     H = cfg.hidden_size
+    mpnet = cfg.model_type == "mpnet"
     emb = params["embeddings"]
     out: dict[str, np.ndarray] = {
         "embeddings.word_embeddings.weight": np.asarray(emb["word"]),
         "embeddings.position_embeddings.weight": np.asarray(emb["position"]),
-        "embeddings.token_type_embeddings.weight": np.asarray(emb["token_type"]),
         "embeddings.LayerNorm.weight": np.asarray(emb["ln_scale"]),
         "embeddings.LayerNorm.bias": np.asarray(emb["ln_bias"]),
     }
+    if mpnet:
+        out["encoder.relative_attention_bias.weight"] = \
+            np.asarray(params["rel_bias"])
+        names = dict(q="attention.attn.q", k="attention.attn.k",
+                     v="attention.attn.v", o="attention.attn.o",
+                     attn_ln="attention.LayerNorm")
+    else:
+        out["embeddings.token_type_embeddings.weight"] = \
+            np.asarray(emb["token_type"])
+        names = dict(q="attention.self.query", k="attention.self.key",
+                     v="attention.self.value", o="attention.output.dense",
+                     attn_ln="attention.output.LayerNorm")
     L = params["layers"]
     for i in range(cfg.num_layers):
         p = f"encoder.layer.{i}."
         qkv_w = np.asarray(L["qkv_w"][i])  # (H, 3H), ours = x @ w
         qkv_b = np.asarray(L["qkv_b"][i])
-        out[p + "attention.self.query.weight"] = qkv_w[:, :H].T
-        out[p + "attention.self.key.weight"] = qkv_w[:, H:2 * H].T
-        out[p + "attention.self.value.weight"] = qkv_w[:, 2 * H:].T
-        out[p + "attention.self.query.bias"] = qkv_b[:H]
-        out[p + "attention.self.key.bias"] = qkv_b[H:2 * H]
-        out[p + "attention.self.value.bias"] = qkv_b[2 * H:]
-        out[p + "attention.output.dense.weight"] = \
-            np.asarray(L["attn_out_w"][i]).T
-        out[p + "attention.output.dense.bias"] = np.asarray(L["attn_out_b"][i])
-        out[p + "attention.output.LayerNorm.weight"] = \
+        out[p + names["q"] + ".weight"] = qkv_w[:, :H].T
+        out[p + names["k"] + ".weight"] = qkv_w[:, H:2 * H].T
+        out[p + names["v"] + ".weight"] = qkv_w[:, 2 * H:].T
+        out[p + names["q"] + ".bias"] = qkv_b[:H]
+        out[p + names["k"] + ".bias"] = qkv_b[H:2 * H]
+        out[p + names["v"] + ".bias"] = qkv_b[2 * H:]
+        out[p + names["o"] + ".weight"] = np.asarray(L["attn_out_w"][i]).T
+        out[p + names["o"] + ".bias"] = np.asarray(L["attn_out_b"][i])
+        out[p + names["attn_ln"] + ".weight"] = \
             np.asarray(L["attn_ln_scale"][i])
-        out[p + "attention.output.LayerNorm.bias"] = \
+        out[p + names["attn_ln"] + ".bias"] = \
             np.asarray(L["attn_ln_bias"][i])
         out[p + "intermediate.dense.weight"] = np.asarray(L["ffn_in_w"][i]).T
         out[p + "intermediate.dense.bias"] = np.asarray(L["ffn_in_b"][i])

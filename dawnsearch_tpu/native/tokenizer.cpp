@@ -208,13 +208,18 @@ void *dawn_tok_new(const char *vocab_utf8, long len) {
     if (!nl) break;
     p = nl + 1;
   }
-  auto get = [&](const char *tok, int fallback) {
+  // BERT naming first, then the RoBERTa/MPNet alias (all-mpnet-base-v2
+  // vocab: <s>=0 <pad>=1 </s>=2 <unk>=3) — mirrors tokenizer.py's
+  // special_id so both implementations stay output-identical
+  auto get = [&](const char *tok, const char *alias) {
     auto it = t->vocab.find(tok);
-    return it == t->vocab.end() ? fallback : it->second;
+    if (it != t->vocab.end()) return it->second;
+    it = t->vocab.find(alias);
+    return it == t->vocab.end() ? 0 : it->second;
   };
-  t->unk_id = get("[UNK]", 0);
-  t->cls_id = get("[CLS]", 0);
-  t->sep_id = get("[SEP]", 0);
+  t->unk_id = get("[UNK]", "<unk>");
+  t->cls_id = get("[CLS]", "<s>");
+  t->sep_id = get("[SEP]", "</s>");
   return t;
 }
 

@@ -67,12 +67,15 @@ def _ln(y32: jax.Array, scale_ref, bias_ref, eps: float) -> jax.Array:
         bias_ref[...].astype(jnp.float32)
 
 
-def _packed_attention_block(q, k, v, bias, *, nh: int, hd: int,
+def _packed_attention_block(q, k, v, bias, rel=None, *, nh: int, hd: int,
                             scale: float):
     """(TB, S, H) q/k/v + (TB, 1, S) bias -> (TB, S, H) context.
 
     Identical math to ops/attention.py::_packed_kernel, inlined so the
-    whole layer shares one VMEM residency."""
+    whole layer shares one VMEM residency. rel: optional per-head
+    relative-position score bias (MPNet), pre-packed to the group
+    layout (nh//g, S, g*S) where block h of the last axis is head
+    gi*g+h's (S, S) bias — one broadcast add per group, no relayout."""
     TB, S, H = q.shape
     g = 128 // hd
     bias_t = jnp.concatenate([bias] * g, axis=-1)  # (TB, 1, gS)
@@ -91,6 +94,8 @@ def _packed_attention_block(q, k, v, bias, *, nh: int, hd: int,
             qg, k_bd, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # (TB, S, gS)
         s = s + bias_t
+        if rel is not None:
+            s = s + rel[gi][None]  # (1, S, gS) over TB
         parts, invs = [], []
         for h in range(g):
             sh = s[:, :, h * S: (h + 1) * S]
@@ -107,10 +112,12 @@ def _packed_attention_block(q, k, v, bias, *, nh: int, hd: int,
     return jnp.concatenate(outs, axis=-1)  # (TB, S, H) f32
 
 
-def _layer_kernel(x_ref, bias_ref, qkv_w_ref, qkv_b_ref, ao_w_ref,
-                  ao_b_ref, aln_s_ref, aln_b_ref, w1_ref, b1_ref,
-                  w2_ref, b2_ref, fln_s_ref, fln_b_ref, o_ref, *,
-                  nh: int, hd: int, eps: float):
+def _layer_kernel(x_ref, bias_ref, *args, nh: int, hd: int, eps: float,
+                  has_rel: bool = False):
+    rel_ref = args[0] if has_rel else None
+    (qkv_w_ref, qkv_b_ref, ao_w_ref, ao_b_ref, aln_s_ref, aln_b_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref, fln_s_ref, fln_b_ref,
+     o_ref) = args[1 if has_rel else 0:]
     TB, S, H = x_ref.shape
     x = x_ref[...]                      # (TB, S, H) compute dtype
     x2d = x.reshape(TB * S, H)
@@ -125,8 +132,8 @@ def _layer_kernel(x_ref, bias_ref, qkv_w_ref, qkv_b_ref, ao_w_ref,
     v = qkv[:, 2 * H:].reshape(TB, S, H)
 
     ctx = _packed_attention_block(
-        q, k, v, bias_ref[...], nh=nh, hd=hd,
-        scale=1.0 / (hd ** 0.5)).astype(dt).reshape(TB * S, H)
+        q, k, v, bias_ref[...], None if rel_ref is None else rel_ref[...],
+        nh=nh, hd=hd, scale=1.0 / (hd ** 0.5)).astype(dt).reshape(TB * S, H)
 
     att = jax.lax.dot_general(
         ctx, ao_w_ref[...], (((1,), (0,)), ((), ())),
@@ -165,17 +172,18 @@ def _mm_i8(x32: jax.Array, wq_ref, ws_ref) -> jax.Array:
         ws_ref[...].astype(jnp.float32)
 
 
-def _layer_kernel_i8(x_ref, bias_ref, qkv_wq_ref, qkv_ws_ref, qkv_b_ref,
-                     ao_wq_ref, ao_ws_ref, ao_b_ref, aln_s_ref, aln_b_ref,
-                     w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref,
-                     fln_s_ref, fln_b_ref, o_ref, *,
-                     nh: int, hd: int, eps: float):
+def _layer_kernel_i8(x_ref, bias_ref, *args, nh: int, hd: int, eps: float,
+                     has_rel: bool = False):
     """_layer_kernel with the four projections on the s8 MXU path.
 
     Attention (softmax numerics) stays in the compute dtype; residuals,
     LayerNorm and gelu stay f32 — in fact MORE of the datapath is f32
     than in the bf16 kernel because the i8 matmuls take f32 in and give
     f32 out, so the bf16 round trips between projections disappear."""
+    rel_ref = args[0] if has_rel else None
+    (qkv_wq_ref, qkv_ws_ref, qkv_b_ref, ao_wq_ref, ao_ws_ref, ao_b_ref,
+     aln_s_ref, aln_b_ref, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref,
+     b2_ref, fln_s_ref, fln_b_ref, o_ref) = args[1 if has_rel else 0:]
     TB, S, H = x_ref.shape
     x = x_ref[...]                      # (TB, S, H) compute dtype
     dt = x.dtype
@@ -189,8 +197,8 @@ def _layer_kernel_i8(x_ref, bias_ref, qkv_wq_ref, qkv_ws_ref, qkv_b_ref,
     v = qkv[:, 2 * H:].reshape(TB, S, H)
 
     ctx = _packed_attention_block(
-        q, k, v, bias_ref[...], nh=nh, hd=hd,
-        scale=1.0 / (hd ** 0.5)).reshape(TB * S, H)  # f32
+        q, k, v, bias_ref[...], None if rel_ref is None else rel_ref[...],
+        nh=nh, hd=hd, scale=1.0 / (hd ** 0.5)).reshape(TB * S, H)  # f32
 
     att = _mm_i8(ctx, ao_wq_ref, ao_ws_ref) + \
         ao_b_ref[...].astype(jnp.float32) + x32
@@ -226,12 +234,25 @@ def _tile_rows(B: int, S: int, H: int, I: int, hd: int) -> int:
     return tb
 
 
+def _pack_rel(rel_bias: jax.Array, nh: int, hd: int) -> jax.Array:
+    """(nh, S, S) per-head bias -> (nh//g, S, g*S) group layout matching
+    the packed attention's lane blocks (head gi*g+h lives in columns
+    [h*S, (h+1)*S) of group gi)."""
+    g = 128 // hd
+    S = rel_bias.shape[1]
+    return rel_bias.astype(jnp.float32).reshape(
+        nh // g, g, S, S).transpose(0, 2, 1, 3).reshape(nh // g, S, g * S)
+
+
 @functools.partial(jax.jit, static_argnames=("nh", "eps"))
 def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
                      ao_w, ao_b, aln_s, aln_b, w1, b1, w2, b2, fln_s,
-                     fln_b, *, nh: int, eps: float = 1e-12) -> jax.Array:
+                     fln_b, *, nh: int, eps: float = 1e-12,
+                     rel_bias: jax.Array | None = None) -> jax.Array:
     """(B, S, H) x + (B, S) additive bias -> (B, S, H): one BERT layer,
-    one kernel, one HBM round trip."""
+    one kernel, one HBM round trip. rel_bias: optional (nh, S, S)
+    shared relative-position score bias (the MPNet family,
+    models/mpnet.py), riding as one constant kernel operand."""
     B, S, H = x.shape
     hd = H // nh
     I = w1.shape[1]
@@ -240,6 +261,7 @@ def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
         bias = jnp.zeros((B, S), jnp.float32)
     tb = _tile_rows(B, S, H, I, hd)
     dt = x.dtype
+    g = 128 // hd
 
     xspec = pl.BlockSpec((tb, S, H), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -248,14 +270,20 @@ def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    rel_specs, rel_ops = [], []
+    if rel_bias is not None:
+        rel_specs = [const((nh // g, S, g * S))]
+        rel_ops = [_pack_rel(rel_bias, nh, hd)]
     return pl.pallas_call(
-        functools.partial(_layer_kernel, nh=nh, hd=hd, eps=eps),
+        functools.partial(_layer_kernel, nh=nh, hd=hd, eps=eps,
+                          has_rel=rel_bias is not None),
         out_shape=jax.ShapeDtypeStruct((B, S, H), dt),
         grid=(B // tb,),
         in_specs=[
             xspec,
             pl.BlockSpec((tb, 1, S), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            *rel_specs,
             const((H, 3 * H)), const((1, 3 * H)),
             const((H, H)), const((1, H)),
             const((1, H)), const((1, H)),
@@ -266,9 +294,13 @@ def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
         out_specs=xspec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            # the flagship (no-rel) budget is unchanged; the rel
+            # operand (nh*S*S f32, ~12.6 MB for mpnet at S=512) plus
+            # wide-model weights need the larger bound
+            vmem_limit_bytes=(128 if rel_bias is not None else 64)
+            * 1024 * 1024),
         interpret=_interpret(),
-    )(x, bias[:, None, :].astype(jnp.float32),
+    )(x, bias[:, None, :].astype(jnp.float32), *rel_ops,
       qkv_w.astype(dt), qkv_b[None, :], ao_w.astype(dt), ao_b[None, :],
       aln_s[None, :], aln_b[None, :], w1.astype(dt), b1[None, :],
       w2.astype(dt), b2[None, :], fln_s[None, :], fln_b[None, :])
@@ -277,8 +309,8 @@ def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
 @functools.partial(jax.jit, static_argnames=("nh", "eps"))
 def fused_bert_layer_i8(x: jax.Array, bias: jax.Array | None, qkv_w,
                         qkv_b, ao_w, ao_b, aln_s, aln_b, w1, b1, w2, b2,
-                        fln_s, fln_b, *, nh: int,
-                        eps: float = 1e-12) -> jax.Array:
+                        fln_s, fln_b, *, nh: int, eps: float = 1e-12,
+                        rel_bias: jax.Array | None = None) -> jax.Array:
     """fused_bert_layer with W8A8 projections on the s8 MXU path.
 
     The roofline measurement (examples/bench_mm_roofline.py) pinned the
@@ -310,6 +342,7 @@ def fused_bert_layer_i8(x: jax.Array, bias: jax.Array | None, qkv_w,
     tb = _tile_rows(B, S, H, I, hd)
     dt = x.dtype
 
+    g = 128 // hd
     qkv_wq, qkv_ws = _quant_cols(qkv_w.astype(jnp.float32))
     ao_wq, ao_ws = _quant_cols(ao_w.astype(jnp.float32))
     w1q, w1s = _quant_cols(w1.astype(jnp.float32))
@@ -322,14 +355,20 @@ def fused_bert_layer_i8(x: jax.Array, bias: jax.Array | None, qkv_w,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    rel_specs, rel_ops = [], []
+    if rel_bias is not None:
+        rel_specs = [const((nh // g, S, g * S))]
+        rel_ops = [_pack_rel(rel_bias, nh, hd)]
     return pl.pallas_call(
-        functools.partial(_layer_kernel_i8, nh=nh, hd=hd, eps=eps),
+        functools.partial(_layer_kernel_i8, nh=nh, hd=hd, eps=eps,
+                          has_rel=rel_bias is not None),
         out_shape=jax.ShapeDtypeStruct((B, S, H), dt),
         grid=(B // tb,),
         in_specs=[
             xspec,
             pl.BlockSpec((tb, 1, S), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            *rel_specs,
             const((H, 3 * H)), const((1, 3 * H)), const((1, 3 * H)),
             const((H, H)), const((1, H)), const((1, H)),
             const((1, H)), const((1, H)),
@@ -340,9 +379,10 @@ def fused_bert_layer_i8(x: jax.Array, bias: jax.Array | None, qkv_w,
         out_specs=xspec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=(128 if rel_bias is not None else 64)
+            * 1024 * 1024),
         interpret=_interpret(),
-    )(x, bias[:, None, :].astype(jnp.float32),
+    )(x, bias[:, None, :].astype(jnp.float32), *rel_ops,
       qkv_wq, qkv_ws, qkv_b[None, :],
       ao_wq, ao_ws, ao_b[None, :],
       aln_s[None, :], aln_b[None, :],
