@@ -64,6 +64,16 @@ def make_encoder(cfg: Config):
             log.warning("pretrained weights but no vocab.txt — "
                         "tokenization will not match the checkpoint")
     tok = best_tokenizer(vocab)  # C++ WordPiece when built
+    if pretrained and vocab_path and os.path.exists(vocab_path) \
+            and tok.pad_id != bert_cfg.pad_token_id:
+        # MPNet derives position ids from `input_ids != cfg.pad_token_id`
+        # (models/mpnet.py) while the encoder pads batches with the
+        # TOKENIZER's pad id — a disagreement silently corrupts every
+        # position embedding, so refuse the checkpoint instead
+        raise ValueError(
+            f"vocab.txt pad id {tok.pad_id} != config.json pad_token_id "
+            f"{bert_cfg.pad_token_id} — mismatched checkpoint files in "
+            f"{cfg.model_dir}")
     log.info("encoder ready (pretrained=%s, dtype=%s, hidden=%d, layers=%d)",
              pretrained, cfg.compute_dtype, bert_cfg.hidden_size,
              bert_cfg.num_layers)

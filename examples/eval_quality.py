@@ -94,16 +94,18 @@ def log(obj: dict) -> None:
 
 def hf_embed(model_dir: str, texts: list[str]) -> np.ndarray | None:
     """The sentence-transformers recipe via raw HF transformers
-    (tokenize -> BertModel -> masked mean-pool -> L2 normalize), the
+    (tokenize -> AutoModel -> masked mean-pool -> L2 normalize), the
     pipeline the reference implements in candle
     (embedding_service.rs:97-139). None if torch/transformers missing."""
     try:
         import torch
-        from transformers import AutoTokenizer, BertModel
+        from transformers import AutoModel, AutoTokenizer
     except Exception:
         return None
     tok = AutoTokenizer.from_pretrained(model_dir)
-    model = BertModel.from_pretrained(model_dir)
+    # AutoModel follows config.json's model_type — the same dispatch
+    # make_encoder does (BERT/MiniLM and MPNet families)
+    model = AutoModel.from_pretrained(model_dir)
     model.eval()
     with torch.no_grad():
         batch = tok(texts, padding=True, truncation=True, max_length=256,
