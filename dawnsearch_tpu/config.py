@@ -71,7 +71,7 @@ class Config:
     layer_impl: str = "layer"
     pool_impl: str = "xla"  # "xla" | "fused"
     index_capacity: int = 1_000_000  # page cap (search_provider.rs:164-166)
-    index_dtype: str = "i8"  # "f32" | "bf16" | "i8"
+    index_dtype: str = "i8"  # "f32" | "bf16" | "i8" | "i4" (capacity tier)
     index_kind: str = "flat"  # "flat" | "sharded" (device-parallel);
     # "ivf" was removed in round 3 — measured 53x slower than flat at
     # LOWER recall even on clustered corpora (doc/performance.md);

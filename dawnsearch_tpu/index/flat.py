@@ -10,7 +10,10 @@ replacement for USearch at small/medium shard sizes
   O(log N) distinct compiled shapes over an index's lifetime.
 - Rows beyond `count` are masked to +inf distance before `lax.top_k`.
 - Storage dtypes: f32 / bf16 / i8 (per-row symmetric scale, f32
-  accumulation on the MXU — the USearch-memory-parity mode).
+  accumulation on the MXU — the USearch-memory-parity mode) / i4
+  (nibble-packed, 0.5 byte/dim — the CAPACITY tier: ~2x the rows of i8
+  on the same HBM; dim-plane packing per ops/quant.py so the fused
+  selector's row semantics are unchanged).
 - Large capacities are scored in row-chunks with a running top-k merge
   (lax.scan), bounding the (B, N) score matrix to (B, chunk): HBM-safe
   at 1M+ rows and large query batches.
@@ -69,6 +72,11 @@ def _quantize_rows_i8(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
     return codes, scales
 
 
+def _is_i4(codes: jax.Array) -> bool:
+    """Packed-i4 buffers are the only uint8 codes in the index family."""
+    return codes.dtype == jnp.uint8
+
+
 def _chunk_scores(q: jax.Array, chunk_codes: jax.Array,
                   chunk_scales: jax.Array | None) -> jax.Array:
     """(B, D) x (C, D) -> (B, C) ip-distance (1 - dot), f32 accumulation.
@@ -82,6 +90,9 @@ def _chunk_scores(q: jax.Array, chunk_codes: jax.Array,
         dots = jax.lax.dot_general(qq, chunk_codes, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         return 1.0 - dots
+    if _is_i4(chunk_codes):
+        from dawnsearch_tpu.ops.quant import unpack_i4
+        chunk_codes = unpack_i4(chunk_codes)
     x = chunk_codes.astype(jnp.bfloat16)
     dots = jax.lax.dot_general(q.astype(jnp.bfloat16), x,
                                (((1,), (1,)), ((), ())),
@@ -253,7 +264,7 @@ class FlatIndex:
         exact: str | None = None,
         rerank_extra: int = 30,
     ):
-        if dtype not in ("f32", "bf16", "i8"):
+        if dtype not in ("f32", "bf16", "i8", "i4"):
             raise ValueError(f"unsupported dtype {dtype}")
         if selector not in ("auto", "exact", "approx", "fused"):
             raise ValueError(f"unsupported selector {selector}")
@@ -261,6 +272,8 @@ class FlatIndex:
             raise ValueError(f"unsupported exact dtype {exact}")
         if exact and dtype == "f32":
             raise ValueError("exact shadow buffer is redundant for f32 storage")
+        if dtype == "i4" and dim % 2:
+            raise ValueError("i4 nibble packing needs an even dim")
         self.dim = dim
         self.dtype = dtype
         self.exact = exact
@@ -276,10 +289,12 @@ class FlatIndex:
         self.max_capacity = max_capacity
         self.count = 0
         self.capacity = _round_up(max(capacity, segment), segment)
-        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[dtype]
-        self._codes = jnp.zeros((self.capacity, dim), jdt)
+        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8,
+               "i4": jnp.uint8}[dtype]
+        width = dim // 2 if dtype == "i4" else dim
+        self._codes = jnp.zeros((self.capacity, width), jdt)
         self._scales = (jnp.ones((self.capacity,), jnp.float32)
-                        if dtype == "i8" else None)
+                        if dtype in ("i8", "i4") else None)
         self._exact = (jnp.zeros((self.capacity, dim), jnp.float16)
                        if exact else None)
 
@@ -331,7 +346,17 @@ class FlatIndex:
         if self.count + n > self.capacity:
             self._grow_to(self.count + n)
         start = jnp.int32(self.count)
-        if self.dtype == "i8":
+        if self.dtype == "i4":
+            from dawnsearch_tpu.ops.quant import quantize_i4, quantize_i4_np
+            if isinstance(vectors, np.ndarray):
+                codes, scales = quantize_i4_np(vectors)
+                codes, scales = jnp.asarray(codes), jnp.asarray(scales)
+            else:
+                rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
+                codes, scales = quantize_i4(rows)
+            self._codes = _write_rows(self._codes, codes, start)
+            self._scales = _write_scales(self._scales, scales, start)
+        elif self.dtype == "i8":
             if isinstance(vectors, np.ndarray):
                 rows = np.atleast_2d(np.asarray(vectors, np.float32))
                 absmax = np.abs(rows).max(axis=1)
@@ -444,7 +469,12 @@ class FlatIndex:
         dequantized codes)."""
         if self._exact is not None:
             return np.asarray(self._exact[row_id], np.float32)
-        row = np.asarray(self._codes[row_id]).astype(np.float32)
+        if self.dtype == "i4":
+            from dawnsearch_tpu.ops.quant import unpack_i4_np
+            row = unpack_i4_np(
+                np.asarray(self._codes[row_id])[None, :])[0].astype(np.float32)
+        else:
+            row = np.asarray(self._codes[row_id]).astype(np.float32)
         if self._scales is not None:
             row *= float(self._scales[row_id])
         return row
@@ -482,9 +512,10 @@ class FlatIndex:
         has_exact = exact.size > 0
         kwargs.setdefault("exact", "f16" if has_exact else None)
         idx = cls(dim=dim, dtype=dtype, capacity=codes.shape[0], **kwargs)
-        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[dtype]
+        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8,
+               "i4": jnp.uint8}[dtype]
         idx._codes = jnp.asarray(codes, jdt)
-        if dtype == "i8":
+        if dtype in ("i8", "i4"):
             idx._scales = jnp.asarray(scales, jnp.float32)
         # Config is policy: an explicitly passed exact=None DROPS a
         # snapshot's shadow buffer (it would silently hold +2 bytes/dim
@@ -500,9 +531,13 @@ class FlatIndex:
             # candidate at distance 1.0 (round-2 advisor finding). The
             # shadow then carries the storage quantization error until
             # newly added rows refresh it.
-            deq = codes.astype(np.float32)
-            if dtype == "i8":
-                deq = deq * scales[:, None]
+            if dtype == "i4":
+                from dawnsearch_tpu.ops.quant import unpack_i4_np
+                deq = unpack_i4_np(codes).astype(np.float32) * scales[:, None]
+            else:
+                deq = codes.astype(np.float32)
+                if dtype == "i8":
+                    deq = deq * scales[:, None]
             idx._exact = jnp.asarray(deq.astype(np.float16))
         idx.count = count
         idx.capacity = codes.shape[0]

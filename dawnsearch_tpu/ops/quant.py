@@ -99,6 +99,63 @@ def dequantize_i8(q: QuantizedRows) -> jax.Array:
     return q.codes.astype(jnp.float32) * q.scales[..., None]
 
 
+# ---------------------------------------------------------------------------
+# i4 storage quantization (the CAPACITY tier: 0.5 byte/dim, ~2x the rows
+# of i8 on the same HBM; doc/performance.md "the i4 capacity tier")
+# ---------------------------------------------------------------------------
+#
+# Dim-PLANE nibble packing: packed byte j of a row holds dim j in the
+# low nibble and dim D/2+j in the high nibble. Unpacking therefore
+# yields two contiguous dim planes ([0, D/2) and [D/2, D)) and a dot
+# product splits into two matmuls over the query's matching halves —
+# NO row permutation, so the fused selector's window ids, per-row
+# scales, and count masking are untouched (ops/scan_select.py). Codes
+# are symmetric [-7, 7] with per-row scale absmax/7, stored biased +8
+# in [1, 15].
+
+
+def quantize_i4_np(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(N, D) f32 -> ((N, D/2) uint8 plane-packed nibbles, (N,) f32 scales)."""
+    rows = np.atleast_2d(np.asarray(rows, np.float32))
+    d = rows.shape[1]
+    if d % 2:
+        raise ValueError(f"i4 packing needs an even dim, got {d}")
+    absmax = np.abs(rows).max(axis=1)
+    scales = (np.maximum(absmax, 1e-12) / 7.0).astype(np.float32)
+    c = np.clip(np.rint(rows / scales[:, None]), -7, 7).astype(np.int32) + 8
+    packed = (c[:, : d // 2] | (c[:, d // 2:] << 4)).astype(np.uint8)
+    return packed, scales
+
+
+def unpack_i4_np(packed: np.ndarray) -> np.ndarray:
+    """(N, D/2) uint8 -> (N, D) int8 codes in [-7, 7] (biased decode)."""
+    p = np.asarray(packed, np.uint8)
+    lo = (p & 0xF).astype(np.int8) - 8
+    hi = (p >> 4).astype(np.int8) - 8
+    return np.concatenate([lo, hi], axis=-1)
+
+
+@jax.jit
+def quantize_i4(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Device twin of quantize_i4_np (same layout, bit-identical for
+    inputs where round() agrees; covered by tests/test_i4.py)."""
+    rows = jnp.atleast_2d(rows.astype(jnp.float32))
+    d = rows.shape[1]
+    absmax = jnp.max(jnp.abs(rows), axis=1)
+    scales = jnp.maximum(absmax, 1e-12) / 7.0
+    c = (jnp.clip(jnp.round(rows / scales[:, None]), -7, 7)
+         .astype(jnp.int32) + 8)
+    packed = (c[:, : d // 2] | (c[:, d // 2:] << 4)).astype(jnp.uint8)
+    return packed, scales
+
+
+def unpack_i4(packed: jax.Array) -> jax.Array:
+    """jnp twin of unpack_i4_np; traced inside index/flat.py's XLA scan."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 @jax.jit
 def scores_i8(queries: jax.Array, db: QuantizedRows) -> jax.Array:
     """(B, D) f32 queries x (N, D) i8 database -> (B, N) IP *distance* (1 - dot).

@@ -104,24 +104,32 @@ def _select_kernel(q_ref, qscale_ref, codes_ref, scales_ref, count_ref,
     else:
         db = 2.0 - scaled
 
-    # Count masking every tile. (Tried: lax.cond-gating the mask to the
-    # one tile crossing `count` — it REGRESSED 6.5 -> 8.8 ms/batch;
-    # Mosaic's branch handling costs more than the three elementwise
-    # passes it saves.)
+    _mask_select_store(db, base, count_ref, vals_ref, ids_ref, TB, TN, R)
+
+
+def _mask_select_store(db, base, count_ref, vals_ref, ids_ref,
+                       TB: int, TN: int, R: int) -> None:
+    """Shared kernel tail: count-mask + packed-key window argmin + store.
+
+    Count masking every tile. (Tried: lax.cond-gating the mask to the
+    one tile crossing `count` — it REGRESSED 6.5 -> 8.8 ms/batch;
+    Mosaic's branch handling costs more than the three elementwise
+    passes it saves.)
+
+    Packed-key window argmin. The bit pattern of a POSITIVE f32 is
+    order-preserving under integer compare, so bias d positive (+1;
+    d >= -0.05 even with quant error), clear the low 7 mantissa bits
+    (perturbs the value by < 3e-5 — far under i8 quantization error)
+    and fold the window id w < W=128 into them: ONE integer min over
+    static lane-block slices then yields value AND argmin together.
+    This replaced a (TB, TN) -> (TB, W, R) reshape (a full cross-vreg
+    relayout) + equality re-scan, which cost more than the scoring
+    matmul itself (A/B in doc/performance.md).
+    +inf survives: its bit pattern's low bits are already clear, and
+    masked-key ints (0x7f8000xx) still compare above every real d."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, TN), 1) + base
     db = jnp.where(rows < count_ref[0], db, jnp.inf)
 
-    # Packed-key window argmin. The bit pattern of a POSITIVE f32 is
-    # order-preserving under integer compare, so bias d positive (+1;
-    # d >= -0.05 even with quant error), clear the low 7 mantissa bits
-    # (perturbs the value by < 3e-5 — far under i8 quantization error)
-    # and fold the window id w < W=128 into them: ONE integer min over
-    # static lane-block slices then yields value AND argmin together.
-    # This replaced a (TB, TN) -> (TB, W, R) reshape (a full cross-vreg
-    # relayout) + equality re-scan, which cost more than the scoring
-    # matmul itself (A/B in doc/performance.md).
-    # +inf survives: its bit pattern's low bits are already clear, and
-    # masked-key ints (0x7f8000xx) still compare above every real d.
     keys = jax.lax.bitcast_convert_type(db, jnp.int32) & ~0x7F
     best = keys[:, :R]
     for w in range(1, W):
@@ -131,6 +139,104 @@ def _select_kernel(q_ref, qscale_ref, codes_ref, scales_ref, count_ref,
         jax.lax.broadcasted_iota(jnp.int32, (TB, R), 1)
     vals_ref[...] = vals
     ids_ref[...] = jnp.where(jnp.isfinite(vals), ids, -1)
+
+
+def _select_kernel_i4(qlo_ref, qhi_ref, qscale_ref, codes_ref, scales_ref,
+                      count_ref, vals_ref, ids_ref, *, qi8: bool):
+    """i4 variant: codes arrive nibble-PACKED (TN, D/2) uint8 in the
+    dim-plane layout (ops/quant.py: byte j = dims j | D/2+j << 4), so
+    unpacking yields two contiguous dim planes and the dot product is
+    two matmuls against the query's matching halves — rows keep their
+    natural order, and the window argmin / per-row scales / count mask
+    are byte-identical to the i8 kernel (_mask_select_store). The
+    unpack (2 shifts + 2 casts per tile) re-runs per query tile under
+    the N-major grid; it is O(TN*D/2) VPU work next to O(TB*TN*D) MXU
+    work. The query is pre-split OUTSIDE the kernel (a lane slice at
+    D/2=192 would relayout in Mosaic)."""
+    TB = qlo_ref.shape[0]
+    TN = codes_ref.shape[0]
+    R = TN // W
+    ni = pl.program_id(0)
+    base = ni * TN
+
+    # Nibble arithmetic in i32: Mosaic has no i8 vector subtract
+    # (arith.subi fails to legalize on the packed 8x128x4xi8 layout);
+    # widening to i32, biasing, and truncating to i8 lowers cleanly and
+    # the MXU still sees s8 operands.
+    p = codes_ref[...].astype(jnp.int32)
+    lo = ((p & 0xF) - 8).astype(jnp.int8)   # dims [0, D/2)
+    hi = ((p >> 4) - 8).astype(jnp.int8)    # dims [D/2, D)
+    if qi8:
+        dots = (jax.lax.dot_general(
+                    qlo_ref[...], lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                + jax.lax.dot_general(
+                    qhi_ref[...], hi, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32))
+        scaled = dots.astype(jnp.float32) * qscale_ref[...]
+    else:
+        scaled = (jax.lax.dot_general(
+                      qlo_ref[...].astype(jnp.bfloat16),
+                      lo.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(
+                      qhi_ref[...].astype(jnp.bfloat16),
+                      hi.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                      preferred_element_type=jnp.float32))
+    db = 2.0 - scaled * scales_ref[...]
+    _mask_select_store(db, base, count_ref, vals_ref, ids_ref, TB, TN, R)
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "tn", "qi8"))
+def _candidates_i4(codes: jax.Array, scales: jax.Array, q: jax.Array,
+                   count: jax.Array, tb: int, tn: int, qi8: bool = True
+                   ) -> tuple[jax.Array, jax.Array]:
+    """i4 twin of _candidates: codes are (N, D/2) packed uint8; the
+    query splits into dim-plane halves outside the kernel. Same N-major
+    grid, output blocks, and count contract as _candidates."""
+    B, D = q.shape
+    N = codes.shape[0]
+    R = tn // W
+    if qi8:
+        qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True),
+                           1e-30)
+        qs = qmax / 127.0                                # (B, 1) f32
+        qq = jnp.round(q / qs).astype(jnp.int8)
+    else:
+        qs = jnp.ones((B, 1), jnp.float32)
+        qq = q.astype(jnp.float32)
+    qlo, qhi = qq[:, : D // 2], qq[:, D // 2:]
+    vals, ids = pl.pallas_call(
+        functools.partial(_select_kernel_i4, qi8=qi8),
+        out_shape=(jax.ShapeDtypeStruct((B, N // W), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N // W), jnp.int32)),
+        grid=(N // tn, B // tb),   # N MAJOR: codes DMA'd once, revisited
+        in_specs=[
+            pl.BlockSpec((tb, D // 2), lambda ni, bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, D // 2), lambda ni, bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda ni, bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, codes.shape[1]), lambda ni, bi: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda ni, bi: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, R), lambda ni, bi: (bi, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, R), lambda ni, bi: (bi, ni),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qlo, qhi, qs, codes, scales[None, :],
+      count.reshape(1).astype(jnp.int32))
+    return vals, ids
 
 
 @functools.partial(jax.jit, static_argnames=("tb", "tn", "qi8"))
@@ -193,8 +299,9 @@ def supports(capacity: int, dim: int, dtype: str,
     chunked scan otherwise. f32 keeps the exact-oracle XLA path.
     tn must be a multiple of W*128: each grid step emits tn/W output
     LANES, and Mosaic requires 128-lane blocks (measured: tn=8192
-    fails lowering with R=64)."""
-    return (dtype in ("i8", "bf16") and capacity % tn == 0
+    fails lowering with R=64). `dim` is the LOGICAL dim for every
+    dtype (i4 stores dim/2 packed bytes per row)."""
+    return (dtype in ("i8", "bf16", "i4") and capacity % tn == 0
             and capacity >= tn and dim % 128 == 0
             and tn % (W * 128) == 0)
 
@@ -231,7 +338,9 @@ def search_select(codes: jax.Array, scales: jax.Array | None,
     QI8_DEFAULT gates it for i8 codes (see doc/performance.md for the
     measured A/B before flipping it)."""
     B = queries.shape[0]
-    N, D = codes.shape
+    N = codes.shape[0]
+    i4 = codes.dtype == jnp.uint8  # nibble-packed (N, D/2) storage
+    D = codes.shape[1] * 2 if i4 else codes.shape[1]  # logical dim
     if N % tn != 0 or D % 128 != 0 or tn % (W * 128) != 0:
         # A non-multiple capacity would floor-truncate the grid AND
         # leave N//W - grid*R output columns uninitialized — garbage
@@ -242,13 +351,16 @@ def search_select(codes: jax.Array, scales: jax.Array | None,
             f"search_select needs capacity % {tn} == 0 and dim % 128 == 0,"
             f" got codes {codes.shape}; pad the buffer (see supports())")
     if qi8 is None:
-        qi8 = QI8_DEFAULT and codes.dtype == jnp.int8
+        qi8 = QI8_DEFAULT and (codes.dtype == jnp.int8 or i4)
     tb = min(tb, max(8, 1 << (B - 1).bit_length()))  # small batches
     padded = -(-B // tb) * tb
     q = queries.astype(jnp.float32)
     if padded != B:
         q = jnp.pad(q, ((0, padded - B), (0, 0)))
-    vals, ids = _candidates(codes, scales, q, count, tb, tn, qi8=qi8)
+    if i4:
+        vals, ids = _candidates_i4(codes, scales, q, count, tb, tn, qi8=qi8)
+    else:
+        vals, ids = _candidates(codes, scales, q, count, tb, tn, qi8=qi8)
     # The candidate array is N/W columns — linear in N, so the final
     # top_k would re-create the selector bottleneck (measured 0.6
     # ms/batch of the 6.5 at 1M rows). Fold pairwise (min + id select,

@@ -14,6 +14,8 @@ never resides on host (24 GB f32).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python examples/bench_16m.py
 (~20 min: the 16M-row host build dominates.)
 BENCH_16M_ROWS=8388608 runs the same harness at the 8M tier.
+BENCH_16M_DTYPE=i4 measures the nibble-packed capacity tier (0.5
+byte/dim — the 64M single-chip envelope; doc/performance.md).
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ from dawnsearch_tpu.index.flat import FlatIndex  # noqa: E402
 from dawnsearch_tpu.ops.scan_select import search_select  # noqa: E402
 
 N = int(os.environ.get("BENCH_16M_ROWS", 1 << 24))  # default 16,777,216
+DTYPE = os.environ.get("BENCH_16M_DTYPE", "i8")
 K = 10
 # At 24M+ rows the (BATCH, N/128) candidate array joins the codes as a
 # first-order HBM tenant (2 GB at 32M/1024); BENCH_16M_BATCH=256 keeps
@@ -85,7 +88,7 @@ def main() -> None:
 
     best_d = np.full((NQ, K), np.inf)
     best_i = np.full((NQ, K), -1, np.int64)
-    ix = FlatIndex(dtype="i8", capacity=N, max_capacity=N, segment=N)
+    ix = FlatIndex(dtype=DTYPE, capacity=N, max_capacity=N, segment=N)
     t0 = time.perf_counter()
     for s0, v in corpus_blocks(N):
         ix.add(v)
@@ -129,7 +132,7 @@ def main() -> None:
     ids = np.asarray(many(*args, **kw)[1])
     recall = float(np.mean([len(set(a.tolist()) & set(b.tolist())) / K
                             for a, b in zip(ids[:NQ], best_i)]))
-    log({"engine": "flat_i8_fused", "rows": N,
+    log({"engine": f"flat_{DTYPE}_fused", "rows": N,
          "qps": round(BATCH / best, 1),
          "per_batch_ms": round(best * 1000, 2),
          "recall_at_10": round(recall, 4)})
@@ -148,7 +151,7 @@ def main() -> None:
             bestf = min(bestf, (time.perf_counter() - t0) / kwf["reps"])
         cand = np.asarray(many(*args, **kwf)[1])[:NQ]
         rr = rerank_recall(qs[:NQ], cand, best_i)
-        log({"engine": "flat_i8_fused", "rows": N, "k_fetch": kf,
+        log({"engine": f"flat_{DTYPE}_fused", "rows": N, "k_fetch": kf,
              "qps": round(BATCH / bestf, 1),
              "per_batch_ms": round(bestf * 1000, 2),
              "recall_rerank_at_10": round(rr, 4)})

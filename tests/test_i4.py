@@ -1,0 +1,264 @@
+"""i4 capacity tier: nibble packing, FlatIndex paths, fused kernel.
+
+The i4 tier halves storage vs i8 (0.5 byte/dim, dim-plane packed —
+ops/quant.py) to ~double the single-chip row envelope; recall is
+coarser than i8, so the serving contract is overfetch + exact re-rank
+(the provider's existing host f32 re-rank engages automatically:
+dtype != "f32" counts as quantized). No reference counterpart —
+USearch's smallest scalar mode is f8 (examples_old/search_usearch.rs:39);
+this goes below it for capacity, with the re-rank restoring accuracy.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from dawnsearch_tpu.index.flat import FlatIndex
+from dawnsearch_tpu.ops.quant import (
+    quantize_i4, quantize_i4_np, unpack_i4, unpack_i4_np)
+
+
+def brute_force(q, x, k):
+    d = 1.0 - q @ x.T
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+# -- packing / quantization ----------------------------------------------
+
+
+def test_i4_pack_roundtrip(unit_vectors):
+    x = unit_vectors(64)
+    packed, scales = quantize_i4_np(x)
+    assert packed.shape == (64, 192) and packed.dtype == np.uint8
+    codes = unpack_i4_np(packed)
+    assert codes.shape == (64, 384) and codes.dtype == np.int8
+    assert codes.min() >= -7 and codes.max() <= 7
+    # reconstruction error bounded by half a step per element
+    recon = codes.astype(np.float32) * scales[:, None]
+    step = scales[:, None]
+    assert np.all(np.abs(recon - x) <= 0.5 * step + 1e-6)
+    # at least one element per row hits the absmax level +-7
+    assert np.all(np.abs(codes).max(axis=1) == 7)
+
+
+def test_i4_plane_layout(unit_vectors):
+    """Byte j holds dim j (low nibble) and dim D/2+j (high nibble) —
+    the layout the fused kernel's two-matmul split depends on."""
+    x = unit_vectors(8)
+    packed, scales = quantize_i4_np(x)
+    codes = unpack_i4_np(packed)
+    lo = (packed & 0xF).astype(np.int8) - 8
+    hi = (packed >> 4).astype(np.int8) - 8
+    np.testing.assert_array_equal(codes[:, :192], lo)
+    np.testing.assert_array_equal(codes[:, 192:], hi)
+
+
+def test_i4_device_matches_host(unit_vectors):
+    x = unit_vectors(32)
+    hp, hs = quantize_i4_np(x)
+    dp, ds = quantize_i4(x)
+    np.testing.assert_array_equal(hp, np.asarray(dp))
+    np.testing.assert_allclose(hs, np.asarray(ds), rtol=1e-6)
+    np.testing.assert_array_equal(unpack_i4_np(hp), np.asarray(unpack_i4(dp)))
+
+
+def test_i4_odd_dim_rejected():
+    with pytest.raises(ValueError, match="even dim"):
+        quantize_i4_np(np.ones((2, 383), np.float32))
+    with pytest.raises(ValueError, match="even dim"):
+        FlatIndex(dim=383, dtype="i4")
+
+
+# -- FlatIndex XLA path ---------------------------------------------------
+
+
+def test_i4_index_recall_small(unit_vectors):
+    """XLA chunked path: i4 storage error costs recall vs i8 but the
+    top-1 self-match and the bulk of top-10 survive at small N."""
+    x = unit_vectors(2000)
+    q = x[:16]  # self-queries: exact match must dominate
+    idx = FlatIndex(dtype="i4", capacity=2048)
+    idx.add(x)
+    assert idx._codes.shape == (idx.capacity, 192)  # packed width D/2
+    d, i = idx.search(q, 10)
+    assert (i[:, 0] == np.arange(16)).mean() >= 0.9
+    fresh = unit_vectors(8)
+    bd, bi = brute_force(fresh, x, 10)
+    d2, i2 = idx.search(fresh, 10)
+    # raw i4 recall is loose; assert it is usable, the re-rank tests
+    # below assert the serving-quality number
+    hits = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i2, bi)])
+    assert hits >= 0.5
+
+
+def test_i4_with_f16_rerank_restores_recall(unit_vectors):
+    """exact="f16" device re-rank on top of i4 codes: recall back to
+    ~exact at small N (the serving-quality configuration when HBM
+    allows the +2 B/dim shadow)."""
+    x = unit_vectors(2000)
+    q = unit_vectors(8)
+    idx = FlatIndex(dtype="i4", capacity=2048, exact="f16", rerank_extra=50)
+    idx.add(x)
+    d, i = idx.search(q, 10)
+    bd, bi = brute_force(q, x, 10)
+    hits = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, bi)])
+    assert hits >= 0.95
+    np.testing.assert_allclose(d[:, 0], bd[:, 0], atol=2e-3)
+
+
+def test_i4_growth_and_reconstruct(unit_vectors):
+    idx = FlatIndex(dtype="i4", capacity=64, segment=64)
+    rows = []
+    for _ in range(4):
+        b = unit_vectors(40)
+        rows.append(b)
+        idx.add(b)
+    x = np.concatenate(rows)
+    assert len(idx) == 160 and idx.capacity >= 160
+    d, i = idx.search(x[77:78], 1)
+    assert i[0, 0] == 77
+    r = idx.reconstruct(77)
+    assert r.shape == (384,)
+    assert 1.0 - r @ x[77] < 5e-3  # i4 reconstruction error bound
+
+
+def test_i4_nbytes_half_of_i8(unit_vectors):
+    i8 = FlatIndex(dtype="i8", capacity=16384, segment=16384)
+    i4 = FlatIndex(dtype="i4", capacity=16384, segment=16384)
+    # codes halve; the f32 scales array is identical
+    assert i4.nbytes == i8.nbytes - 16384 * 384 // 2
+
+
+def test_i4_save_load_roundtrip(tmp_path, unit_vectors):
+    x = unit_vectors(300)
+    idx = FlatIndex(dtype="i4", capacity=512)
+    idx.add(x)
+    p = os.path.join(tmp_path, "i4.npz")
+    idx.save(p)
+    idx2 = FlatIndex.load(p)
+    assert idx2.dtype == "i4" and idx2.dim == 384 and len(idx2) == 300
+    d1, i1 = idx.search(x[:4], 5)
+    d2, i2 = idx2.search(x[:4], 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+
+
+def test_i4_load_backfills_requested_shadow(tmp_path, unit_vectors):
+    """exact="f16" requested on a shadow-less i4 snapshot: the shadow
+    backfills from DEQUANTIZED i4 codes (not zeros; round-2 advisor
+    class of bug)."""
+    x = unit_vectors(200)
+    idx = FlatIndex(dtype="i4", capacity=256)
+    idx.add(x)
+    p = os.path.join(tmp_path, "i4.npz")
+    idx.save(p)
+    idx2 = FlatIndex.load(p, exact="f16")
+    assert idx2.device_rerank
+    shadow = np.asarray(idx2._exact[:200], np.float32)
+    # the shadow carries the i4 quantization error, not zeros
+    assert np.all(np.linalg.norm(shadow, axis=1) > 0.9)
+    d, i = idx2.search(x[:4], 5)
+    assert (i[:, 0] == np.arange(4)).all()
+
+
+# -- fused Pallas kernel (interpret mode on CPU) --------------------------
+
+
+def test_i4_fused_selector_matches_xla_path(unit_vectors):
+    """The i4 fused kernel's candidates match brute force at the same
+    rate as the XLA i4 path — the two-matmul plane split and the
+    shared argmin tail are score-equivalent."""
+    x = unit_vectors(16384)
+    q = unit_vectors(16)
+    idx = FlatIndex(dtype="i4", capacity=16384, segment=16384,
+                    selector="fused")
+    idx.fused_min_rows = 0
+    idx.add(x)
+    from dawnsearch_tpu.ops import scan_select
+    assert scan_select.eligible(idx.count, idx.capacity, idx.dim,
+                                idx.dtype, idx.selector, 0)
+    d, i = idx.search(q, 10)
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+    # compare against the XLA chunked path on the same storage
+    idx_xla = FlatIndex(dtype="i4", capacity=16384, segment=16384,
+                        selector="approx")
+    idx_xla.add(x)
+    dx, ix = idx_xla.search(q, 10)
+    overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, ix)])
+    assert overlap >= 0.7  # windowed-candidate loss only
+    np.testing.assert_allclose(d[:, 0], dx[:, 0], atol=2e-2)
+    # top-1 self-queries survive the fused path
+    ds, is_ = idx.search(x[:8], 5)
+    assert (is_[:, 0] == np.arange(8)).mean() >= 0.9
+
+
+def test_i4_fused_qi8_and_bf16_agree(unit_vectors):
+    """Both scoring branches of the i4 kernel (s8xs8 and bf16)."""
+    import jax.numpy as jnp
+    from dawnsearch_tpu.ops.scan_select import search_select
+
+    x = unit_vectors(16384)
+    q = unit_vectors(8)
+    idx = FlatIndex(dtype="i4", capacity=16384, segment=16384)
+    idx.add(x)
+    args = (idx._codes, idx._scales, jnp.asarray(q), jnp.int32(idx.count))
+    d0, i0 = map(np.asarray, search_select(*args, 10, qi8=False))
+    d1, i1 = map(np.asarray, search_select(*args, 10, qi8=True))
+    overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i0, i1)])
+    assert overlap >= 0.7
+    np.testing.assert_allclose(d0[:, 0], d1[:, 0], atol=1e-2)
+
+
+def test_i4_fused_partial_fill_masks_tail(unit_vectors):
+    x = unit_vectors(300)
+    idx = FlatIndex(dtype="i4", capacity=16384, segment=16384,
+                    selector="fused")
+    idx.fused_min_rows = 0
+    idx.add(x)
+    d, i = idx.search(x[:2], 20)
+    valid = i >= 0
+    assert np.all(i[valid] < 300)
+    assert np.all(np.isinf(d[~valid]))
+    assert i[0, 0] == 0
+
+
+def test_i4_fused_with_device_rerank(unit_vectors):
+    x = unit_vectors(16384)
+    q = unit_vectors(4)
+    idx = FlatIndex(dtype="i4", capacity=16384, segment=16384,
+                    selector="fused", exact="f16", rerank_extra=50)
+    idx.fused_min_rows = 0
+    idx.add(x)
+    d, i = idx.search(q, 10)
+    for b in range(4):
+        for dd, ii in zip(d[b], i[b]):
+            if ii >= 0:
+                assert abs(dd - (1.0 - q[b] @ x[ii])) < 2e-3
+
+
+# -- provider integration --------------------------------------------------
+
+
+def test_provider_i4_end_to_end(tmp_path, unit_vectors):
+    """index_dtype="i4" through SearchProvider: insert, search (host
+    f32 re-rank engages: i4 is quantized storage), save, reload."""
+    from dawnsearch_tpu.index.provider import SearchProvider
+
+    d = str(tmp_path)
+    sp = SearchProvider(data_dir=d, index_dtype="i4")
+    vecs = unit_vectors(200)
+    ids = sp.insert_pages([f"http://x/{j}" for j in range(200)],
+                          [f"t{j}" for j in range(200)],
+                          [f"text {j}" for j in range(200)], vecs)
+    assert all(i is not None for i in ids)
+    res = sp.search_embeddings(vecs[:3], k=5)
+    # self-hits first: i4 raw error is erased by the host f32 re-rank
+    assert [r.pages[0].url for r in res] == [f"http://x/{j}" for j in range(3)]
+    assert all(r.pages[0].distance < 1e-4 for r in res)
+    sp.save()
+    sp2 = SearchProvider(data_dir=d, index_dtype="i4")
+    assert len(sp2.index) == 200 and sp2.index.dtype == "i4"
+    res2 = sp2.search_embeddings(vecs[:3], k=5)
+    assert [r.pages[0].url for r in res2] == [f"http://x/{j}" for j in range(3)]
