@@ -8,7 +8,8 @@ and the merge is `lax.top_k` over an `all_gather` of (distances, ids)
 riding ICI — one XLA program, no host round-trips.
 
 Layout:
-- codes  (S, cap, D)  P("shard", None, None)   vector data (f32/bf16/i8)
+- codes  (S, cap, D)  P("shard", None, None)   vector data (f32/bf16/i8;
+                                               i4 packs D/2 bytes per row)
 - scales (S, cap)     P("shard", None)         i8 per-row scales
 - exact  (S, cap, D)  P("shard", None, None)   optional f16 shadow (re-rank)
 - ids    (S, cap)     P("shard", None)         user ids, gathered at search
@@ -170,8 +171,10 @@ class ShardedFlatIndex:
         exact: str | None = None,
         rerank_extra: int = 30,
     ):
-        if dtype not in ("f32", "bf16", "i8"):
+        if dtype not in ("f32", "bf16", "i8", "i4"):
             raise ValueError(f"unsupported dtype {dtype}")
+        if dtype == "i4" and dim % 2:
+            raise ValueError("i4 nibble packing needs an even dim")
         if exact not in (None, "f16"):
             raise ValueError(f"unsupported exact dtype {exact}")
         if exact and dtype == "f32":
@@ -196,13 +199,16 @@ class ShardedFlatIndex:
         self.cap_per_shard = _round_up(max(capacity_per_shard, segment), segment)
         self._counts = np.zeros(self.n_shards, dtype=np.int64)
         self._next_id = 0
-        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[dtype]
+        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8,
+               "i4": jnp.uint8}[dtype]
         S, cap = self.n_shards, self.cap_per_shard
+        width = dim // 2 if dtype == "i4" else dim  # i4: packed nibbles
         self._codes = jax.device_put(
-            jnp.zeros((S, cap, dim), jdt), self._shard3)
+            jnp.zeros((S, cap, width), jdt), self._shard3)
         self._scales = (jax.device_put(jnp.ones((S, cap), jnp.float32),
                                        self._shard2)
-                        if dtype == "i8" else jnp.zeros((), jnp.float32))
+                        if dtype in ("i8", "i4")
+                        else jnp.zeros((), jnp.float32))
         self.exact = exact
         self.rerank_extra = rerank_extra
         self._exact = (jax.device_put(jnp.zeros((S, cap, dim), jnp.float16),
@@ -237,7 +243,7 @@ class ShardedFlatIndex:
     @property
     def nbytes(self) -> int:
         n = self._codes.size * self._codes.dtype.itemsize + self._ids.size * 4
-        if self.dtype == "i8":
+        if self.dtype in ("i8", "i4"):
             n += self._scales.size * 4
         if self.exact:
             n += self._exact.size * 2
@@ -256,7 +262,7 @@ class ShardedFlatIndex:
         pad = new_cap - self.cap_per_shard
         self._codes = jax.device_put(
             jnp.pad(self._codes, ((0, 0), (0, pad), (0, 0))), self._shard3)
-        if self.dtype == "i8":
+        if self.dtype in ("i8", "i4"):
             self._scales = jax.device_put(
                 jnp.pad(self._scales, ((0, 0), (0, pad)), constant_values=1.0),
                 self._shard2)
@@ -340,7 +346,11 @@ class ShardedFlatIndex:
             absmax = np.abs(rows).max(axis=1)
             scs = np.maximum(absmax, 1e-12) / 127.0
             data = np.clip(np.round(rows / scs[:, None]), -127, 127)
-        row_blocks = np.zeros((S, max_rows, D), np.float32)
+        elif self.dtype == "i4":
+            from dawnsearch_tpu.ops.quant import quantize_i4_np
+            data, scs = quantize_i4_np(rows)  # packed (n, D/2) uint8
+        width = D // 2 if self.dtype == "i4" else D
+        row_blocks = np.zeros((S, max_rows, width), np.float32)
         scale_blocks = np.ones((S, max_rows), np.float32)
         exact_blocks = (np.zeros((S, max_rows, D), np.float16)
                         if self.exact else None)
@@ -350,16 +360,17 @@ class ShardedFlatIndex:
             sel = per_shard[s]
             starts[s] = self._counts[s]
             if len(sel):
-                row_blocks[s, : len(sel)] = (data[sel] if self.dtype == "i8"
-                                             else rows[sel])
+                row_blocks[s, : len(sel)] = (
+                    data[sel] if self.dtype in ("i8", "i4") else rows[sel])
                 id_blocks[s, : len(sel)] = ids[sel]
-                if self.dtype == "i8":
+                if self.dtype in ("i8", "i4"):
                     scale_blocks[s, : len(sel)] = scs[sel]
                 if exact_blocks is not None:
                     exact_blocks[s, : len(sel)] = rows[sel].astype(np.float16)
 
-        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8}[self.dtype]
-        has_scales = self.dtype == "i8"
+        jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8,
+               "i4": jnp.uint8}[self.dtype]
+        has_scales = self.dtype in ("i8", "i4")
         self._codes, self._scales, self._exact, self._ids = _sharded_write(
             self._codes, self._scales, self._exact, self._ids,
             jax.device_put(jnp.asarray(row_blocks, jdt), self._shard3),
@@ -416,7 +427,7 @@ class ShardedFlatIndex:
             self._codes, self._scales, self._exact, self._ids,
             jnp.asarray(self._counts, jnp.int32), q,
             k=k_local, kf=kf, chunk=self.chunk, mesh=self.mesh,
-            has_scales=self.dtype == "i8",
+            has_scales=self.dtype in ("i8", "i4"),
             has_exact=self.exact is not None,
             approx=self.dtype != "f32", dp_axis=self.dp_axis,
             fused_sel=fused_sel)
@@ -443,7 +454,7 @@ class ShardedFlatIndex:
             tmp,
             kind="sharded",
             codes=np.asarray(self._codes),
-            scales=(np.asarray(self._scales) if self.dtype == "i8"
+            scales=(np.asarray(self._scales) if self.dtype in ("i8", "i4")
                     else np.empty(0)),
             exact=(np.asarray(self._exact) if self.exact else np.empty(0)),
             ids=np.asarray(self._ids),
@@ -468,9 +479,10 @@ class ShardedFlatIndex:
             ids = z["ids"]
             counts = z["counts"].astype(np.int64)
             dtype = str(z["dtype"])
+            dim = int(z["dim"])  # logical dim (i4 codes store dim/2 bytes)
             next_id = int(z["next_id"])
         has_exact = exact.size > 0
-        S0, cap0, dim = codes.shape
+        S0, cap0 = codes.shape[:2]
         kwargs.setdefault("segment", cap0)  # preserve saved capacity
         kwargs.setdefault("exact", "f16" if has_exact else None)
         idx = cls(mesh=mesh, dim=dim, dtype=dtype,
@@ -478,7 +490,7 @@ class ShardedFlatIndex:
         if idx.n_shards == S0:
             idx._codes = jax.device_put(
                 jnp.asarray(codes, idx._codes.dtype), idx._shard3)
-            if dtype == "i8":
+            if dtype in ("i8", "i4"):
                 idx._scales = jax.device_put(jnp.asarray(scales),
                                              idx._shard2)
             if has_exact and idx.exact:
@@ -488,9 +500,16 @@ class ShardedFlatIndex:
                 # requested shadow absent from the snapshot: backfill
                 # from dequantized codes instead of serving an all-zero
                 # re-rank buffer (round-2 advisor; see FlatIndex.load)
-                deq = codes.astype(np.float32)
-                if dtype == "i8":
-                    deq = deq * scales[:, :, None]
+                if dtype == "i4":
+                    from dawnsearch_tpu.ops.quant import unpack_i4_np
+                    deq = (unpack_i4_np(
+                               codes.reshape(-1, codes.shape[2])
+                           ).astype(np.float32).reshape(S0, cap0, dim)
+                           * scales[:, :, None])
+                else:
+                    deq = codes.astype(np.float32)
+                    if dtype == "i8":
+                        deq = deq * scales[:, :, None]
                 idx._exact = jax.device_put(
                     jnp.asarray(deq.astype(np.float16)), idx._shard3)
             idx._ids = jax.device_put(jnp.asarray(ids, jnp.int32),
@@ -501,10 +520,16 @@ class ShardedFlatIndex:
             for s in range(S0):
                 n = int(counts[s])
                 all_ids.append(ids[s, :n].astype(np.int64))
-                rows = (exact[s, :n].astype(np.float32)
-                        if has_exact else codes[s, :n].astype(np.float32))
-                if dtype == "i8" and not has_exact:
-                    rows = rows * scales[s, :n, None]
+                if has_exact:
+                    rows = exact[s, :n].astype(np.float32)
+                elif dtype == "i4":
+                    from dawnsearch_tpu.ops.quant import unpack_i4_np
+                    rows = (unpack_i4_np(codes[s, :n]).astype(np.float32)
+                            * scales[s, :n, None])
+                else:
+                    rows = codes[s, :n].astype(np.float32)
+                    if dtype == "i8":
+                        rows = rows * scales[s, :n, None]
                 all_rows.append(rows)
             if all_rows:
                 idx.add(np.concatenate(all_rows),

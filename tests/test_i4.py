@@ -238,6 +238,77 @@ def test_i4_fused_with_device_rerank(unit_vectors):
                 assert abs(dd - (1.0 - q[b] @ x[ii])) < 2e-3
 
 
+# -- sharded tier ----------------------------------------------------------
+
+
+def test_sharded_i4_end_to_end(unit_vectors):
+    """i4 through ShardedFlatIndex on the 8-device mesh: stripe, search
+    with f16 device re-rank, save/reload (same and re-striped shard
+    counts), and the packed (S, cap, D/2) layout."""
+    import tempfile
+
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    mesh = make_mesh()
+    x = unit_vectors(1000)
+    q = unit_vectors(6)
+    ix = ShardedFlatIndex(mesh=mesh, dtype="i4", capacity_per_shard=256,
+                          segment=256, exact="f16", rerank_extra=50)
+    assert ix._codes.shape == (8, 256, 192)
+    ids = ix.add(x)
+    np.testing.assert_array_equal(ids, np.arange(1000))
+    d, u = ix.search(q, 10)
+    bd, bi = brute_force(q, x, 10)
+    hits = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(u, bi)])
+    assert hits >= 0.95  # f16 re-rank erases i4 error at this N
+    np.testing.assert_allclose(d[:, 0], bd[:, 0], atol=2e-3)
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s.npz")
+        ix.save(p)
+        # same shard count: buffers reload verbatim
+        ix2 = ShardedFlatIndex.load(p, mesh=mesh)
+        assert ix2.dtype == "i4" and ix2.dim == 384
+        d2, u2 = ix2.search(q, 10)
+        np.testing.assert_array_equal(u, u2)
+        # different shard count: rows re-stripe through add() from the
+        # f16 shadow
+        from jax.sharding import Mesh
+        import jax
+        sub = Mesh(np.asarray(jax.devices()[:4]), ("shard",))
+        ix3 = ShardedFlatIndex.load(p, mesh=sub)
+        assert len(ix3) == 1000 and ix3.n_shards == 4
+        d3, u3 = ix3.search(q, 10)
+        hits3 = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(u3, bi)])
+        assert hits3 >= 0.9
+
+
+def test_sharded_i4_no_shadow_restripe(unit_vectors):
+    """Re-striping an i4 snapshot WITHOUT an f16 shadow dequantizes the
+    packed codes (the unpack_i4_np branch in load)."""
+    import tempfile
+
+    import jax
+    from jax.sharding import Mesh
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    x = unit_vectors(400)
+    ix = ShardedFlatIndex(mesh=make_mesh(), dtype="i4",
+                          capacity_per_shard=128, segment=128)
+    ix.add(x)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s.npz")
+        ix.save(p)
+        sub = Mesh(np.asarray(jax.devices()[:2]), ("shard",))
+        ix2 = ShardedFlatIndex.load(p, mesh=sub)
+        assert len(ix2) == 400
+        # dequantized rows carry i4 error only: self-queries still hit
+        d, u = ix2.search(x[:8], 1)
+        assert (u[:, 0] == np.arange(8)).mean() >= 0.9
+
+
 # -- provider integration --------------------------------------------------
 
 
