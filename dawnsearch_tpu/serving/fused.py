@@ -109,22 +109,31 @@ class FusedQueryPath:
             return self.finalize(emb, d, i, len(texts), k, k_eff)
 
 
+def _quantize_rows(emb, qdtype: str):
+    """In-program storage quantizer for the fused ingest paths: i8
+    (index/flat.py) or packed i4 (ops/quant.py dim-plane nibbles)."""
+    if qdtype == "i4":
+        from dawnsearch_tpu.ops.quant import quantize_i4
+        return quantize_i4(emb)
+    from dawnsearch_tpu.index.flat import _quantize_rows_i8
+    return _quantize_rows_i8(emb)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mask_padding", "include_padding"),
+    static_argnames=("cfg", "mask_padding", "include_padding", "qdtype"),
     donate_argnums=(3, 4))
 def _fused_ingest_program(params, input_ids, mask, codes, scales, count, *,
-                          cfg, mask_padding, include_padding):
-    """encode -> i8 quantize -> write into the (donated) index buffers at
-    row offset `count`. Rows beyond the caller's valid n are scratch:
+                          cfg, mask_padding, include_padding,
+                          qdtype: str = "i8"):
+    """encode -> i8/i4 quantize -> write into the (donated) index buffers
+    at row offset `count`. Rows beyond the caller's valid n are scratch:
     they sit past `count + n`, are masked out of every search, and the
     next insert overwrites them."""
-    from dawnsearch_tpu.index.flat import _quantize_rows_i8
-
     emb = encode_batch(params, input_ids, mask, cfg=cfg,
                        mask_padding=mask_padding,
                        include_padding=include_padding)
-    qcodes, qscales = _quantize_rows_i8(emb)
+    qcodes, qscales = _quantize_rows(emb, qdtype)
     codes = jax.lax.dynamic_update_slice(codes, qcodes, (count, 0))
     scales = jax.lax.dynamic_update_slice(scales, qscales, (count,))
     return codes, scales, emb
@@ -132,18 +141,16 @@ def _fused_ingest_program(params, input_ids, mask, codes, scales, count, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mask_padding", "include_padding"),
+    static_argnames=("cfg", "mask_padding", "include_padding", "qdtype"),
     donate_argnums=(3, 4, 5))
 def _fused_ingest_program_exact(params, input_ids, mask, codes, scales,
                                 exact, count, *, cfg, mask_padding,
-                                include_padding):
+                                include_padding, qdtype: str = "i8"):
     """_fused_ingest_program + the f16 shadow write (device re-rank)."""
-    from dawnsearch_tpu.index.flat import _quantize_rows_i8
-
     emb = encode_batch(params, input_ids, mask, cfg=cfg,
                        mask_padding=mask_padding,
                        include_padding=include_padding)
-    qcodes, qscales = _quantize_rows_i8(emb)
+    qcodes, qscales = _quantize_rows(emb, qdtype)
     codes = jax.lax.dynamic_update_slice(codes, qcodes, (count, 0))
     scales = jax.lax.dynamic_update_slice(scales, qscales, (count,))
     exact = jax.lax.dynamic_update_slice(
@@ -168,12 +175,13 @@ def _chunk_by_bucket(ingest_fn, encoder, texts, token_ids):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cfg", "mask_padding", "include_padding",
-                     "has_exact"),
+                     "has_exact", "qdtype"),
     donate_argnums=(3, 4, 5, 6))
 def _sharded_fused_ingest_program(params, input_ids, mask, codes, scales,
                                   exact, idsbuf, sel, uids, nvalid, starts,
                                   *, mesh, cfg, mask_padding,
-                                  include_padding, has_exact):
+                                  include_padding, has_exact,
+                                  qdtype: str = "i8"):
     """encode -> i8 quantize -> every shard blend-writes its slice at
     its own offset, ONE program over the mesh. The per-shard row
     assignment (`sel`, from ShardedFlatIndex._plan_insert) is
@@ -184,13 +192,12 @@ def _sharded_fused_ingest_program(params, input_ids, mask, codes, scales,
     room (round-2 advisor finding)."""
     from jax.sharding import PartitionSpec as P
 
-    from dawnsearch_tpu.index.flat import _quantize_rows_i8
     from dawnsearch_tpu.parallel.sharded_index import AXIS, _blend_write
 
     emb = encode_batch(params, input_ids, mask, cfg=cfg,
                        mask_padding=mask_padding,
                        include_padding=include_padding)
-    qcodes, qscales = _quantize_rows_i8(emb)
+    qcodes, qscales = _quantize_rows(emb, qdtype)
     f16 = (emb.astype(jnp.float16) if has_exact
            else jnp.zeros((), jnp.float16))
 
@@ -228,7 +235,7 @@ def _sharded_fused_ingest_program(params, input_ids, mask, codes, scales,
 
 
 class ShardedFusedIngestPath:
-    """Batched page ingest against an i8 ShardedFlatIndex in one
+    """Batched page ingest against a quantized (i8/i4) ShardedFlatIndex in one
     dispatch — the multi-chip twin of FusedIngestPath (the SPMD
     replacement for the reference's one-page-at-a-time insert,
     search_service.rs:158-181, on a sharded engine)."""
@@ -240,7 +247,8 @@ class ShardedFusedIngestPath:
     @staticmethod
     def supports(index) -> bool:
         from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
-        return isinstance(index, ShardedFlatIndex) and index.dtype == "i8"
+        return (isinstance(index, ShardedFlatIndex)
+                and index.dtype in ("i8", "i4"))
 
     @property
     def max_batch(self) -> int | None:
@@ -287,7 +295,7 @@ class ShardedFusedIngestPath:
                     mesh=ix.mesh, cfg=enc.cfg,
                     mask_padding=enc.mask_padding,
                     include_padding=enc.include_padding_in_pool,
-                    has_exact=ix.exact is not None)
+                    has_exact=ix.exact is not None, qdtype=ix.dtype)
         for s in range(S):
             ix._counts[s] += len(per_shard[s])
         ix._next_id = int(uids[-1]) + 1
@@ -308,7 +316,8 @@ class ShardedFusedIngestPath:
 
 
 class FusedIngestPath:
-    """Batched page ingest against an i8 FlatIndex in one dispatch."""
+    """Batched page ingest against a quantized (i8/i4) FlatIndex in one
+    dispatch."""
 
     def __init__(self, encoder, index: FlatIndex):
         self.encoder = encoder
@@ -316,7 +325,7 @@ class FusedIngestPath:
 
     @staticmethod
     def supports(index) -> bool:
-        return isinstance(index, FlatIndex) and index.dtype == "i8"
+        return isinstance(index, FlatIndex) and index.dtype in ("i8", "i4")
 
     @property
     def max_batch(self) -> int | None:
@@ -362,13 +371,15 @@ class FusedIngestPath:
                         jnp.asarray(mask), ix._codes, ix._scales,
                         ix._exact, jnp.int32(ix.count),
                         cfg=enc.cfg, mask_padding=enc.mask_padding,
-                        include_padding=enc.include_padding_in_pool)
+                        include_padding=enc.include_padding_in_pool,
+                        qdtype=ix.dtype)
             else:
                 ix._codes, ix._scales, emb = _fused_ingest_program(
                     enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
                     ix._codes, ix._scales, jnp.int32(ix.count),
                     cfg=enc.cfg, mask_padding=enc.mask_padding,
-                    include_padding=enc.include_padding_in_pool)
+                    include_padding=enc.include_padding_in_pool,
+                    qdtype=ix.dtype)
         ix.count += n
         return emb
 

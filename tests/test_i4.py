@@ -238,6 +238,81 @@ def test_i4_fused_with_device_rerank(unit_vectors):
                 assert abs(dd - (1.0 - q[b] @ x[ii])) < 2e-3
 
 
+# -- fused ingest (one-dispatch encode+quantize+write) ---------------------
+
+
+@pytest.fixture(scope="module")
+def mini_encoder():
+    import jax
+    from dawnsearch_tpu.models.bert import BertConfig
+    from dawnsearch_tpu.models.encoder import SentenceEncoder
+    from dawnsearch_tpu.models.tokenizer import (
+        WordPieceTokenizer, build_vocab_from_corpus)
+    from dawnsearch_tpu.models.weights import init_params
+
+    corpus = ["the lighthouse keeper watched the storm",
+              "quantum matrix operations on tensor processors",
+              "a recipe for sourdough bread and butter",
+              "railway schedules across the mountain pass",
+              "deep sea creatures of the midnight zone"]
+    cfg = BertConfig(vocab_size=2048, hidden_size=64, num_layers=2,
+                     num_heads=4, intermediate_size=128,
+                     max_position_embeddings=64)
+    vocab = build_vocab_from_corpus(corpus, size=2048)
+    params = init_params(jax.random.key(0), cfg)
+    enc = SentenceEncoder(params, WordPieceTokenizer(vocab), cfg=cfg,
+                          seq_buckets=(16, 32), batch_buckets=(1, 8, 32))
+    enc._corpus = corpus
+    return enc
+
+
+def test_i4_fused_ingest_flat(mini_encoder):
+    """FusedIngestPath on an i4 FlatIndex: in-program quantize_i4
+    writes packed rows; searches hit the same pages the split path
+    inserts."""
+    from dawnsearch_tpu.index.provider import SearchProvider
+    from dawnsearch_tpu.serving.batcher import EmbeddingBatcher
+    from dawnsearch_tpu.serving.search_service import SearchService
+
+    corpus = mini_encoder._corpus
+    provider = SearchProvider(data_dir=None, dim=64, index_dtype="i4",
+                              verify_on_load=False)
+    batcher = EmbeddingBatcher(mini_encoder.encode, max_batch=8)
+    svc = SearchService(provider, batcher)
+    try:
+        assert svc._fused_ingest is not None  # supports() gate open
+        pages = [(f"https://i4/{i}", "t", corpus[i % 5] + f" {i}")
+                 for i in range(12)]
+        ids = svc.insert_pages(pages)
+        assert all(i is not None for i in ids)
+        assert provider.index.dtype == "i4"
+        assert provider.index._codes.shape[1] == 32  # packed 64/2
+        res = svc.text_search("t\n" + pages[3][2], search_remote=False)
+        assert res.pages[0].page_id == ids[3]
+    finally:
+        batcher.stop()
+        svc.shutdown()
+
+
+def test_i4_sharded_fused_ingest(mini_encoder):
+    """ShardedFusedIngestPath on an i4 ShardedFlatIndex over the mesh."""
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+    from dawnsearch_tpu.serving.fused import ShardedFusedIngestPath
+
+    corpus = mini_encoder._corpus
+    ix = ShardedFlatIndex(mesh=make_mesh(), dim=64, dtype="i4",
+                          capacity_per_shard=16, segment=16)
+    assert ShardedFusedIngestPath.supports(ix)
+    path = ShardedFusedIngestPath(mini_encoder, ix)
+    texts = [corpus[i % 5] + f" {i}" for i in range(20)]
+    emb = path.ingest(texts)
+    assert emb.shape == (20, 64) and len(ix) == 20
+    d, u = ix.search(emb[:4] / np.linalg.norm(emb[:4], axis=1,
+                                              keepdims=True), 1)
+    assert (u[:, 0] == np.arange(4)).all()
+
+
 # -- sharded tier ----------------------------------------------------------
 
 
