@@ -359,6 +359,25 @@ def test_sharded_i4_end_to_end(unit_vectors):
         assert hits3 >= 0.9
 
 
+def test_sharded_i4_fused_selector(unit_vectors):
+    """Per-shard i4 Pallas score+select under shard_map (gate lowered
+    for the CPU test — the i4 kernel variant running inside the
+    sharded search program)."""
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    x = unit_vectors(4096)
+    ix = ShardedFlatIndex(mesh=make_mesh(), dtype="i4", exact="f16",
+                          capacity_per_shard=16384, segment=16384,
+                          rerank_extra=50)
+    ix.fused_min_rows = 0
+    ix.add(x)
+    d, u = ix.search(x[:8], 5)
+    assert (u[:, 0] == np.arange(8)).all()
+    assert np.all(d[:, 0] < 1e-2)
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
+
+
 def test_sharded_i4_no_shadow_restripe(unit_vectors):
     """Re-striping an i4 snapshot WITHOUT an f16 shadow dequantizes the
     packed codes (the unpack_i4_np branch in load)."""
