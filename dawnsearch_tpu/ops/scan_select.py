@@ -142,30 +142,36 @@ def _mask_select_store(db, base, count_ref, vals_ref, ids_ref,
 
 
 def _select_kernel_i4(qlo_ref, qhi_ref, qscale_ref, codes_ref, scales_ref,
-                      count_ref, vals_ref, ids_ref, *, qi8: bool):
+                      count_ref, vals_ref, ids_ref, lo_ref, hi_ref, *,
+                      qi8: bool):
     """i4 variant: codes arrive nibble-PACKED (TN, D/2) uint8 in the
     dim-plane layout (ops/quant.py: byte j = dims j | D/2+j << 4), so
     unpacking yields two contiguous dim planes and the dot product is
     two matmuls against the query's matching halves — rows keep their
     natural order, and the window argmin / per-row scales / count mask
     are byte-identical to the i8 kernel (_mask_select_store). The
-    unpack (2 shifts + 2 casts per tile) re-runs per query tile under
-    the N-major grid; it is O(TN*D/2) VPU work next to O(TB*TN*D) MXU
-    work. The query is pre-split OUTSIDE the kernel (a lane slice at
-    D/2=192 would relayout in Mosaic)."""
+    unpacked planes are CACHED in VMEM scratch: under the N-major grid
+    the query-tile index is the inner loop, so the unpack (i32 widen +
+    shift + bias; Mosaic has no i8 vector subtract — arith.subi fails
+    to legalize on the packed 8x128x4xi8 layout) runs once per codes
+    block and every later query tile reuses it. The bi dimension is
+    declared "arbitrary" (not "parallel") for exactly this carried
+    scratch. The query is pre-split OUTSIDE the kernel (a lane slice
+    at D/2=192 would relayout in Mosaic)."""
     TB = qlo_ref.shape[0]
     TN = codes_ref.shape[0]
     R = TN // W
     ni = pl.program_id(0)
     base = ni * TN
 
-    # Nibble arithmetic in i32: Mosaic has no i8 vector subtract
-    # (arith.subi fails to legalize on the packed 8x128x4xi8 layout);
-    # widening to i32, biasing, and truncating to i8 lowers cleanly and
-    # the MXU still sees s8 operands.
-    p = codes_ref[...].astype(jnp.int32)
-    lo = ((p & 0xF) - 8).astype(jnp.int8)   # dims [0, D/2)
-    hi = ((p >> 4) - 8).astype(jnp.int8)    # dims [D/2, D)
+    @pl.when(pl.program_id(1) == 0)
+    def _unpack():
+        p = codes_ref[...].astype(jnp.int32)
+        lo_ref[...] = ((p & 0xF) - 8).astype(jnp.int8)   # dims [0, D/2)
+        hi_ref[...] = ((p >> 4) - 8).astype(jnp.int8)    # dims [D/2, D)
+
+    lo = lo_ref[...]
+    hi = hi_ref[...]
     if qi8:
         dots = (jax.lax.dot_general(
                     qlo_ref[...], lo, (((1,), (1,)), ((), ())),
@@ -230,9 +236,13 @@ def _candidates_i4(codes: jax.Array, scales: jax.Array, q: jax.Array,
             pl.BlockSpec((tb, R), lambda ni, bi: (bi, ni),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((tn, D // 2), jnp.int8),
+                        pltpu.VMEM((tn, D // 2), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            # bi must iterate in order: the unpacked-plane scratch is
+            # written at bi == 0 and read by every later query tile.
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=80 * 1024 * 1024),
         interpret=_interpret(),
     )(qlo, qhi, qs, codes, scales[None, :],
       count.reshape(1).astype(jnp.int32))

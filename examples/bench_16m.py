@@ -43,6 +43,13 @@ K = 10
 # first-order HBM tenant (2 GB at 32M/1024); BENCH_16M_BATCH=256 keeps
 # the 32M tier inside the 15.75 GB envelope.
 BATCH = int(os.environ.get("BENCH_16M_BATCH", 1024))
+# Build-loop block size. Bigger blocks mean fewer host->device
+# dispatches (a 64M build at the default 131072 is 512 round trips
+# through the tunnel — more exposure to transient dispatch errors).
+# The corpus stream is block-size-invariant: corpus_blocks draws one
+# sequential generator stream, so any chunking yields identical rows
+# and gather_rows() can regenerate at the default block.
+BLOCK = int(os.environ.get("BENCH_16M_BLOCK", 131072))
 NQ = 64
 
 
@@ -90,7 +97,7 @@ def main() -> None:
     best_i = np.full((NQ, K), -1, np.int64)
     ix = FlatIndex(dtype=DTYPE, capacity=N, max_capacity=N, segment=N)
     t0 = time.perf_counter()
-    for s0, v in corpus_blocks(N):
+    for s0, v in corpus_blocks(N, block=BLOCK):
         ix.add(v)
         dd = 1.0 - qs[:NQ] @ v.T
         idx = np.argpartition(dd, K, axis=1)[:, :K]
