@@ -334,6 +334,13 @@ class SearchProvider:
         on_device = getattr(self.index, "device_rerank", False)
         k_fetch = (k + self.rerank
                    if (quantized and self.rerank and not on_device) else k)
+        if (quantized and self.rerank and not on_device
+                and getattr(self.index, "dtype", "") == "i4"):
+            # i4's coarser codes need a wider exact re-rank window than
+            # the i8 default; width grows with the row count (measured
+            # ladder in ops/quant.i4_fetch_width).
+            from dawnsearch_tpu.ops.quant import i4_fetch_width
+            k_fetch = max(k_fetch, i4_fetch_width(len(self.index), k))
         t0 = time.perf_counter()
         if dispatch_lock is not None and hasattr(self.index,
                                                  "search_dispatch"):

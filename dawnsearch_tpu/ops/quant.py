@@ -156,6 +156,28 @@ def unpack_i4(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
+def i4_fetch_width(count: int, k: int) -> int:
+    """Candidate fetch width for an exact re-rank over i4 storage.
+
+    i4 scoring noise is ~16x i8's (3-bit vs 7-bit mantissa), so the
+    i8 default of k+30 candidates is NOT enough for re-ranked recall
+    1.0. Measured fetch-width ladder on 384-d random unit vectors
+    (doc/performance.md "i4 capacity tier"): recall@10 after f32
+    re-rank hits 1.0 at kf=64 for 400k rows and kf=128 for 2M rows
+    (0.9945 / 0.9906 at the i8-default kf=40). The >=8M widths
+    extrapolate the observed ~sqrt(N) growth; on-chip confirmation
+    rides with the i4 QPS/recall measurements."""
+    if count <= 500_000:
+        kf = 64
+    elif count <= 2_000_000:
+        kf = 128
+    elif count <= 8_000_000:
+        kf = 256
+    else:
+        kf = 512
+    return max(kf, k)
+
+
 @jax.jit
 def scores_i8(queries: jax.Array, db: QuantizedRows) -> jax.Array:
     """(B, D) f32 queries x (N, D) i8 database -> (B, N) IP *distance* (1 - dot).

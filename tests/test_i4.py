@@ -406,6 +406,47 @@ def test_sharded_i4_no_shadow_restripe(unit_vectors):
 # -- provider integration --------------------------------------------------
 
 
+def test_i4_fetch_width_ladder():
+    """The measured fetch-width ladder (ops/quant.i4_fetch_width):
+    monotone in count, never below k, i8-default-compatible floor."""
+    from dawnsearch_tpu.ops.quant import i4_fetch_width
+
+    assert i4_fetch_width(100_000, 10) == 64
+    assert i4_fetch_width(2_000_000, 10) == 128
+    assert i4_fetch_width(8_000_000, 10) == 256
+    assert i4_fetch_width(32_000_000, 10) == 512
+    assert i4_fetch_width(100_000, 200) == 200  # never truncates k
+    widths = [i4_fetch_width(n, 10)
+              for n in (1, 10**5, 10**6, 4 * 10**6, 10**7, 10**8)]
+    assert widths == sorted(widths)
+
+
+def test_provider_i4_widens_fetch(unit_vectors):
+    """SearchProvider asks an i4 index for the ladder width, not the
+    i8 default k+30 (the CPU study measured 0.99x re-ranked recall at
+    kf=40 — doc/performance.md i4 tier)."""
+    from dawnsearch_tpu.index.provider import SearchProvider
+
+    seen = {}
+
+    class SpyIndex(FlatIndex):
+        def search(self, queries, k):
+            seen["k"] = k
+            return super().search(queries, k)
+
+    def factory():
+        return SpyIndex(dtype="i4")
+    factory.load_kwargs = {}
+
+    sp = SearchProvider(index_factory=factory)
+    vecs = unit_vectors(200)
+    sp.insert_pages([f"http://x/{j}" for j in range(200)],
+                    [f"t{j}" for j in range(200)],
+                    [f"text {j}" for j in range(200)], vecs)
+    sp.search_embeddings(vecs[:2], k=10)
+    assert seen["k"] == 64  # ladder width at 200 rows, not 10 + 30
+
+
 def test_provider_i4_end_to_end(tmp_path, unit_vectors):
     """index_dtype="i4" through SearchProvider: insert, search (host
     f32 re-rank engages: i4 is quantized storage), save, reload."""
