@@ -6,7 +6,7 @@ top_k) + recall vs a sampled exact ground truth, RAW and with the
 serving path's host f32 re-rank of k+30 candidates (the shipped
 default; round-2 VERDICT item 2 demanded the re-ranked number be
 measured, not inferred, at this envelope). If k+30 leaves recall
-under 0.99, a kf sweep (64, 128) records what candidate width would
+under 0.99, a kf sweep (the i4 ladder widths for i4) records what candidate width would
 restore it. Candidate vectors for the re-rank are re-generated from
 the seeded corpus blocks in a second streaming pass — the 16M corpus
 never resides on host (24 GB f32).
@@ -113,12 +113,15 @@ def main() -> None:
 
     @functools.partial(jax.jit, static_argnames=("k", "reps"))
     def many(codes, scales, count, q, k, reps):
+        # carry is (B, 1) — a data dependency on the previous step's
+        # output so XLA cannot hoist the identical body (CLAUDE.md);
+        # shape-independent of k (k_fetch can exceed the 384 dim).
         def body(carry, _):
-            qq = q + carry[:, :1] * 1e-12
+            qq = q + carry * 1e-12
             d, i = search_select(codes, scales, qq, count, k)
-            return jnp.pad(d, ((0, 0), (0, q.shape[1] - k))), (d, i)
+            return d[:, :1], (d, i)
         _, (d, i) = jax.lax.scan(
-            body, jnp.zeros((q.shape[0], q.shape[1]), jnp.float32),
+            body, jnp.zeros((q.shape[0], 1), jnp.float32),
             None, length=reps)
         return d[-1], i[-1]
 
@@ -144,10 +147,17 @@ def main() -> None:
          "per_batch_ms": round(best * 1000, 2),
          "recall_at_10": round(recall, 4)})
 
-    # serving default: fetch K+30, host f32 re-rank (provider.rerank=30);
-    # ALSO time the wider fetch — that is the QPS the re-ranked recall
-    # actually costs
-    for kf in (K + 30, 64, 128):
+    # serving default: host f32 re-rank over the provider's fetch
+    # width (k+30 for i8; the count-keyed ladder for i4 —
+    # ops/quant.i4_fetch_width); ALSO time wider fetches — that is the
+    # QPS the re-ranked recall actually costs.
+    if DTYPE == "i4":
+        from dawnsearch_tpu.ops.quant import i4_fetch_width
+        lad = i4_fetch_width(N, K)
+        widths = [lad, min(2 * lad, 1024)]
+    else:
+        widths = [K + 30, 64, 128]
+    for kf in widths:
         kwf = dict(k=kf, reps=4)
         d, i = many(*args, **kwf)
         np.asarray(d)
@@ -162,10 +172,8 @@ def main() -> None:
              "qps": round(BATCH / bestf, 1),
              "per_batch_ms": round(bestf * 1000, 2),
              "recall_rerank_at_10": round(rr, 4)})
-        if rr >= 0.99 and kf > K + 30:
-            break  # found the width that restores the target
-        if rr >= 0.99 and kf == K + 30:
-            break  # shipped default already meets it
+        if rr >= 0.99:
+            break  # this width restores the target recall
 
 
 if __name__ == "__main__":
