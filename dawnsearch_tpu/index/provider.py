@@ -304,6 +304,28 @@ class SearchProvider:
 
     # -- search -----------------------------------------------------------
 
+    def fetch_width(self, k: int) -> int:
+        """Candidate count to request from the index for a final top-k.
+
+        Quantized storage overfetches so the host f32 re-rank can
+        restore exact ordering; i4 widens further by the count-keyed
+        ladder (ops/quant.i4_fetch_width — the i8 k+rerank default
+        measured 0.99x re-ranked recall on i4 codes). Indexes with a
+        device-side exact re-rank (FlatIndex exact="f16") come back
+        already re-ranked — the host pass would only redo the same
+        ordering at ~60 ms/batch (doc/performance.md). ONE definition
+        shared by the split path here and the fused text path
+        (serving/search_service.py) so they cannot drift."""
+        quantized = getattr(self.index, "dtype", "f32") != "f32"
+        on_device = getattr(self.index, "device_rerank", False)
+        if not (quantized and self.rerank and not on_device):
+            return k
+        k_fetch = k + self.rerank
+        if getattr(self.index, "dtype", "") == "i4":
+            from dawnsearch_tpu.ops.quant import i4_fetch_width
+            k_fetch = max(k_fetch, i4_fetch_width(len(self.index), k))
+        return k_fetch
+
     def search_embeddings(
         self, queries: np.ndarray, k: int = 20, instance_id: str = "",
         dispatch_lock=None,
@@ -327,20 +349,7 @@ class SearchProvider:
             raise ValueError(
                 f"query embedding not normalized (length {bad:.4f}); "
                 "normalize before searching")
-        quantized = getattr(self.index, "dtype", "f32") != "f32"
-        # Indexes with a device-side exact re-rank (FlatIndex exact="f16")
-        # come back already re-ranked — the host f32 pass would only redo
-        # the same ordering at ~60 ms/batch (doc/performance.md).
-        on_device = getattr(self.index, "device_rerank", False)
-        k_fetch = (k + self.rerank
-                   if (quantized and self.rerank and not on_device) else k)
-        if (quantized and self.rerank and not on_device
-                and getattr(self.index, "dtype", "") == "i4"):
-            # i4's coarser codes need a wider exact re-rank window than
-            # the i8 default; width grows with the row count (measured
-            # ladder in ops/quant.i4_fetch_width).
-            from dawnsearch_tpu.ops.quant import i4_fetch_width
-            k_fetch = max(k_fetch, i4_fetch_width(len(self.index), k))
+        k_fetch = self.fetch_width(k)
         t0 = time.perf_counter()
         if dispatch_lock is not None and hasattr(self.index,
                                                  "search_dispatch"):

@@ -139,13 +139,9 @@ class SearchService:
         for k, idxs in by_k.items():
             texts = [payloads[i][0] for i in idxs]
             prov = self.provider
-            quantized = getattr(prov.index, "dtype", "f32") != "f32"
-            # device-rerank indexes come back pre-ranked (fused program
-            # runs the f16 re-rank itself)
-            on_device = getattr(prov.index, "device_rerank", False)
-            k_fetch = (k + prov.rerank
-                       if (quantized and prov.rerank and not on_device)
-                       else k)
+            # shared fetch-width policy (overfetch + i4 ladder;
+            # device-rerank indexes come back pre-ranked)
+            k_fetch = prov.fetch_width(k)
             # Lock only around dispatch; the execution wait (readback),
             # store-side re-rank and metadata join run outside it so an
             # in-flight ingest batch can enqueue between queries.
