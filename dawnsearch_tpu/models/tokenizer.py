@@ -80,18 +80,25 @@ def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
 
 # RoBERTa/MPNet-style vocabs name the same four specials differently
 # (all-mpnet-base-v2 vocab.txt: <s>=0 <pad>=1 </s>=2 <unk>=3); accept
-# either naming so one tokenizer serves both encoder families
+# either naming so one tokenizer serves both encoder families.
+# PRECEDENCE MATTERS: the MPNet vocab PREPENDS <s>/<pad>/</s>/<unk> to
+# the full BERT vocab, whose body still contains the literal strings
+# "[PAD]"/"[CLS]"/"[SEP]" — so for pad/cls/sep the <...> alias must WIN
+# when both exist (BERT-first resolution framed sequences with
+# [CLS]=105/[SEP]=106 and refused the real checkpoint's pad). [UNK] is
+# the one exception: HF MPNetTokenizer's unk_token IS "[UNK]", so the
+# BERT name keeps precedence there.
 _SPECIAL_ALIASES = {PAD: "<pad>", UNK: "<unk>", CLS: "<s>", SEP: "</s>"}
 
 
 def special_id(vocab: dict[str, int], tok: str) -> int:
-    """Resolve a BERT-named special token, falling back to its
-    RoBERTa/MPNet alias; raises if the vocab has neither."""
-    if tok in vocab:
-        return vocab[tok]
+    """Resolve a special token across both naming schemes (precedence
+    note above); raises if the vocab has neither name."""
     alias = _SPECIAL_ALIASES[tok]
-    if alias in vocab:
-        return vocab[alias]
+    order = (tok, alias) if tok == UNK else (alias, tok)
+    for name in order:
+        if name in vocab:
+            return vocab[name]
     raise ValueError(f"vocab missing special token {tok}/{alias}")
 
 

@@ -208,18 +208,21 @@ void *dawn_tok_new(const char *vocab_utf8, long len) {
     if (!nl) break;
     p = nl + 1;
   }
-  // BERT naming first, then the RoBERTa/MPNet alias (all-mpnet-base-v2
-  // vocab: <s>=0 <pad>=1 </s>=2 <unk>=3) — mirrors tokenizer.py's
-  // special_id so both implementations stay output-identical
-  auto get = [&](const char *tok, const char *alias) {
-    auto it = t->vocab.find(tok);
+  // Mirrors tokenizer.py's special_id so both implementations stay
+  // output-identical. The MPNet vocab PREPENDS <s>/<pad>/</s>/<unk> to
+  // the full BERT vocab whose body still holds literal "[CLS]"/"[SEP]",
+  // so for cls/sep the first (alias) name must win when both exist;
+  // [UNK] keeps BERT-first precedence (HF MPNetTokenizer's unk_token
+  // IS "[UNK]").
+  auto get = [&](const char *first, const char *second) {
+    auto it = t->vocab.find(first);
     if (it != t->vocab.end()) return it->second;
-    it = t->vocab.find(alias);
+    it = t->vocab.find(second);
     return it == t->vocab.end() ? 0 : it->second;
   };
   t->unk_id = get("[UNK]", "<unk>");
-  t->cls_id = get("[CLS]", "<s>");
-  t->sep_id = get("[SEP]", "</s>");
+  t->cls_id = get("<s>", "[CLS]");
+  t->sep_id = get("</s>", "[SEP]");
   return t;
 }
 

@@ -221,6 +221,18 @@ class ShardedFlatIndex:
     def device_rerank(self) -> bool:
         return self.exact is not None
 
+    def device_fetch_width(self, k: int) -> int:
+        """Per-shard candidate width for the on-device f16 re-rank —
+        k+rerank_extra widened by the i4 ladder on the TOTAL row count
+        (conservative: each shard holds 1/S of the rows, so the global
+        width per shard over-fetches; FlatIndex.device_fetch_width is
+        the single-shard twin)."""
+        kf = k + self.rerank_extra
+        if self.dtype == "i4":
+            from dawnsearch_tpu.ops.quant import i4_fetch_width
+            kf = max(kf, i4_fetch_width(len(self), k))
+        return min(kf, self.cap_per_shard)
+
     @property
     def _shard3(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(AXIS, None, None))
@@ -417,8 +429,7 @@ class ShardedFlatIndex:
             padded_b = -(-q.shape[0] // dp) * dp
             if padded_b != q.shape[0]:
                 q = jnp.pad(q, ((0, padded_b - q.shape[0]), (0, 0)))
-        kf = (min(k_local + self.rerank_extra, self.cap_per_shard)
-              if self.exact else k_local)
+        kf = self.device_fetch_width(k_local) if self.exact else k_local
         from dawnsearch_tpu.ops import scan_select
         fused_sel = scan_select.eligible(
             int(self._counts.min()), self.cap_per_shard, self.dim,

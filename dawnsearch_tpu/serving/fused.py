@@ -74,8 +74,7 @@ class FusedQueryPath:
         k_eff = min(k, ix.capacity)
         approx = (ix.selector == "approx"
                   or (ix.selector == "auto" and ix.dtype != "f32"))
-        kf = (min(k_eff + ix.rerank_extra, ix.capacity)
-              if ix.device_rerank else None)
+        kf = ix.device_fetch_width(k_eff) if ix.device_rerank else None
         from dawnsearch_tpu.ops import scan_select
         fused_sel = scan_select.eligible(ix.count, ix.capacity, ix.dim,
                                          ix.dtype, ix.selector,

@@ -421,6 +421,22 @@ def test_i4_fetch_width_ladder():
     assert widths == sorted(widths)
 
 
+def test_i4_device_rerank_widens_fetch(unit_vectors):
+    """The DEVICE f16 re-rank paths use the same i4 ladder as the host
+    path (review finding: they fetched the i8 k+30 default, which the
+    study measured at 0.99x re-ranked recall on i4 codes)."""
+    ix = FlatIndex(dtype="i4", exact="f16", rerank_extra=30)
+    ix.add(unit_vectors(200))
+    assert ix.device_fetch_width(10) == 64     # ladder, not 10 + 30
+    assert ix.device_fetch_width(100) == 130   # k+extra once past the ladder
+
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+    sx = ShardedFlatIndex(dtype="i4", exact="f16", rerank_extra=30,
+                          capacity_per_shard=1024, segment=1024)
+    sx.add(unit_vectors(200))
+    assert sx.device_fetch_width(10) == 64
+
+
 def test_provider_i4_widens_fetch(unit_vectors):
     """SearchProvider asks an i4 index for the ladder width, not the
     i8 default k+30 (the CPU study measured 0.99x re-ranked recall at

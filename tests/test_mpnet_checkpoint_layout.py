@@ -107,10 +107,14 @@ def synth_tensor(name: str, rng: np.random.Generator) -> np.ndarray:
 
 def write_vocab(path, pad_line: int = 1) -> None:
     # real layout: <s>=0 <pad>=1 </s>=2 <unk>=3, <mask> last (30526);
-    # the body inherits BERT's vocab, so "[UNK]" ALSO exists (HF
-    # MPNetTokenizer's unk_token default is "[UNK]", not <unk> — both
-    # tokenizers here resolve to it, special_id tries BERT names first)
-    vocab = ["<s>", "<pad>", "</s>", "<unk>", "[UNK]"] + list(WORDS)
+    # the body inherits BERT's FULL vocab — including the literal
+    # strings "[PAD]"/"[UNK]"/"[CLS]"/"[SEP]"/"[MASK]" — so special
+    # resolution must prefer the prepended <...> names for pad/cls/sep
+    # (a BERT-first lookup resolved pad to the body's "[PAD]" and
+    # refused the real checkpoint) while unk stays "[UNK]" (HF
+    # MPNetTokenizer's unk_token default is "[UNK]", not <unk>)
+    vocab = (["<s>", "<pad>", "</s>", "<unk>",
+              "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + list(WORDS))
     vocab += [f"tok{i}" for i in range(V - 1 - len(vocab))] + ["<mask>"]
     assert len(vocab) == V and vocab[pad_line] == "<pad>"
     path.write_text("\n".join(vocab) + "\n", encoding="utf-8")
@@ -160,6 +164,8 @@ def test_make_encoder_reproduces_hf_pipeline(model_dir):
     assert enc.cfg.model_type == "mpnet" and enc.cfg.pad_token_id == 1
     assert enc.cfg.layer_norm_eps == 1e-05
     assert enc.tokenizer.pad_id == 1 and enc.tokenizer.cls_id == 0
+    assert enc.tokenizer.sep_id == 2       # </s>, not the body's [SEP]
+    assert enc.tokenizer.unk_id == 5       # the body's [UNK] (HF default)
     ours = np.asarray(enc.encode(TEXTS), np.float32)
     theirs = hf_sentence_embeddings(model_dir, TEXTS)
     assert 1.0 - float(np.min(np.sum(ours * theirs, axis=1))) <= 1e-3
