@@ -244,23 +244,21 @@ def _pack_rel(rel_bias: jax.Array, nh: int, hd: int) -> jax.Array:
         nh // g, g, S, S).transpose(0, 2, 1, 3).reshape(nh // g, S, g * S)
 
 
-@functools.partial(jax.jit, static_argnames=("nh", "eps"))
-def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
-                     ao_w, ao_b, aln_s, aln_b, w1, b1, w2, b2, fln_s,
-                     fln_b, *, nh: int, eps: float = 1e-12,
-                     rel_bias: jax.Array | None = None) -> jax.Array:
-    """(B, S, H) x + (B, S) additive bias -> (B, S, H): one BERT layer,
-    one kernel, one HBM round trip. rel_bias: optional (nh, S, S)
-    shared relative-position score bias (the MPNet family,
-    models/mpnet.py), riding as one constant kernel operand."""
+def _layer_pallas(kernel_body, x, bias, rel_bias, I: int, *, nh: int,
+                  eps: float, weights: list) -> jax.Array:
+    """Shared pallas_call harness for the whole-layer kernel variants.
+
+    The x/bias/rel blocking, tile-rows grid, and the VMEM-budget policy
+    live ONCE; a variant supplies its kernel body and a [(spec shape,
+    operand)] weight list (fused_bert_layer vs fused_bert_layer_i8
+    differ only there — a prior copy encoded the rel packing and the
+    64/128 MB budget rule twice)."""
     B, S, H = x.shape
     hd = H // nh
-    I = w1.shape[1]
     assert 128 % hd == 0 and H % 128 == 0
     if bias is None:
         bias = jnp.zeros((B, S), jnp.float32)
     tb = _tile_rows(B, S, H, I, hd)
-    dt = x.dtype
     g = 128 // hd
 
     xspec = pl.BlockSpec((tb, S, H), lambda i: (i, 0, 0),
@@ -275,21 +273,16 @@ def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
         rel_specs = [const((nh // g, S, g * S))]
         rel_ops = [_pack_rel(rel_bias, nh, hd)]
     return pl.pallas_call(
-        functools.partial(_layer_kernel, nh=nh, hd=hd, eps=eps,
+        functools.partial(kernel_body, nh=nh, hd=hd, eps=eps,
                           has_rel=rel_bias is not None),
-        out_shape=jax.ShapeDtypeStruct((B, S, H), dt),
+        out_shape=jax.ShapeDtypeStruct((B, S, H), x.dtype),
         grid=(B // tb,),
         in_specs=[
             xspec,
             pl.BlockSpec((tb, 1, S), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             *rel_specs,
-            const((H, 3 * H)), const((1, 3 * H)),
-            const((H, H)), const((1, H)),
-            const((1, H)), const((1, H)),
-            const((H, I)), const((1, I)),
-            const((I, H)), const((1, H)),
-            const((1, H)), const((1, H)),
+            *[const(w.shape) for w in weights],
         ],
         out_specs=xspec,
         compiler_params=pltpu.CompilerParams(
@@ -300,10 +293,25 @@ def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
             vmem_limit_bytes=(128 if rel_bias is not None else 64)
             * 1024 * 1024),
         interpret=_interpret(),
-    )(x, bias[:, None, :].astype(jnp.float32), *rel_ops,
-      qkv_w.astype(dt), qkv_b[None, :], ao_w.astype(dt), ao_b[None, :],
-      aln_s[None, :], aln_b[None, :], w1.astype(dt), b1[None, :],
-      w2.astype(dt), b2[None, :], fln_s[None, :], fln_b[None, :])
+    )(x, bias[:, None, :].astype(jnp.float32), *rel_ops, *weights)
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "eps"))
+def fused_bert_layer(x: jax.Array, bias: jax.Array | None, qkv_w, qkv_b,
+                     ao_w, ao_b, aln_s, aln_b, w1, b1, w2, b2, fln_s,
+                     fln_b, *, nh: int, eps: float = 1e-12,
+                     rel_bias: jax.Array | None = None) -> jax.Array:
+    """(B, S, H) x + (B, S) additive bias -> (B, S, H): one BERT layer,
+    one kernel, one HBM round trip. rel_bias: optional (nh, S, S)
+    shared relative-position score bias (the MPNet family,
+    models/mpnet.py), riding as one constant kernel operand."""
+    dt = x.dtype
+    weights = [qkv_w.astype(dt), qkv_b[None, :], ao_w.astype(dt),
+               ao_b[None, :], aln_s[None, :], aln_b[None, :],
+               w1.astype(dt), b1[None, :], w2.astype(dt), b2[None, :],
+               fln_s[None, :], fln_b[None, :]]
+    return _layer_pallas(_layer_kernel, x, bias, rel_bias, w1.shape[1],
+                         nh=nh, eps=eps, weights=weights)
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "eps"))
@@ -333,59 +341,15 @@ def fused_bert_layer_i8(x: jax.Array, bias: jax.Array | None, qkv_w,
     fixed-scale diagnostic isolated quantization cost at ~4% and the
     MXU gain at ~0%), so the flagship default stays bf16; the i8 path
     is for the wider models this encoder also serves."""
-    B, S, H = x.shape
-    hd = H // nh
-    I = w1.shape[1]
-    assert 128 % hd == 0 and H % 128 == 0
-    if bias is None:
-        bias = jnp.zeros((B, S), jnp.float32)
-    tb = _tile_rows(B, S, H, I, hd)
-    dt = x.dtype
-
-    g = 128 // hd
     qkv_wq, qkv_ws = _quant_cols(qkv_w.astype(jnp.float32))
     ao_wq, ao_ws = _quant_cols(ao_w.astype(jnp.float32))
     w1q, w1s = _quant_cols(w1.astype(jnp.float32))
     w2q, w2s = _quant_cols(w2.astype(jnp.float32))
-
-    xspec = pl.BlockSpec((tb, S, H), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-
-    def const(shape):
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    rel_specs, rel_ops = [], []
-    if rel_bias is not None:
-        rel_specs = [const((nh // g, S, g * S))]
-        rel_ops = [_pack_rel(rel_bias, nh, hd)]
-    return pl.pallas_call(
-        functools.partial(_layer_kernel_i8, nh=nh, hd=hd, eps=eps,
-                          has_rel=rel_bias is not None),
-        out_shape=jax.ShapeDtypeStruct((B, S, H), dt),
-        grid=(B // tb,),
-        in_specs=[
-            xspec,
-            pl.BlockSpec((tb, 1, S), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            *rel_specs,
-            const((H, 3 * H)), const((1, 3 * H)), const((1, 3 * H)),
-            const((H, H)), const((1, H)), const((1, H)),
-            const((1, H)), const((1, H)),
-            const((H, I)), const((1, I)), const((1, I)),
-            const((I, H)), const((1, H)), const((1, H)),
-            const((1, H)), const((1, H)),
-        ],
-        out_specs=xspec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=(128 if rel_bias is not None else 64)
-            * 1024 * 1024),
-        interpret=_interpret(),
-    )(x, bias[:, None, :].astype(jnp.float32), *rel_ops,
-      qkv_wq, qkv_ws, qkv_b[None, :],
-      ao_wq, ao_ws, ao_b[None, :],
-      aln_s[None, :], aln_b[None, :],
-      w1q, w1s, b1[None, :],
-      w2q, w2s, b2[None, :],
-      fln_s[None, :], fln_b[None, :])
+    weights = [qkv_wq, qkv_ws, qkv_b[None, :],
+               ao_wq, ao_ws, ao_b[None, :],
+               aln_s[None, :], aln_b[None, :],
+               w1q, w1s, b1[None, :],
+               w2q, w2s, b2[None, :],
+               fln_s[None, :], fln_b[None, :]]
+    return _layer_pallas(_layer_kernel_i8, x, bias, rel_bias, w1.shape[1],
+                         nh=nh, eps=eps, weights=weights)
