@@ -162,11 +162,13 @@ def i4_fetch_width(count: int, k: int) -> int:
     i4 scoring noise is ~16x i8's (3-bit vs 7-bit mantissa), so the
     i8 default of k+30 candidates is NOT enough for re-ranked recall
     1.0. Measured fetch-width ladder on 384-d random unit vectors
-    (doc/performance.md "i4 capacity tier"): recall@10 after f32
-    re-rank hits 1.0 at kf=64 for 400k rows and kf=128 for 2M rows
-    (0.9945 / 0.9906 at the i8-default kf=40). The >=8M widths
-    extrapolate the observed ~sqrt(N) growth; on-chip confirmation
-    rides with the i4 QPS/recall measurements."""
+    (examples/study_i4_fetch_width.py; doc/performance.md "i4
+    capacity tier"): full-sort recall@10 after f32 re-rank hits 1.0
+    at kf=64 for 400k rows and kf=128 for both 2M and 8M (0.9945 /
+    0.9906 / 0.9883 at the i8-default kf=40). The >=2M rungs sit one
+    doubling above that floor because the fused selector's window
+    fold adds a shadowing loss the full-sort study cannot see
+    (measured 0.47% at 262k on the kernel path)."""
     if count <= 500_000:
         kf = 64
     elif count <= 2_000_000:
