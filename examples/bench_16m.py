@@ -50,7 +50,11 @@ BATCH = int(os.environ.get("BENCH_16M_BATCH", 1024))
 # sequential generator stream, so any chunking yields identical rows
 # and gather_rows() can regenerate at the default block.
 BLOCK = int(os.environ.get("BENCH_16M_BLOCK", 131072))
-NQ = 64
+# Recall-sample queries (ground truth is exact over the streamed
+# corpus, so cost scales linearly). 64 -> 640 top-10 slots resolves a
+# ~1% recall gap; raise (e.g. 256) when a sub-percent windowing floor
+# is the number under test (the i4 tier).
+NQ = min(int(os.environ.get("BENCH_16M_NQ", 64)), BATCH)
 
 
 def gather_rows(ids: np.ndarray) -> dict[int, np.ndarray]:
