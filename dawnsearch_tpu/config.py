@@ -54,10 +54,10 @@ class Config:
     # multiprocessing contract; `python -m dawnsearch_tpu` is guarded)
     ingest_workers: int = 0
     # pages/s ceiling for background ingest (0 = unlimited). Ingest
-    # encodes share the chip with queries; the concurrent-load soak
-    # (doc/performance.md) measures the tail-latency trade. 2000 holds
-    # query p99 under ~300 ms on one v5e while ingesting; unlimited
-    # reaches ~4.2k pages/s at p99 ~330 ms.
+    # encodes share the chip with queries; the measured operating
+    # points live ONCE, in doc/performance.md "Concurrent-load soak"
+    # (e.g. 2200 held query p99 ~246 ms on one v5e; unlimited reached
+    # ~4.2k pages/s at p99 ~330 ms).
     ingest_rate_limit: float = 0.0
     embed_max_wait_ms: float = 5.0  # batcher flush deadline
     # 512 matches the reference's full BERT window (model.rs:123,147);

@@ -51,19 +51,28 @@ INSERT_REPLICATION = 3  # udp_service.rs:389-390
 # Per-source flood guard (the reference trusts the network,
 # udp_service.rs:159-174; exceeding it is this repo's robustness
 # pattern). Sliding 1 s window per source IP: beyond RATE_LIMIT_PPS
-# well-formed or MALFORMED_LIMIT broken packets, the rest of that
-# window's datagrams from the source are dropped and counted.
-RATE_LIMIT_PPS = 2000
-MALFORMED_LIMIT = 20
+# datagrams (well-formed or not — the count is taken before decode),
+# the rest of that window's traffic from the source is dropped and
+# counted. The cap sits WELL above the repo's own measured operating
+# points (unthrottled ingest replicates ~4.2k Inserts/s to each
+# acceptor from one source; a batch of remote searches returns k Page
+# replies each) — a 2,000 cap was measured to silently drop ~9% of
+# replication at the documented 2.2k pages/s soak point. Malformed
+# packets are counted for metrics but do NOT gate well-formed traffic
+# from the same IP: source addresses are unauthenticated, so a
+# malformed-based block would let an off-path attacker spoof a peer's
+# address and evict it with a trickle of garbage (decode's fail-fast
+# size/type checks make garbage cheap enough that the pps cap alone
+# bounds the CPU).
+RATE_LIMIT_PPS = 20_000
 
 
 class _SrcWindow:
-    __slots__ = ("start", "count", "malformed")
+    __slots__ = ("start", "count")
 
     def __init__(self, now: float):
         self.start = now
         self.count = 0
-        self.malformed = 0
 
 
 class _ActiveSearch:
@@ -74,7 +83,14 @@ class _ActiveSearch:
         self.pages: list[FoundPage] = []
         # two-phase: (instance_id, src_addr, page_id, distance) tuples
         self.summaries: list[tuple[str, tuple, int, float]] = []
-        self.responded: set[str] = set()  # iids that sent a Summary
+        # iids that sent a Summary. Legacy peers (full Pages, no
+        # Summary) deliberately never count toward the early wake: a
+        # Page STREAM has no completion marker, so counting the first
+        # Page would truncate that peer's remaining hits — mixed
+        # swarms degrade to the reference's full-deadline collection
+        # instead (doc/networking.md lists this as the mixed-swarm
+        # cost of two_phase_search).
+        self.responded: set[str] = set()
         # phase 2: the exact (instance_id, page_id) keys still awaited;
         # keyed (not a count) so a straggling phase-1 Page from a
         # legacy peer can't wake the searcher before the requested
@@ -159,19 +175,28 @@ class UdpService:
             return [], 0, 0  # no deadline when alone (udp_service.rs:301-312)
         sid = random.getrandbits(63)
         st = _ActiveSearch()
-        st.contacted = len(peers)  # phase-1 early-wake threshold
         with self._active_lock:
             self._active[sid] = st
         pkt = packets.encode(
             Search(sid, distance_limit, embedding,
                    two_phase=self.two_phase), self.wire)
         estimated = 0
+        reached = 0
         for p in peers:
             try:
                 self._sock.sendto(pkt, parse_addr(p.addr))
                 estimated += p.pages_indexed  # optimistic (udp_service.rs:320)
-            except OSError:
+                reached += 1
+            except (OSError, ValueError, OverflowError):
                 log.debug("send to %s failed", p.addr)
+        # phase-1 early-wake threshold = peers the send actually
+        # REACHED (an unreachable peer must not force every search to
+        # burn the whole deadline); set after the loop, so check once
+        # for replies that raced ahead of it
+        with st.lock:
+            st.contacted = reached
+            if reached and len(st.responded) >= reached:
+                st.event.set()
         st.event.wait(self.deadline_s)  # phase 1: collect until deadline
         if self.two_phase:
             self._request_winning_pages(sid, st, k)
@@ -229,7 +254,7 @@ class UdpService:
         for p in chosen:
             try:
                 self._sock.sendto(pkt, parse_addr(p.addr))
-            except OSError:
+            except (OSError, ValueError, OverflowError):
                 pass
         METRICS.inc("inserts_replicated", len(chosen))
 
@@ -244,9 +269,12 @@ class UdpService:
         with self._emb_lock:
             self._emb_waiters[sid] = (event, slot)
         try:
-            self._sock.sendto(packets.encode(GetEmbedding(sid, page_id),
-                                             self.wire),
-                              parse_addr(peer.addr))
+            try:
+                self._sock.sendto(packets.encode(GetEmbedding(sid, page_id),
+                                                 self.wire),
+                                  parse_addr(peer.addr))
+            except (OSError, ValueError, OverflowError):
+                return None
             event.wait(self.deadline_s * 5)  # round-trip, not fan-out
             return slot[0] if slot else None
         finally:
@@ -255,22 +283,20 @@ class UdpService:
 
     # -- inbound ------------------------------------------------------------
 
-    def _rate_ok(self, ip: str, now: float, malformed: bool = False) -> bool:
+    def _rate_ok(self, ip: str, now: float) -> bool:
         """Sliding-window flood guard; True = keep processing this src.
         Windows are pruned opportunistically (bounded memory even under
         address-spoofed floods). `now` is time.monotonic(): a wall-clock
         step backwards must not freeze every window and blackhole
-        legitimate peers."""
+        legitimate peers. Malformed packets count here like any other
+        datagram but carry no extra penalty (see RATE_LIMIT_PPS)."""
         w = self._src_windows.get(ip)
         if w is None or now - w.start >= 1.0:
             if len(self._src_windows) > 4096:  # spoofed-src flood
                 self._src_windows.clear()
             w = self._src_windows[ip] = _SrcWindow(now)
-        if malformed:
-            w.malformed += 1
-            return w.malformed <= MALFORMED_LIMIT
         w.count += 1
-        return w.count <= RATE_LIMIT_PPS and w.malformed <= MALFORMED_LIMIT
+        return w.count <= RATE_LIMIT_PPS
 
     def _recv_loop(self) -> None:
         """Survives arbitrary bytes: packets.decode raises ValueError on
@@ -291,11 +317,9 @@ class UdpService:
             try:
                 pkt = packets.decode(data)
             except ValueError as e:
-                # hostile/garbage frame: count, debug-log (exception
-                # spam at info+ would itself be a log-flood DoS), and
-                # penalize the source
+                # hostile/garbage frame: count and debug-log (exception
+                # spam at info+ would itself be a log-flood DoS)
                 METRICS.inc("packets_malformed", 1)
-                self._rate_ok(src[0], now, malformed=True)
                 log.debug("malformed packet from %s: %s", src, e)
                 continue
             try:
@@ -355,14 +379,28 @@ class UdpService:
                 waiter[0].set()
         elif isinstance(pkt, Peers):
             now = time.time()
+            learned = 0
             with self._peers_lock:
                 for p in pkt.peers:
                     if p.instance_id == self.instance_id:
                         continue
+                    # A hostile Peers payload must not poison the
+                    # table: an unparseable addr would later raise
+                    # ValueError/OverflowError out of parse_addr/sendto
+                    # on the CALLER threads (every remote search and
+                    # replication) until the entry expired.
+                    try:
+                        _, port = parse_addr(p.addr)
+                        if not 0 < port < 65536:
+                            raise ValueError(p.addr)
+                    except (ValueError, OverflowError):
+                        METRICS.inc("peers_rejected", 1)
+                        continue
                     p.last_seen = now
                     self.peers[p.instance_id] = p
-            if pkt.peers:
-                log.debug("learned %d peers", len(pkt.peers))
+                    learned += 1
+            if learned:
+                log.debug("learned %d peers", learned)
         # Announce packets are tracker business; nodes ignore them.
 
     def _handle_search(self, pkt: Search, src: tuple[str, int]) -> None:
@@ -384,8 +422,11 @@ class UdpService:
             hits = hits[: packets.SUMMARY_MAX]
             self._sweep_summary_cache()
             with self._summary_lock:
+                # monotonic, like the rate windows: a wall-clock step
+                # must not expire promised summaries (or keep dead
+                # ones alive)
                 self._summary_cache[pkt.search_id] = (
-                    time.time() + 30.0,
+                    time.monotonic() + 30.0,
                     {h.page_id: h.distance for h in hits})
             reply = Summary(pkt.search_id, self.instance_id,
                             [h.page_id for h in hits],
@@ -415,13 +456,27 @@ class UdpService:
         METRICS.inc("searches_served", 1)
         log.debug("served search %x: %d pages to %s", pkt.search_id, sent, src)
 
+    # Hard cap on cached summary promises (~100 B each). Oldest-first
+    # eviction past the cap keeps memory bounded even when a Search
+    # flood creates fresh entries faster than the 30 s expiry (the
+    # evicted searchers lose phase 2 — the silent-partial model).
+    SUMMARY_CACHE_MAX = 8192
+
     def _sweep_summary_cache(self) -> None:
-        now = time.time()
+        """O(evicted) per call, NOT a full scan per inbound Search (a
+        scan would make the recv thread O(search_rate x 30 s) per
+        packet): entries expire in insertion order, so expired/excess
+        ones are popped from the front until a live entry under the
+        cap is reached."""
         with self._summary_lock:
-            dead = [sid for sid, (exp, _) in self._summary_cache.items()
-                    if exp < now]
-            for sid in dead:
-                del self._summary_cache[sid]
+            cache = self._summary_cache
+            now = time.monotonic()
+            while cache:
+                sid = next(iter(cache))
+                if (cache[sid][0] >= now
+                        and len(cache) <= self.SUMMARY_CACHE_MAX):
+                    break
+                del cache[sid]
 
     def _handle_page_request(self, pkt: PageRequest,
                              src: tuple[str, int]) -> None:

@@ -100,34 +100,39 @@ def make_index_factory(cfg: Config, dim: int = 384):
         return ("f16" if (cfg.index_rerank == "device"
                           and cfg.index_dtype != "f32") else None)
 
+    # Validate the kind HERE, not inside factory(): a node whose
+    # snapshot loads never invokes the factory, so a deferred check
+    # would boot fine and then surface the config error weeks later
+    # inside a mid-request rebuild path (round-3 review).
+    if cfg.index_kind == "ivf":
+        # Round-3 removal after the earn-or-demote benchmark: IVF
+        # measured 555 QPS at re-ranked recall 0.988 vs flat's
+        # 29,254 QPS at 0.9992 IN ITS OWN best regime (8M rows,
+        # 4096 tight clusters, cluster-local queries —
+        # doc/performance.md). 53x slower at lower recall is not a
+        # product tier on this hardware; scale past one chip is
+        # index_kind="sharded". The experiment remains runnable at
+        # examples/ivf_index.py + examples/bench_ivf_8m.py.
+        raise ValueError(
+            'index_kind="ivf" was removed (measured strictly worse '
+            'than "flat" on both axes in every regime incl. '
+            "clustered corpora — doc/performance.md); use \"flat\" "
+            'or "sharded", or see examples/ivf_index.py for the '
+            "experiment")
+    if cfg.index_kind not in ("flat", "sharded"):
+        raise ValueError(f"unknown index_kind {cfg.index_kind}")
+
     def factory():
         if cfg.index_kind == "flat":
             from dawnsearch_tpu.index.flat import FlatIndex
             return FlatIndex(dim=dim, dtype=cfg.index_dtype,
                              max_capacity=cfg.index_capacity,
                              exact=_exact())
-        if cfg.index_kind == "ivf":
-            # Round-3 removal after the earn-or-demote benchmark: IVF
-            # measured 555 QPS at re-ranked recall 0.988 vs flat's
-            # 29,254 QPS at 0.9992 IN ITS OWN best regime (8M rows,
-            # 4096 tight clusters, cluster-local queries —
-            # doc/performance.md). 53x slower at lower recall is not a
-            # product tier on this hardware; scale past one chip is
-            # index_kind="sharded". The experiment remains runnable at
-            # examples/ivf_index.py + examples/bench_ivf_8m.py.
-            raise ValueError(
-                'index_kind="ivf" was removed (measured strictly worse '
-                'than "flat" on both axes in every regime incl. '
-                "clustered corpora — doc/performance.md); use \"flat\" "
-                'or "sharded", or see examples/ivf_index.py for the '
-                "experiment")
-        if cfg.index_kind == "sharded":
-            from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
-            return ShardedFlatIndex(mesh=_sharded_mesh(cfg), dim=dim,
-                                    dtype=cfg.index_dtype,
-                                    max_capacity=cfg.index_capacity,
-                                    exact=_exact())
-        raise ValueError(f"unknown index_kind {cfg.index_kind}")
+        from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+        return ShardedFlatIndex(mesh=_sharded_mesh(cfg), dim=dim,
+                                dtype=cfg.index_dtype,
+                                max_capacity=cfg.index_capacity,
+                                exact=_exact())
 
     def load_kwargs():
         kw = {"max_capacity": cfg.index_capacity}

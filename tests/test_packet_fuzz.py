@@ -161,14 +161,80 @@ def test_recv_loop_survives_garbage_flood(tmp_path):
                 n = rng.randint(1, 1400)
                 sock.sendto(bytes(rng.randrange(256) for _ in range(n)),
                             target)
-        # let the recv loop drain AND the per-source 1 s rate window
-        # expire — the flood shares 127.0.0.1 with the legit node, so
-        # querying inside the penalized window would be dropped by
-        # design
-        time.sleep(1.2)
+        # query IMMEDIATELY, inside the same 1 s rate window as the
+        # flood (loopback shares 127.0.0.1 between attacker and peer):
+        # malformed packets must not gate well-formed traffic, or an
+        # off-path attacker spoofing a peer's address could evict it
+        # with a trickle of garbage (round-3 review). 300 datagrams is
+        # also far under RATE_LIMIT_PPS, so nothing here may drop.
         res = a.service.text_search("lighthouses", k=5)
         assert any(p.url == "http://known" for p in res.pages)
     finally:
         a.stop()
         b.stop()
         tracker.stop()
+
+
+def test_hostile_peers_packet_cannot_poison_peer_table(tmp_path):
+    """A forged Peers packet with unparseable/out-of-range addrs must
+    not enter the peer table: a poisoned entry would raise
+    ValueError/OverflowError out of parse_addr/sendto on every remote
+    search and replication for PEER_EXPIRY_S (round-3 review)."""
+    from tests.test_p2p import (
+        DawnNode, HashEncoder, Tracker, node_cfg, wait_until)
+
+    tracker = Tracker("127.0.0.1:0").start()
+    a = DawnNode(node_cfg(tmp_path, "a", tracker.port),
+                 encoder=HashEncoder()).start()
+    b = DawnNode(node_cfg(tmp_path, "b", tracker.port),
+                 encoder=HashEncoder()).start()
+    try:
+        assert wait_until(lambda: a.udp.fresh_peers()
+                          and b.udp.fresh_peers())
+        b.service.insert_pages(
+            [("http://known", "known title", "a page about lighthouses")])
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.sendto(encode(Peers([
+            PeerInfo("evil1", "garbage", True, 5, 1),
+            PeerInfo("evil2", "1.2.3.4:99999", True, 5, 1),
+            PeerInfo("evil3", "1.2.3.4:-1", True, 5, 1),
+        ]), packets.WIRE_DAWN), ("127.0.0.1", a.udp.port))
+        time.sleep(0.3)  # let the recv loop process the forged packet
+        ids = {p.instance_id for p in a.udp.fresh_peers()}
+        assert not ids & {"evil1", "evil2", "evil3"}
+        # remote search still works end-to-end (no crash on caller
+        # threads, the legit peer still answers)
+        res = a.service.text_search("lighthouses", k=5)
+        assert any(p.url == "http://known" for p in res.pages)
+        a.service.insert_pages([("http://new", "t", "more lighthouses")])
+    finally:
+        a.stop()
+        b.stop()
+        tracker.stop()
+
+
+def test_summary_cache_sweep_is_bounded(tmp_path):
+    """The responder's summary cache evicts oldest-first past its cap
+    and pops expired entries from the front — never a full scan per
+    packet (round-3 review: O(search_rate x 30 s) per inbound Search)."""
+    from dawnsearch_tpu.config import Config
+    from dawnsearch_tpu.net.udp_service import UdpService
+
+    cfg = Config()
+    cfg.udp_listen_address = "127.0.0.1:0"
+    cfg.trackers = []
+    svc = UdpService(cfg, "iid-test")
+    try:
+        now = time.monotonic()
+        # one long-expired entry at the front, then a full cap of live
+        # ones
+        svc._summary_cache[0] = (now - 1.0, {1: 0.5})
+        for sid in range(1, svc.SUMMARY_CACHE_MAX + 8):
+            svc._summary_cache[sid] = (now + 30.0, {1: 0.5})
+        svc._sweep_summary_cache()
+        assert 0 not in svc._summary_cache          # expired: popped
+        assert len(svc._summary_cache) <= svc.SUMMARY_CACHE_MAX
+        # oldest live entries were evicted to meet the cap, newest kept
+        assert svc.SUMMARY_CACHE_MAX + 7 in svc._summary_cache
+    finally:
+        svc._sock.close()
