@@ -32,7 +32,6 @@ from dawnsearch_tpu.utils.logging import METRICS, service_logger
 log = service_logger("Extraction")
 
 CRAWL = "CC-MAIN-2023-23"  # extraction_service.rs:31-32
-PATHS_URL = (f"https://data.commoncrawl.org/crawl-data/{CRAWL}/warc.paths.gz")
 ERROR_BACKOFF_S = 60.0  # extraction_service.rs:54-57
 BETWEEN_FILES_S = 10.0  # extraction_service.rs:58-59
 
@@ -240,6 +239,11 @@ class ExtractionService:
         return self
 
     def stop(self) -> None:
+        # Every producer put goes through _put_batch (bounded, checks
+        # _stop) and the rate-limit pace sleep is _stop.wait, so
+        # setting the event reliably unblocks the whole pipeline: the
+        # extraction thread can't be stuck in a full-queue put when the
+        # sentinel goes in behind it.
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10.0)
@@ -250,11 +254,23 @@ class ExtractionService:
             self._insert_thread.join(timeout=10.0)
 
     def join(self, timeout: float | None = None) -> None:
-        """Wait until extraction AND inserts drain (tests/one-shot runs)."""
+        """Wait until extraction AND inserts drain (tests/one-shot
+        runs). The timeout bounds the WHOLE wait — queue.Queue.join()
+        has no deadline, so a wedged insert (the hung-device scenario
+        CLAUDE.md warns about) would otherwise hang callers like
+        bench.py despite their timeout argument."""
+        deadline = (None if timeout is None
+                    else time.monotonic() + timeout)
         if self._thread is not None:
             self._thread.join(timeout)
-        self._batches.join()
-        self._ready.join()
+        for q in (self._batches, self._ready):
+            with q.all_tasks_done:
+                while q.unfinished_tasks:
+                    remaining = (None if deadline is None
+                                 else deadline - time.monotonic())
+                    if remaining is not None and remaining <= 0:
+                        return
+                    q.all_tasks_done.wait(remaining)
 
     def _tokenize_loop(self) -> None:
         """Queue protocol (through _batches -> here -> _ready):
@@ -324,8 +340,13 @@ class ExtractionService:
             min_interval = len(triples) / self.rate_limit
             last = getattr(self, "_last_insert_t", 0.0)
             wait = last + min_interval - time.perf_counter()
-            if wait > 0 and not self._stop.is_set():
-                time.sleep(wait)
+            if wait > 0:
+                # interruptible: a low rate ceiling with the shipped
+                # batch size can mean a 20+ s pace sleep, and stop()
+                # must not strand the insert thread past its join
+                # (it still inserts this batch after waking — the
+                # file's ledger mark rides behind it)
+                self._stop.wait(wait)
             self._last_insert_t = time.perf_counter()
         t0 = time.perf_counter()
         # kwargs only when pre-tokenized, so duck-typed test services
@@ -417,7 +438,8 @@ class ExtractionService:
                     if name and name not in partial:
                         # ledger mark rides BEHIND the file's batches;
                         # the insert thread commits it post-insert
-                        self._batches.put(("mark", name, None))
+                        if not self._put_batch(("mark", name, None)):
+                            break
                 elif kind == "batch":
                     if self.max_pages is not None:
                         room = self.max_pages - produced
@@ -428,7 +450,8 @@ class ExtractionService:
                             payload = payload[:room]
                             partial.add(name)
                     produced += len(payload)
-                    self._batches.put(("batch", name, payload))
+                    if not self._put_batch(("batch", name, payload)):
+                        break
                     if self.max_pages is not None \
                             and produced >= self.max_pages:
                         break
@@ -439,6 +462,21 @@ class ExtractionService:
             for p in procs:
                 p.join(timeout=5.0)
 
+    def _put_batch(self, item) -> bool:
+        """Bounded put into the pipeline: keeps checking _stop so the
+        extraction thread can never deadlock on a full queue after
+        stop() (which joins it with a timeout and then sends the
+        sentinel). False = stopping; the item is dropped, which is the
+        safe direction — its file's ledger mark is dropped with it, so
+        a restart re-ingests the file."""
+        while not self._stop.is_set():
+            try:
+                self._batches.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self) -> None:
         if self.workers > 0:
             self._run_workers()
@@ -447,6 +485,11 @@ class ExtractionService:
         # random-pick source could re-choose a file whose mark is still
         # in the pipeline — dedup by name within this process.
         inflight: set[str] = set()
+        # Pages ENQUEUED across files — the max_pages budget. (The
+        # insert thread's pages_ingested lags this by the queue depth,
+        # and counting both double-counted the current file's pages, so
+        # the service stopped as much as 2x early — round-3 review.)
+        total = 0
         while not self._stop.is_set():
             try:
                 progressed = False
@@ -459,35 +502,46 @@ class ExtractionService:
                         log.debug("skipping already-ingested %s", name)
                         if hasattr(f, "close"):
                             f.close()  # sources that pre-open streams
+                        # pace the re-pick: when every remaining file is
+                        # inflight-but-unmarked, an endless random
+                        # source would otherwise re-open streams in a
+                        # tight loop until the async mark commits
+                        if self._stop.wait(
+                                0 if self.max_pages else
+                                min(self.between_files_s, 1.0)):
+                            return
                         continue
                     progressed = True
                     batch: list[ExtractedPage] = []
-                    produced = 0
                     drained = True  # stayed true -> whole file consumed
                     for page in iter_pages(f):
                         if self._stop.is_set():
                             return
                         batch.append(page)
-                        if len(batch) >= self.batch_size:
-                            produced += len(batch)
-                            self._batches.put(("batch", name, batch))
-                            batch = []
                         if self.max_pages is not None and \
-                                self.pages_ingested + produced + \
-                                len(batch) >= self.max_pages:
-                            drained = False  # stopped mid-file
+                                total + len(batch) >= self.max_pages:
+                            drained = False  # budget reached mid-file
                             break
+                        if len(batch) >= self.batch_size:
+                            total += len(batch)
+                            if not self._put_batch(("batch", name, batch)):
+                                return
+                            batch = []
+                    if self.max_pages is not None:
+                        batch = batch[: self.max_pages - total]
                     if batch:
-                        produced += len(batch)
-                        self._batches.put(("batch", name, batch))
+                        total += len(batch)
+                        if not self._put_batch(("batch", name, batch)):
+                            return
                     if drained and name:
                         # recorded by the insert thread AFTER the file's
                         # batches are durably inserted (a dropped batch
                         # must not lose its pages forever)
                         inflight.add(name)
-                        self._batches.put(("mark", name, None))
-                    if self.max_pages is not None and \
-                            self.pages_ingested + produced >= self.max_pages:
+                        if not self._put_batch(("mark", name, None)):
+                            return
+                    if self.max_pages is not None \
+                            and total >= self.max_pages:
                         return
                     if self._stop.wait(
                             0 if self.max_pages else self.between_files_s):

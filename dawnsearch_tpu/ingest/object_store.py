@@ -17,7 +17,6 @@ and optional ledger filtering for restart-safe ingest.
 
 from __future__ import annotations
 
-import glob
 import io
 import os
 import random
@@ -45,10 +44,17 @@ class LocalObjectStore:
         self.root = root
 
     def list(self, prefix: str = "") -> list[str]:
-        pattern = os.path.join(self.root, prefix + "**")
-        out = [os.path.relpath(p, self.root)
-               for p in glob.glob(pattern, recursive=True)
-               if os.path.isfile(p)]
+        # True S3 prefix semantics (plain string prefix over the full
+        # key, always recursive) — a glob would treat 'crawl' as
+        # non-recursive 'crawl*' and interpret metacharacters, so the
+        # offline path would see different listings than S3ObjectStore.
+        out = []
+        for dirpath, _dirs, files in os.walk(self.root):
+            for fn in files:
+                key = os.path.relpath(os.path.join(dirpath, fn), self.root)
+                key = key.replace(os.sep, "/")
+                if key.startswith(prefix):
+                    out.append(key)
         return sorted(out)
 
     def open(self, key: str) -> io.BufferedIOBase:
@@ -103,6 +109,15 @@ class _RawAdapter(io.RawIOBase):
         chunk = self._body.read(len(b))
         b[: len(chunk)] = chunk
         return len(chunk)
+
+    def close(self) -> None:
+        # forward to the StreamingBody, or every opened object (incl.
+        # streams skip-closed by the ledger check) leaks its pooled
+        # HTTP connection
+        try:
+            self._body.close()
+        finally:
+            super().close()
 
 
 class ObjectStoreWarcSource:

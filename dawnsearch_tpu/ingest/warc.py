@@ -108,8 +108,16 @@ def iter_warc_records(source: str | BinaryIO,
 def _pre_ok(rec: WarcRecord, length: int) -> bool:
     if rec.warc_type not in _ACCEPT_TYPES:
         return False
+    # text/html is the reference filter (page_source.rs:68); text/plain
+    # is a deliberate extension for .wet conversion records
+    # (pre-extracted text, tests/test_ingest.py). Records with NO
+    # WARC-Identified-Payload-Type fall back to the HTTP envelope's
+    # content-type ("application/http; msgtype=response" for every
+    # response record), which must NOT pass — it would wave images,
+    # PDFs and JS into the HTML extractor (the reference skips
+    # unidentified records the same way: a missing header cannot equal
+    # "text/html").
     if not (rec.payload_type.startswith("text/html")
-            or rec.payload_type.startswith("application/http")
             or rec.payload_type.startswith("text/plain")):
         return False  # page_source.rs:68
     if not rec.url or "?" in rec.url or "#" in rec.url:

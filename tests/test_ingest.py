@@ -88,6 +88,26 @@ def test_wet_conversion_records(tmp_path):
     assert pages[0].text.startswith("The history of the lighthouse")
 
 
+def test_unidentified_payload_records_are_skipped(tmp_path):
+    """Response records with NO WARC-Identified-Payload-Type fall back
+    to the record content-type ("application/http..."), which must not
+    pass the filter — it would wave images/PDFs into the HTML extractor
+    (round-3 review; the reference skips unidentified records too,
+    page_source.rs:68)."""
+    import gzip
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + page_html("Unidentified", ENGLISH))
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Target-URI: https://x.example/a\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode()
+    p = str(tmp_path / "noid.warc.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(head + body + b"\r\n\r\n")
+    assert list(iter_pages(p)) == []
+
+
 def test_language_filter():
     assert is_english(ENGLISH)
     assert not is_english(GERMAN)

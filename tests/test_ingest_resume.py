@@ -11,6 +11,7 @@ driven against a local HTTP stub (no egress needed).
 import gzip
 import http.server
 import threading
+import time
 
 from dawnsearch_tpu.ingest.extraction_service import (
     CommonCrawlSource, ExtractionService, LocalWarcSource, WarcLedger)
@@ -109,6 +110,84 @@ def test_failed_insert_blocks_ledger_mark(tmp_path):
                 WarcLedger(str(tmp_path / "ledger.txt")), batch_size=4)
     assert sum(len(b) for b in svc2.batches) == 4
     assert len(WarcLedger(str(tmp_path / "ledger.txt"))) == 2
+
+
+def test_max_pages_budget_exact(tmp_path):
+    """max_pages counts pages ENQUEUED, exactly: the old formula added
+    the insert thread's pages_ingested (the same pages) and stopped as
+    much as 2x early when inserts kept pace (round-3 review)."""
+    make_warcs(tmp_path, n_files=1, pages_per=40)
+    svc = FakeService()
+    ex = ExtractionService(svc, source=LocalWarcSource(
+        str(tmp_path / "*.warc.gz")), batch_size=2, max_pages=10)
+    ex.start()
+    ex.join(timeout=60)
+    ex.stop()
+    assert sum(len(b) for b in svc.batches) == 10
+
+
+def test_join_timeout_is_honored(tmp_path):
+    """join(timeout) must bound the WHOLE wait even when an insert
+    wedges (queue.join has no deadline — round-3 review)."""
+    make_warcs(tmp_path, n_files=1, pages_per=4)
+    hang = threading.Event()
+
+    class WedgedService(FakeService):
+        def insert_pages(self, pages, **kw):
+            hang.wait(30.0)  # simulates the hung-device scenario
+            return super().insert_pages(pages)
+
+    svc = WedgedService()
+    ex = ExtractionService(svc, source=LocalWarcSource(
+        str(tmp_path / "*.warc.gz")), batch_size=2)
+    ex.start()
+    t0 = time.monotonic()
+    ex.join(timeout=1.0)
+    assert time.monotonic() - t0 < 5.0  # returned at the deadline
+    hang.set()
+    ex.stop()
+
+
+def test_local_store_prefix_matches_s3_semantics(tmp_path):
+    """LocalObjectStore.list must treat the prefix like S3 does: a
+    plain string prefix over the full key, recursive, no glob
+    metacharacters (round-3 review: 'crawl' missed nested keys)."""
+    root = tmp_path / "store"
+    (root / "crawl-a" / "seg").mkdir(parents=True)
+    (root / "crawl-a" / "seg" / "0.warc.gz").write_bytes(b"x")
+    (root / "crawl-b").mkdir()
+    (root / "crawl-b" / "1.warc.gz").write_bytes(b"x")
+    (root / "other").mkdir()
+    (root / "other" / "2.warc.gz").write_bytes(b"x")
+    store = LocalObjectStore(str(root))
+    assert store.list("crawl") == ["crawl-a/seg/0.warc.gz",
+                                   "crawl-b/1.warc.gz"]
+    assert store.list("crawl-a/") == ["crawl-a/seg/0.warc.gz"]
+    assert len(store.list("")) == 3
+
+
+def test_s3_stream_close_releases_body(tmp_path):
+    """Closing the BufferedReader must forward to the StreamingBody or
+    every skip-closed stream leaks its pooled HTTP connection."""
+    class Body:
+        closed = False
+
+        def read(self, n):
+            return b""
+
+        def close(self):
+            self.closed = True
+
+    body = Body()
+
+    class Client:
+        def get_object(self, Bucket, Key):
+            return {"Body": body}
+
+    s3 = S3ObjectStore("bucket", client=Client())
+    f = s3.open("k")
+    f.close()
+    assert body.closed
 
 
 def test_object_store_source(tmp_path):
