@@ -48,6 +48,15 @@ DEFAULT_SEGMENT = 16384
 DEFAULT_CHUNK = 65536
 
 
+def _atomic_savez(path: str, **arrays) -> None:
+    """np.savez + atomic rename (shared by FlatIndex and
+    ShardedFlatIndex snapshot writers — one copy of the crash-safety
+    dance). numpy appends .npz to the tmp name."""
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    os.replace(tmp + ".npz", path)
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -495,21 +504,37 @@ class FlatIndex:
     #    search_provider.rs:111-125,173-181) --
 
     def save(self, path: str) -> None:
-        tmp = path + ".tmp"
-        np.savez(
-            tmp if tmp.endswith(".npz") else tmp,
-            codes=np.asarray(self._codes),
-            scales=(np.asarray(self._scales)
-                    if self._scales is not None else np.empty(0)),
-            exact=(np.asarray(self._exact)
-                   if self._exact is not None else np.empty(0)),
-            count=self.count,
-            dtype=self.dtype,
-            dim=self.dim,
-        )
-        # numpy appends .npz to names without it
-        actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
-        os.replace(actual_tmp, path)
+        self.deferred_save()(path)
+
+    def deferred_save(self):
+        """Capture the buffer REFERENCES now and return a closure that
+        does the device->host readback + npz write. Lets
+        SearchProvider.save hold the device lock only for the capture
+        instead of stalling every query dispatch behind a multi-GB
+        readback through the tunnel (round-3 review).
+
+        SAFETY CONTRACT: the returned closure must run while NO
+        donating write (add / fused ingest) can land — donation marks
+        the captured old buffers DELETED and the readback raises.
+        SearchProvider.save enforces this with its ingest_gate (held by
+        every donating mutator); non-donating searches keep flowing.
+        Do not call the closure outside such a gate on live indexes."""
+        codes, scales, exact = self._codes, self._scales, self._exact
+        count, dtype, dim = self.count, self.dtype, self.dim
+
+        def write(path: str) -> None:
+            _atomic_savez(
+                path,
+                codes=np.asarray(codes),
+                scales=(np.asarray(scales)
+                        if scales is not None else np.empty(0)),
+                exact=(np.asarray(exact)
+                       if exact is not None else np.empty(0)),
+                count=count,
+                dtype=dtype,
+                dim=dim,
+            )
+        return write
 
     @classmethod
     def load(cls, path: str, **kwargs) -> "FlatIndex":

@@ -81,6 +81,17 @@ class SearchProvider:
         # Reentrant: insert_pages runs both under the service's hold and
         # standalone.
         self.device_lock = threading.RLock()
+        # Ingest gate: held by DONATING mutators (index.add / fused
+        # ingest writes) for their whole operation and by save() across
+        # its readback+write. Donation invalidates the old buffer
+        # handle, so a snapshot's captured references are only safe to
+        # read back while no donating write runs — but SEARCH dispatches
+        # never donate, so they keep flowing during a save (the 10-min
+        # autosave must not stall queries; round-3 review). Reentrant:
+        # the store-recovery path re-enters insert_pages under it.
+        # SearchService aliases its batch-serializing _ingest_lock to
+        # THIS lock so the fused ingest paths are covered too.
+        self.ingest_gate = threading.RLock()
         # Quantized indexes retrieve k+rerank candidates and re-rank them
         # with the store's exact f32 embeddings (SURVEY §7 hard parts:
         # "re-ranking top candidates at f32") — candidate ORDER becomes
@@ -219,7 +230,7 @@ class SearchProvider:
                 for r, pid in zip(chunk, ids) if pid is not None)
             i += len(chunk)
         if accepted_rows:
-            with self.device_lock:
+            with self.ingest_gate, self.device_lock:
                 self.index.add(np.stack(accepted_rows))
             METRICS.inc("pages_inserted", len(accepted_rows))
         return out
@@ -261,7 +272,10 @@ class SearchProvider:
         n = len(rows)
         base = len(self.index) - n  # device row of rows[0]
         ids: list[int | None] = []
-        with self.store.transaction():  # one commit per batch
+        # ingest_gate: the recovery paths mutate the index (rollback /
+        # rebuild-from-db), which must not interleave with a snapshot
+        # readback; reentrant under the service's outer hold
+        with self.ingest_gate, self.store.transaction():
             ids = self._store_pages_verified(rows, base, n)
         METRICS.inc("pages_inserted", sum(1 for i in ids if i is not None))
         return ids
@@ -433,12 +447,29 @@ class SearchProvider:
 
     def save(self) -> None:
         """Snapshot the device index (search_provider.rs:173-181); SQLite
-        is already durable."""
+        is already durable. The device lock is held only to capture a
+        consistent set of buffer references — the multi-GB readback and
+        disk write run OUTSIDE it, so the 10-minute autosave does not
+        stall query dispatch for its duration (round-3 review). The
+        readback IS NOT safe against donating writes (donation marks
+        the captured buffers deleted), which is what ingest_gate
+        excludes for the whole save; lock order is gate -> device,
+        uniformly."""
         if self.index_path:
             t0 = time.perf_counter()
-            self.index.save(self.index_path)
+            # ingest_gate across the whole save: a donating ingest
+            # write would invalidate the captured buffer references
+            # mid-readback. Searches never donate, so they keep
+            # dispatching — only ingest waits.
+            with self.ingest_gate:
+                with self.device_lock:
+                    n = len(self.index)
+                    write = (self.index.deferred_save()
+                             if hasattr(self.index, "deferred_save")
+                             else self.index.save)
+                write(self.index_path)
             log.info("saved index (%d rows) in %.2fs",
-                     len(self.index), time.perf_counter() - t0)
+                     n, time.perf_counter() - t0)
 
     def shutdown(self) -> None:
         self.save()

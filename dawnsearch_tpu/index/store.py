@@ -160,9 +160,19 @@ class PageStore:
                         ids.append(int(cur.lastrowid))
                     except sqlite3.IntegrityError:
                         ids.append(None)
-            finally:
+            except BaseException:
+                # A mid-batch failure (disk full, I/O error) must NOT
+                # commit the accepted prefix: the caller never learns
+                # those ids, index.add never runs for them, and every
+                # later device row would map to the wrong store row
+                # (the row_id -> store_id+1 contract transaction()'s
+                # docstring protects). Roll back unless inside an
+                # enclosing transaction, which handles it at its exit.
                 if not self._in_txn:
-                    self.conn.commit()
+                    self.conn.rollback()
+                raise
+            if not self._in_txn:
+                self.conn.commit()
         return ids
 
     def get(self, page_id: int) -> tuple[PageRecord, np.ndarray] | None:

@@ -110,6 +110,13 @@ class SentenceEncoder:
                   ) -> tuple[np.ndarray, np.ndarray]:
         """Token id lists -> bucketed (input_ids, mask) arrays."""
         n = len(ids_list)
+        if n > self.batch_buckets[-1]:
+            # callers chunk at the top bucket (encode/_dispatch_chunk,
+            # the fused paths' _chunk_by_bucket); a direct over-size
+            # call would otherwise die on an opaque IndexError below
+            raise ValueError(
+                f"batch of {n} exceeds the top batch bucket "
+                f"{self.batch_buckets[-1]}; chunk it (see encode())")
         seq = self._bucket(self.seq_buckets, max(len(ids) for ids in ids_list))
         bsz = self._bucket(self.batch_buckets, n)
         pad_id = self.tokenizer.pad_id

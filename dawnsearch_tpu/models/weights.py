@@ -135,6 +135,17 @@ def from_hf_tensors(
         per_layer["ffn_ln_scale"].append(get(p + "output.LayerNorm.weight"))
         per_layer["ffn_ln_bias"].append(get(p + "output.LayerNorm.bias"))
 
+    # A checkpoint DEEPER than cfg (e.g. an L12 safetensors against the
+    # L6 default because config.json was omitted) must fail loudly:
+    # silently loading half the encoder serves semantically broken
+    # embeddings with pretrained=True (round-3 review).
+    extra = f"encoder.layer.{cfg.num_layers}."
+    if any(k.startswith(extra) for k in t):
+        raise ValueError(
+            f"checkpoint has layers beyond the configured "
+            f"{cfg.num_layers} (found {extra}*); put the model's real "
+            f"config.json next to model.safetensors")
+
     layers = {k: jnp.asarray(np.stack(v)) for k, v in per_layer.items()}
     emb = {k: jnp.asarray(v) for k, v in emb.items()}
     out = {"embeddings": emb, "layers": layers}

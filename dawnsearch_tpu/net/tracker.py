@@ -69,6 +69,14 @@ class Tracker:
                         pkt.accept_insert, pkt.pages_indexed, last_seen=now)
         with self._lock:
             self.peers[pkt.instance_id] = info
+            # prune stale entries while already scanning (the reference
+            # only FILTERS at reply time, dawntrack.rs:95 — a public
+            # tracker fed spoofed random instance_ids would otherwise
+            # grow without bound and every announce is O(all ever seen))
+            stale = [iid for iid, p in self.peers.items()
+                     if now - p.last_seen >= 2 * self.fresh_s]
+            for iid in stale:
+                del self.peers[iid]
             fresh = [p for iid, p in self.peers.items()
                      if iid != pkt.instance_id
                      and now - p.last_seen < self.fresh_s]

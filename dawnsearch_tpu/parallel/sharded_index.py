@@ -460,22 +460,37 @@ class ShardedFlatIndex:
     #    re-shards onto whatever mesh the new process has) --------------
 
     def save(self, path: str) -> None:
-        tmp = path + ".tmp"
-        np.savez(
-            tmp,
-            kind="sharded",
-            codes=np.asarray(self._codes),
-            scales=(np.asarray(self._scales) if self.dtype in ("i8", "i4")
-                    else np.empty(0)),
-            exact=(np.asarray(self._exact) if self.exact else np.empty(0)),
-            ids=np.asarray(self._ids),
-            counts=self._counts,
-            next_id=self._next_id,
-            dtype=self.dtype,
-            dim=self.dim,
-        )
-        import os
-        os.replace(tmp + ".npz", path)
+        self.deferred_save()(path)
+
+    def deferred_save(self):
+        """Reference-capture + deferred readback/write, the
+        FlatIndex.deferred_save twin — the closure carries the SAME
+        safety contract (run it only while donating writes are
+        excluded, i.e. under SearchProvider.ingest_gate; donation marks
+        the captured buffers deleted)."""
+        from dawnsearch_tpu.index.flat import _atomic_savez
+        codes, scales, exact, ids = (self._codes, self._scales,
+                                     self._exact, self._ids)
+        counts, next_id = np.array(self._counts), self._next_id
+        dtype, dim, has_scales = self.dtype, self.dim, (
+            self.dtype in ("i8", "i4"))
+        has_exact = self.exact is not None
+
+        def write(path: str) -> None:
+            _atomic_savez(
+                path,
+                kind="sharded",
+                codes=np.asarray(codes),
+                scales=(np.asarray(scales) if has_scales
+                        else np.empty(0)),
+                exact=(np.asarray(exact) if has_exact else np.empty(0)),
+                ids=np.asarray(ids),
+                counts=counts,
+                next_id=next_id,
+                dtype=dtype,
+                dim=dim,
+            )
+        return write
 
     @classmethod
     def load(cls, path: str, mesh: Mesh | None = None,

@@ -59,34 +59,59 @@ class CoalescingBatcher:
             if first is None:
                 break
             batch = [first]
-            t0 = time.monotonic()
-            while len(batch) < self.max_batch:
-                remaining = self.max_wait - (time.monotonic() - t0)
-                if remaining <= 0:
-                    break
-                try:
-                    item = self._q.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if item is None:
-                    self._shutdown.set()
-                    break
-                batch.append(item)
+            self._collect_and_process(batch)
+        # Drain: requests still queued when the sentinel was consumed
+        # (or racing submit()'s shutdown check) must be FAILED promptly,
+        # not left to hang their callers for the full future timeout
+        # (round-3 review).
+        while True:
             try:
-                results = self._process([p for p, _ in batch])
-                for (_, fut), r in zip(batch, results):
-                    fut.set_result(r)
-                METRICS.inc(f"{self.name}_batches", 1)
-                METRICS.inc(f"{self.name}_items", len(batch))
-            except Exception as e:  # propagate to every waiter
-                for _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and not item[1].done():
+                item[1].set_exception(
+                    RuntimeError(f"{self.name} shut down"))
+
+    def _collect_and_process(self, batch: list) -> None:
+        t0 = time.monotonic()
+        while len(batch) < self.max_batch:
+            remaining = self.max_wait - (time.monotonic() - t0)
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                self._shutdown.set()
+                break
+            batch.append(item)
+        try:
+            results = self._process([p for p, _ in batch])
+            for (_, fut), r in zip(batch, results):
+                fut.set_result(r)
+            METRICS.inc(f"{self.name}_batches", 1)
+            METRICS.inc(f"{self.name}_items", len(batch))
+        except Exception as e:  # propagate to every waiter
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
 
     def stop(self) -> None:
         self._shutdown.set()
         self._q.put(None)
         self._thread.join(timeout=5.0)
+        # a submit() racing the shutdown check can enqueue after the
+        # worker's drain; sweep once more on this thread
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(
+                    RuntimeError(f"{self.name} shut down"))
 
 
 class EmbeddingBatcher(CoalescingBatcher):

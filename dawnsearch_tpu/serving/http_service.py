@@ -84,7 +84,12 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:
             log.exception("request failed")
             try:
-                self._send(500, web.error_page(f"internal error: {e}"))
+                # API clients (the JSON surface the docstring promises)
+                # must get JSON errors, not an HTML error page
+                if self.path.startswith("/api/"):
+                    self._send_json(500, {"error": f"internal error: {e}"})
+                else:
+                    self._send(500, web.error_page(f"internal error: {e}"))
             except Exception:
                 pass
 

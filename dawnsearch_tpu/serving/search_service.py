@@ -83,9 +83,14 @@ class SearchService:
         #   (screen -> dispatch -> readback -> store) so the device-row
         #   = store-row contract holds, WITHOUT making queries wait for
         #   a batch's device execution (the round-2 p99 3.5 s tail).
+        #   It is the PROVIDER's ingest_gate when available, so a
+        #   snapshot save (which captures buffer references and reads
+        #   them back outside the device lock) mutually excludes the
+        #   donating ingest writes that would invalidate them.
         self._lock = getattr(provider, "device_lock", None) \
             or threading.RLock()
-        self._ingest_lock = threading.Lock()
+        self._ingest_lock = getattr(provider, "ingest_gate", None) \
+            or threading.Lock()
         from dawnsearch_tpu.serving.batcher import (
             CoalescingBatcher, SearchBatcher)
         # Concurrent requests' local searches coalesce into one batched
@@ -98,6 +103,7 @@ class SearchService:
         # batch (serving/fused.py), halving dispatches per query round.
         self._fused = None
         self._text_batcher = None
+        self._warm_buckets: set = set()  # (k, fused) buckets seen once
         encoder = getattr(batcher, "_encode", None)
         encoder = getattr(encoder, "__self__", None)  # bound .encode
         from dawnsearch_tpu.serving.fused import (
@@ -122,8 +128,17 @@ class SearchService:
         single-dispatch path when the index supports it."""
         k = k or self.k
         if self._text_batcher is not None:
+            # Timeout covers FIRST-USE compiles of the fused query
+            # program (~20-40 s per fresh (seq, batch, k) bucket
+            # through the tunnel — encoder.warmup() doesn't reach this
+            # separate program, and two concurrent cold buckets
+            # serialize in the batcher thread), then drops to the
+            # steady-state bound once this bucket has compiled.
+            key = (k, self._fused is not None)
+            timeout = 60.0 if key in self._warm_buckets else 240.0
             emb, local = self._text_batcher.submit((query, k)).result(
-                timeout=60.0)
+                timeout=timeout)
+            self._warm_buckets.add(key)
             if not search_remote or self.remote is None:
                 return local
             return self._merge_remote(emb, local, k)
@@ -285,7 +300,12 @@ class SearchService:
                         ids[i] = sid
         else:
             embs = self.batcher.embed_many(combined)
-            with self._lock:
+            # LOCK ORDER: ingest gate strictly OUTSIDE the device lock,
+            # everywhere (provider.insert_pages takes gate->device
+            # itself; save() takes gate->device) — taking the device
+            # lock first here deadlocked against a concurrent autosave
+            # (round-3 review).
+            with self._ingest_lock, self._lock:
                 ids = self.provider.insert_pages(urls, titles, texts, embs)
         if not from_network and self.remote is not None:
             for (url, title, text), pid in zip(pages, ids):
@@ -301,13 +321,18 @@ class SearchService:
         return s
 
     def save(self) -> None:
-        with self._lock:
-            self.provider.save()
+        # the provider takes the (shared, reentrant) device lock only
+        # around its reference capture; the readback + disk write run
+        # outside so queries keep dispatching during the autosave
+        self.provider.save()
 
     def shutdown(self) -> None:
-        """Save and release (search_service.rs:190-196)."""
+        """Save and release (search_service.rs:190-196). NOT under
+        self._lock: provider.save/close lock what they need, and
+        holding the device lock here while store_pages' recovery path
+        (store lock held) waits for it would deadlock the node on
+        SIGTERM (round-3 review: lock-order inversion)."""
         if self._text_batcher is not None:
             self._text_batcher.stop()
         self._search_batcher.stop()
-        with self._lock:
-            self.provider.shutdown()
+        self.provider.shutdown()

@@ -71,9 +71,18 @@ def format_results(result: SearchResult, seconds: float) -> str:
         url = html.escape(p.url, quote=True)
         text = html.escape(p.text[:500])
         explore = html.escape(f"{p.instance_id}:{p.page_id}", quote=True)
+        # Stored URLs are attacker-controlled (hostile peers replicate
+        # pages; /api/insert accepts them): html.escape neutralizes
+        # markup but not the URI scheme, so a javascript: URL would
+        # execute in this UI's origin on click. Link only http(s);
+        # anything else renders as text. (The reference shares the
+        # flaw, web.rs:325 — this is a deliberate hardening departure.)
+        linkable = p.url.lower().startswith(("http://", "https://"))
+        link = (f'<a href="{url}">{title}</a>' if linkable
+                else f"<span>{title}</span>")
         out.append(
             '<div class="result">'
-            f'<a href="{url}">{title}</a>'
+            f"{link}"
             f'<span class="dist">{p.distance:.4f} '
             f'<a href="/?s={explore}">more like this</a></span>'
             f'<div class="url">{url}</div><p>{text}</p></div>'

