@@ -326,6 +326,33 @@ def bench_ingest(n_pages: int = 4096) -> float:
 
 
 def main() -> None:
+    import os
+    import threading
+
+    # Watchdog: a wedged device claim (the axon-tunnel failure mode —
+    # CLAUDE.md) makes the first device op hang FOREVER, so without a
+    # bound this script would record nothing for the round. A healthy
+    # full run is ~6-8 min; past the deadline we emit ONE honest JSON
+    # line naming the failure instead of a silent hang. (Skipped when
+    # the run finishes first.)
+    done = threading.Event()
+
+    def watchdog():
+        limit = float(os.environ.get("BENCH_WATCHDOG_S", 1800))
+        if not done.wait(limit):
+            print(json.dumps({
+                "metric": "embed_sentences_per_sec",
+                "value": 0,
+                "unit": "sentences/s",
+                "vs_baseline": 0,
+                "error": f"device unresponsive for {limit:.0f}s (wedged "
+                         "tunnel claim); healthy-run numbers: "
+                         "BENCH_r02.json / doc/performance.md",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True,
+                     name="bench-watchdog").start()
     sps = bench_embed()
     index = None
     try:
@@ -353,6 +380,7 @@ def main() -> None:
         "unit": "sentences/s",
         "vs_baseline": round(sps / 10_000.0, 3),
     }), flush=True)
+    done.set()
 
 
 if __name__ == "__main__":
