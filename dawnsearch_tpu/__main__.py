@@ -27,9 +27,15 @@ def main(argv=None) -> int:
     parser.add_argument("--listen", default=None,
                         help="web listen address host:port")
     sub = parser.add_subparsers(dest="command")
+    # NOTE: subparser options reuse of a parent dest CLOBBERS the
+    # parent-parsed value with the subparser default (argparse copies
+    # the subcommand's namespace over; verified on 3.12) — so shared
+    # flags get their own sub_* dest here and merge after parsing,
+    # keeping both `--config X migrate` and `migrate --config X` honest.
     track = sub.add_parser("track", help="run the rendezvous tracker "
                                          "(reference: dawntrack)")
-    track.add_argument("--listen", default="0.0.0.0:7230")
+    track.add_argument("--listen", dest="sub_listen", default=None,
+                       help="tracker bind address (default 0.0.0.0:7230)")
     track.add_argument("--external-address", default=None,
                        help="advertise this address for loopback "
                             "announcers (dawntrack.rs:77-82)")
@@ -44,15 +50,15 @@ def main(argv=None) -> int:
     sidecar.add_argument("--load", action="store_true",
                          help="bulk-load .npz sidecars into the data dir "
                               "instead of embedding WARCs")
-    sidecar.add_argument("--config", default="DawnSearch.toml")
+    sidecar.add_argument("--config", dest="sub_config", default=None)
     mig = sub.add_parser(
         "migrate",
         help="compact a reference dawnsearch.sqlite (or a gappy "
              "pages.sqlite) into a fresh pages.sqlite with contiguous "
              "ids (doc/migration.md)")
-    mig.add_argument("--data-dir", default=None,
+    mig.add_argument("--data-dir", dest="sub_data_dir", default=None,
                      help="defaults to the config's data_dir")
-    mig.add_argument("--config", default="DawnSearch.toml")
+    mig.add_argument("--config", dest="sub_config", default=None)
     evalq = sub.add_parser(
         "eval-quality",
         help="weights-drop quality gate: HF parity + retrieval gates "
@@ -60,6 +66,18 @@ def main(argv=None) -> int:
     evalq.add_argument("model_dir")
     evalq.add_argument("--allow-random", action="store_true")
     args = parser.parse_args(argv)
+    config_path = getattr(args, "sub_config", None) or args.config
+
+    def _apply_jax_config(cfg) -> None:
+        """Before the FIRST jax device use, for EVERY subcommand that
+        touches jax — sidecar once initialized on the default (axon)
+        platform while the config said cpu."""
+        if cfg.jax_platform:
+            import jax
+            jax.config.update("jax_platforms", cfg.jax_platform)
+            if cfg.jax_cpu_devices > 0:
+                jax.config.update("jax_num_cpu_devices",
+                                  cfg.jax_cpu_devices)
 
     if args.command == "eval-quality":
         import importlib.util
@@ -81,21 +99,28 @@ def main(argv=None) -> int:
 
         from dawnsearch_tpu.config import Config as _Config
         from dawnsearch_tpu.index.migrate import migrate_data_dir
-        data_dir = args.data_dir or _Config.load(args.config).data_dir
+        data_dir = (args.sub_data_dir or args.data_dir
+                    or _Config.load(config_path).data_dir)
         print(_json.dumps(migrate_data_dir(data_dir)))
         return 0
 
     if args.command == "sidecar":
         from dawnsearch_tpu.config import Config as _Config
-        cfg = _Config.load(args.config)
+        cfg = _Config.load(config_path)
+        _apply_jax_config(cfg)
         if args.load:
             from dawnsearch_tpu.index.provider import SearchProvider
-            from dawnsearch_tpu.ingest.sidecar import index_sidecars
+            from dawnsearch_tpu.ingest.sidecar import index_sidecars, load_sidecar
             from dawnsearch_tpu.node import make_index_factory
+            # dim comes from the sidecars themselves — a 768-dim
+            # (MPNet) sidecar against the 384 default would reject
+            # every batch (round-3 review)
+            dim = int(load_sidecar(args.warcs[0])[0].shape[1])
             provider = SearchProvider(
-                data_dir=cfg.data_dir, index_dtype=cfg.index_dtype,
+                data_dir=cfg.data_dir, dim=dim,
+                index_dtype=cfg.index_dtype,
                 max_pages=cfg.index_capacity,
-                index_factory=make_index_factory(cfg))
+                index_factory=make_index_factory(cfg, dim=dim))
             n = index_sidecars(provider, args.warcs)
             provider.shutdown()
             print(f"indexed {n} pages into {cfg.data_dir}")
@@ -118,21 +143,17 @@ def main(argv=None) -> int:
 
     if args.command == "track":
         from dawnsearch_tpu.net.tracker import Tracker
-        Tracker(args.listen,
+        Tracker(args.sub_listen or "0.0.0.0:7230",
                 external_address=args.external_address).run_forever()
         return 0
 
     from dawnsearch_tpu.config import Config
     from dawnsearch_tpu.node import DawnNode
 
-    cfg = Config.load(args.config)
-    if cfg.jax_platform:
-        # Must run before the first jax device use; lets a node run on
-        # CPU (dev boxes, co-located test clusters) or pin a platform.
-        import jax
-        jax.config.update("jax_platforms", cfg.jax_platform)
-        if cfg.jax_cpu_devices > 0:
-            jax.config.update("jax_num_cpu_devices", cfg.jax_cpu_devices)
+    cfg = Config.load(config_path)
+    # Must run before the first jax device use; lets a node run on
+    # CPU (dev boxes, co-located test clusters) or pin a platform.
+    _apply_jax_config(cfg)
     if args.web:
         cfg.web = True
     if args.udp:

@@ -40,10 +40,8 @@ def load_index(path: str, **kwargs):
 
     with np.load(path, allow_pickle=False) as z:
         names = set(z.files)
-    if "kind" in names:
-        import numpy as _np
-        with _np.load(path, allow_pickle=False) as z:
-            kind = str(z["kind"])
+        kind = str(z["kind"]) if "kind" in names else None
+    if kind is not None:
         if kind == "sharded":
             from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
             return ShardedFlatIndex.load(

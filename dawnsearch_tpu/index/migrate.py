@@ -36,10 +36,14 @@ from dawnsearch_tpu.utils.logging import service_logger
 log = service_logger("Migrate")
 
 
-def migrate_store(src_db: str, dst_db: str, dim: int = 384,
+def migrate_store(src_db: str, dst_db: str, dim: int | None = None,
                   batch: int = 4096) -> dict:
     """Copy `src_db` (reference or legacy store) into a fresh `dst_db`
-    with contiguous ids from 1. Returns counts. Raises if dst exists."""
+    with contiguous ids from 1. Returns counts. Raises if dst exists.
+
+    dim=None infers the dimension from the first row's blob length —
+    a hard-coded 384 against a 768-dim (MPNet) store would count EVERY
+    row corrupt and swap in an empty pages.sqlite (round-3 review)."""
     if os.path.exists(dst_db):
         raise FileExistsError(
             f"{dst_db} already exists; refusing to overwrite")
@@ -48,6 +52,11 @@ def migrate_store(src_db: str, dst_db: str, dim: int = 384,
     src = sqlite3.connect(src_db)
     try:
         (total,) = src.execute("SELECT COUNT(*) FROM page").fetchone()
+        if dim is None:
+            row = src.execute(
+                "SELECT embedding FROM page ORDER BY id LIMIT 1").fetchone()
+            dim = len(row[0]) // 4 if row and row[0] is not None else 384
+            log.info("inferred dim=%d from the first stored blob", dim)
         dst = PageStore(dst_db, dim=dim)
         copied = skipped_bad = skipped_dup = 0
         cur = src.execute(
@@ -88,8 +97,9 @@ def migrate_store(src_db: str, dst_db: str, dim: int = 384,
     return summary
 
 
-def migrate_data_dir(data_dir: str, dim: int = 384) -> dict:
+def migrate_data_dir(data_dir: str, dim: int | None = None) -> dict:
     """Migrate `data_dir`'s reference store to `pages.sqlite`.
+    dim=None infers it from the source store (migrate_store).
 
     Prefers `dawnsearch.sqlite` as the source; with only a
     `pages.sqlite` present (e.g. one that fails the contiguity check),

@@ -28,6 +28,7 @@ decode() auto-detecting either:
 from __future__ import annotations
 
 import dataclasses
+import math
 import zlib
 
 import msgpack
@@ -404,13 +405,21 @@ def _validate(p: Packet) -> Packet:
             raise ValueError(f"malformed {type(p).__name__}: {what}")
 
     _int = (int,)
+
+    def _finite(x) -> bool:
+        # NaN/Inf distances must not reach the merge: every NaN
+        # comparison is False, so a hostile peer's NaN entries would
+        # occupy top-k slots in sorted() ahead of genuinely closer
+        # hits (and a NaN distance_limit silences all replies)
+        return isinstance(x, (int, float)) and math.isfinite(x)
+
     if isinstance(p, Search):
         req(isinstance(p.search_id, _int), "search_id")
-        req(p.distance_limit is None
-            or isinstance(p.distance_limit, (int, float)), "distance_limit")
+        req(p.distance_limit is None or _finite(p.distance_limit),
+            "distance_limit")
     elif isinstance(p, Page):
         req(isinstance(p.search_id, _int), "search_id")
-        req(isinstance(p.distance, (int, float)), "distance")
+        req(_finite(p.distance), "distance")
         req(all(isinstance(s, str)
                 for s in (p.url, p.title, p.text, p.instance_id)),
             "string fields")
@@ -441,8 +450,7 @@ def _validate(p: Packet) -> Packet:
         req(len(p.page_ids) == len(p.distances) <= SUMMARY_MAX,
             "pair arity")
         req(all(isinstance(i, _int) for i in p.page_ids), "page_ids")
-        req(all(isinstance(d, (int, float)) for d in p.distances),
-            "distances")
+        req(all(_finite(d) for d in p.distances), "distances")
     elif isinstance(p, PageRequest):
         req(isinstance(p.search_id, _int), "search_id")
         req(len(p.page_ids) <= SUMMARY_MAX

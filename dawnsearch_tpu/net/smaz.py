@@ -93,6 +93,12 @@ def decompress(data: bytes) -> bytes:
             i += 2
         elif b == 255:
             ln = data[i + 1] + 1
+            if i + 2 + ln > n:
+                # a truncated verbatim run would otherwise SILENTLY
+                # decode short (the 254 case above raises IndexError
+                # -> ValueError in packets.decode); corrupt input must
+                # not become a quietly-wrong page
+                raise ValueError("smaz: truncated verbatim run")
             out.extend(data[i + 2: i + 2 + ln])
             i += 2 + ln
         else:

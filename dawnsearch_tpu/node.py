@@ -188,6 +188,7 @@ class DawnNode:
         self._http_thread = None
         self.extractor = None
         self._save_timer: threading.Timer | None = None
+        self._timer_lock = threading.Lock()
         self._stopped = threading.Event()
 
     # -- lifecycle ----------------------------------------------------------
@@ -224,13 +225,22 @@ class DawnNode:
         return self
 
     def _schedule_save(self) -> None:
-        if self._stopped.is_set():
-            return
-        self._save_timer = threading.Timer(SAVE_INTERVAL_S, self._save_tick)
-        self._save_timer.daemon = True
-        self._save_timer.start()
+        # under _timer_lock with a re-check: without it, stop() could
+        # cancel the already-FIRED old timer while this thread was past
+        # its own _stopped check, leaving a stray timer that calls
+        # save() on the closed provider minutes after shutdown
+        # (round-3 review; matters for embedded/long-lived processes)
+        with self._timer_lock:
+            if self._stopped.is_set():
+                return
+            self._save_timer = threading.Timer(SAVE_INTERVAL_S,
+                                               self._save_tick)
+            self._save_timer.daemon = True
+            self._save_timer.start()
 
     def _save_tick(self) -> None:
+        if self._stopped.is_set():
+            return
         try:
             self.service.save()
         except Exception:
@@ -243,8 +253,9 @@ class DawnNode:
         if self._stopped.is_set():
             return
         self._stopped.set()
-        if self._save_timer is not None:
-            self._save_timer.cancel()
+        with self._timer_lock:  # pairs with _schedule_save's re-check
+            if self._save_timer is not None:
+                self._save_timer.cancel()
         if self.extractor is not None:
             self.extractor.stop()
         if self.http_server is not None:

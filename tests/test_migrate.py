@@ -255,3 +255,61 @@ def test_migrate_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert '"copied": 3' in out
     assert (tmp_path / "pages.sqlite").exists()
+
+
+def test_migrate_infers_dim_from_store(tmp_path, unit_vectors):
+    """migrate hard-coded dim=384; a 768-dim (MPNet) store had EVERY
+    row counted corrupt and an empty pages.sqlite swapped in (round-3
+    review). dim now comes from the first stored blob."""
+    import numpy as np
+
+    from dawnsearch_tpu.index.migrate import migrate_data_dir
+    from dawnsearch_tpu.index.store import PageStore
+
+    d = tmp_path / "mp"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((3, 768)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    st = PageStore(str(d / "dawnsearch.sqlite"), dim=768)
+    for i in range(3):
+        st.insert(f"http://m/{i}", f"t{i}", f"x{i}", v[i])
+    st.close()
+    summary = migrate_data_dir(str(d))
+    assert summary["copied"] == 3 and summary["skipped_corrupt"] == 0
+    out = PageStore(str(d / "pages.sqlite"), dim=768)
+    assert len(out) == 3
+    out.close()
+
+
+def test_cli_migrate_honors_pre_subcommand_flags(tmp_path, unit_vectors):
+    """`--data-dir X migrate` must migrate X: argparse subparsers that
+    redefine a parent dest clobber parent-parsed values with their
+    defaults (verified on 3.12), so migrate once ran against the
+    default config's data_dir instead (round-3 review)."""
+    import numpy as np
+
+    from dawnsearch_tpu.__main__ import main
+    from dawnsearch_tpu.index.store import PageStore
+
+    d = tmp_path / "cli"
+    d.mkdir()
+    v = unit_vectors(2)
+    st = PageStore(str(d / "dawnsearch.sqlite"))
+    st.insert("http://c/0", "t", "x", v[0])
+    st.close()
+    rc = main(["--data-dir", str(d), "migrate"])
+    assert rc == 0
+    out = PageStore(str(d / "pages.sqlite"))
+    assert len(out) == 1
+    out.close()
+    # the post-subcommand form keeps working too
+    d2 = tmp_path / "cli2"
+    d2.mkdir()
+    st = PageStore(str(d2 / "dawnsearch.sqlite"))
+    st.insert("http://c/1", "t", "x", v[1])
+    st.close()
+    assert main(["migrate", "--data-dir", str(d2)]) == 0
+    out = PageStore(str(d2 / "pages.sqlite"))
+    assert len(out) == 1
+    out.close()

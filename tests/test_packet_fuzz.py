@@ -238,3 +238,35 @@ def test_summary_cache_sweep_is_bounded(tmp_path):
         assert svc.SUMMARY_CACHE_MAX + 7 in svc._summary_cache
     finally:
         svc._sock.close()
+
+
+def test_nonfinite_distances_rejected():
+    """NaN/Inf distances must not reach the merge: NaN comparisons are
+    all False, so sorted() would let a hostile peer's entries occupy
+    top-k slots ahead of genuinely closer hits (round-3 review)."""
+    import math
+
+    from dawnsearch_tpu.net.packets import Summary
+
+    nan = float("nan")
+    for wire in (packets.WIRE_DAWN,):
+        for bad in (
+            Search(7, nan, unit(1)),
+            Page(7, nan, "http://x", "t", "b", "iid", 3),
+            Page(7, math.inf, "http://x", "t", "b", "iid", 3),
+            Summary(7, "iid", [1, 2], [0.1, nan]),
+        ):
+            with pytest.raises(ValueError):
+                decode(encode(bad, wire))
+
+
+def test_smaz_truncated_verbatim_run_raises():
+    """A truncated verbatim run must raise, not silently decode short
+    (a corrupted Insert would otherwise index a quietly-wrong page)."""
+    from dawnsearch_tpu.net import smaz
+
+    with pytest.raises(ValueError, match="truncated"):
+        smaz.decompress(b"\xff\x05ab")
+    # healthy run still round-trips
+    assert smaz.decompress(smaz.compress(b"\x00\x01binary!")) == \
+        b"\x00\x01binary!"
