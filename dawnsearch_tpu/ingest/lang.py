@@ -27,6 +27,20 @@ on C fast paths:
 
 Measured: ~9.9k pages/s on the bench corpus (was 2.9k) — off the
 ingest critical path (C++ extraction 18k/s, tokenization 6.7k/s).
+
+Round 3: even on C fast paths this module was re-profiled as the
+extraction stage's largest remaining GIL share (~half its Python
+time), so a C++ twin now carries production traffic
+(native/lang.cpp, dispatched via ingest/native.is_english): exact
+parity enforced by tests/test_lang_native.py, 1.4-2x the wall time on
+English pages, and — the real point — the filter's GIL-held time
+drops to the ~4 us ctypes dispatch so the pipeline's other stages
+keep running. This module stays the semantic oracle and the fallback
+when the library isn't built. (One trade, documented: on long
+non-Latin pages the C++ must scan all bytes to count codepoints for
+the sampler where Python slices in O(1), so the REJECT path of e.g. a
+12 KB CJK page costs ~20 us vs Python's ~10 us — GIL-released, and
+rejects are not the throughput path.)
 """
 
 from __future__ import annotations

@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 from typing import BinaryIO, Iterator
 
-from dawnsearch_tpu.ingest.lang import is_english
 from dawnsearch_tpu.ingest.warc import iter_warc_records
 from dawnsearch_tpu.utils.text import slice_up_to
 
@@ -44,6 +43,12 @@ def _extract(html: str):
     return native.extract(html)
 
 
+def _is_english(text: str) -> bool:
+    """C++ fast path when built, Python fallback otherwise."""
+    from dawnsearch_tpu.ingest import native
+    return native.is_english(text)
+
+
 def iter_pages(source: str | BinaryIO) -> Iterator[ExtractedPage]:
     """WARC path/stream -> filtered pages ready to embed+index."""
     for rec in iter_warc_records(source):
@@ -56,7 +61,7 @@ def iter_pages(source: str | BinaryIO) -> Iterator[ExtractedPage]:
         text = " ".join(text.split())
         if len(text) < MIN_CLEAN_TEXT:
             continue  # page_source.rs:108-110
-        if not is_english(text):
+        if not _is_english(text):
             continue  # page_source.rs:119-121
         yield ExtractedPage(
             url=rec.url,

@@ -77,6 +77,17 @@ def get() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
                 ctypes.c_long, ctypes.POINTER(ctypes.c_int32)]
             lib.dawn_tok_free.argtypes = [ctypes.c_void_p]
+            # language filter (lang.cpp)
+            lib.dawn_is_english.restype = ctypes.c_int
+            lib.dawn_is_english.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_double, ctypes.c_double]
+            lib.dawn_english_score.restype = ctypes.c_double
+            lib.dawn_english_score.argtypes = [
+                ctypes.c_char_p, ctypes.c_long]
+            lib.dawn_latin_ratio.restype = ctypes.c_double
+            lib.dawn_latin_ratio.argtypes = [
+                ctypes.c_char_p, ctypes.c_long]
             _lib = lib
             log.info("native library loaded (%s)", SO)
         except OSError as e:
