@@ -45,12 +45,13 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
-    # "bert" | "mpnet" — mpnet (models/mpnet.py) shares this config and
-    # the layer stack but swaps the embedding recipe (RoBERTa-offset
-    # position ids, no token types) and adds a shared relative-position
-    # attention bias; all-mpnet-base-v2 is the other canonical
-    # sentence-transformers family (the reference hardcodes MiniLM,
-    # embedding_service.rs:60-85)
+    # "bert" | "mpnet" | "roberta" — mpnet (models/mpnet.py) shares this
+    # config and the layer stack but swaps the embedding recipe
+    # (RoBERTa-offset position ids, no token types) and adds a shared
+    # relative-position attention bias; roberta IS the BERT layer stack
+    # with only the offset position ids (all-distilroberta-v1 etc. —
+    # byte-level BPE vocab, models/tokenizer_bpe.py). The reference
+    # hardcodes one model (embedding_service.rs:60-85).
     model_type: str = "bert"
     pad_token_id: int = 0  # mpnet checkpoints use 1 (RoBERTa layout)
     relative_attention_num_buckets: int = 32  # mpnet only
@@ -230,7 +231,15 @@ def bert_forward(
     """
     B, S = input_ids.shape
     emb = params["embeddings"]
-    pos_ids = jnp.arange(S)[None, :]
+    if cfg.model_type == "roberta":
+        # RoBERTa keeps BERT's layer stack verbatim; only the position
+        # recipe differs (padding_idx-offset ids derived from the pad
+        # token, HF create_position_ids_from_input_ids) — shared with
+        # MPNet (models/mpnet.py).
+        from dawnsearch_tpu.models.mpnet import mpnet_position_ids
+        pos_ids = mpnet_position_ids(input_ids, cfg.pad_token_id)
+    else:
+        pos_ids = jnp.arange(S)[None, :]
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
     x = (

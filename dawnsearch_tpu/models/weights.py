@@ -65,7 +65,7 @@ def _strip_prefix(tensors: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
     """Accept `bert.`/`mpnet.`-prefixed and bare tensor namings."""
     out = {}
     for name, t in tensors.items():
-        for pre in ("bert.", "mpnet."):
+        for pre in ("bert.", "mpnet.", "roberta."):
             if name.startswith(pre):
                 name = name[len(pre):]
                 break
@@ -179,10 +179,10 @@ def config_from_hf(model_dir: str) -> BertConfig | None:
     with open(path) as f:
         hf = json.load(f)
     model_type = hf.get("model_type", "bert")
-    if model_type not in ("bert", "mpnet"):
+    if model_type not in ("bert", "mpnet", "roberta"):
         raise ValueError(
             f"{path}: model_type={model_type!r} is not a supported "
-            "encoder family (bert, mpnet)")
+            "encoder family (bert, mpnet, roberta)")
     act = hf.get("hidden_act", "gelu")
     if act != "gelu":
         # Every kernel and the XLA fallback compute exact erf-gelu (the
@@ -205,7 +205,7 @@ def config_from_hf(model_dir: str) -> BertConfig | None:
         layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
         model_type=model_type,
         pad_token_id=hf.get("pad_token_id",
-                            1 if model_type == "mpnet" else 0),
+                            1 if model_type in ("mpnet", "roberta") else 0),
         relative_attention_num_buckets=hf.get(
             "relative_attention_num_buckets", 32),
     )

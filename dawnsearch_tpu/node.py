@@ -51,27 +51,42 @@ def make_encoder(cfg: Config):
     params, pretrained, bert_cfg = load_params(cfg.model_dir, cfg=base_cfg)
     vocab_path = (os.path.join(cfg.model_dir, "vocab.txt")
                   if cfg.model_dir else None)
-    if vocab_path and os.path.exists(vocab_path):
-        vocab = {}
-        with open(vocab_path, encoding="utf-8") as f:
-            for i, line in enumerate(f):
-                vocab[line.rstrip("\r\n")] = i
+    bpe_vocab = (os.path.join(cfg.model_dir, "vocab.json")
+                 if cfg.model_dir else None)
+    bpe_merges = (os.path.join(cfg.model_dir, "merges.txt")
+                  if cfg.model_dir else None)
+    have_vocab = False
+    if bpe_vocab and os.path.exists(bpe_vocab) and os.path.exists(bpe_merges):
+        # RoBERTa-family checkpoints ship a byte-level BPE vocab
+        # (vocab.json + merges.txt), not a WordPiece vocab.txt
+        from dawnsearch_tpu.models.tokenizer_bpe import ByteLevelBPETokenizer
+        tok = ByteLevelBPETokenizer.from_files(bpe_vocab, bpe_merges)
+        have_vocab = True
     else:
-        corpus = [string.ascii_lowercase, string.digits,
-                  "the quick brown fox jumps over the lazy dog"]
-        vocab = build_vocab_from_corpus(corpus, size=4096)
-        if pretrained:
-            log.warning("pretrained weights but no vocab.txt — "
-                        "tokenization will not match the checkpoint")
-    tok = best_tokenizer(vocab)  # C++ WordPiece when built
-    if pretrained and vocab_path and os.path.exists(vocab_path) \
-            and tok.pad_id != bert_cfg.pad_token_id:
-        # MPNet derives position ids from `input_ids != cfg.pad_token_id`
-        # (models/mpnet.py) while the encoder pads batches with the
-        # TOKENIZER's pad id — a disagreement silently corrupts every
-        # position embedding, so refuse the checkpoint instead
+        if vocab_path and os.path.exists(vocab_path):
+            vocab = {}
+            with open(vocab_path, encoding="utf-8") as f:
+                for i, line in enumerate(f):
+                    vocab[line.rstrip("\r\n")] = i
+            have_vocab = True
+        else:
+            corpus = [string.ascii_lowercase, string.digits,
+                      "the quick brown fox jumps over the lazy dog"]
+            vocab = build_vocab_from_corpus(corpus, size=4096)
+            if pretrained:
+                log.warning(
+                    "pretrained weights but no vocab.txt / "
+                    "vocab.json+merges.txt — tokenization will not "
+                    "match the checkpoint")
+        tok = best_tokenizer(vocab)  # C++ WordPiece when built
+    if pretrained and have_vocab and tok.pad_id != bert_cfg.pad_token_id:
+        # MPNet/RoBERTa derive position ids from
+        # `input_ids != cfg.pad_token_id` (models/mpnet.py) while the
+        # encoder pads batches with the TOKENIZER's pad id — a
+        # disagreement silently corrupts every position embedding, so
+        # refuse the checkpoint instead
         raise ValueError(
-            f"vocab.txt pad id {tok.pad_id} != config.json pad_token_id "
+            f"tokenizer pad id {tok.pad_id} != config.json pad_token_id "
             f"{bert_cfg.pad_token_id} — mismatched checkpoint files in "
             f"{cfg.model_dir}")
     log.info("encoder ready (pretrained=%s, dtype=%s, hidden=%d, layers=%d)",
