@@ -59,8 +59,9 @@ def make_encoder(cfg: Config):
     if bpe_vocab and os.path.exists(bpe_vocab) and os.path.exists(bpe_merges):
         # RoBERTa-family checkpoints ship a byte-level BPE vocab
         # (vocab.json + merges.txt), not a WordPiece vocab.txt
-        from dawnsearch_tpu.models.tokenizer_bpe import ByteLevelBPETokenizer
-        tok = ByteLevelBPETokenizer.from_files(bpe_vocab, bpe_merges)
+        from dawnsearch_tpu.models.tokenizer_bpe_native import \
+            best_bpe_tokenizer
+        tok = best_bpe_tokenizer(bpe_vocab, bpe_merges)  # C++ when built
         have_vocab = True
     else:
         if vocab_path and os.path.exists(vocab_path):

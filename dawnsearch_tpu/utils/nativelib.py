@@ -77,6 +77,17 @@ def get() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
                 ctypes.c_long, ctypes.POINTER(ctypes.c_int32)]
             lib.dawn_tok_free.argtypes = [ctypes.c_void_p]
+            # byte-level BPE tokenizer (bpe.cpp)
+            lib.dawn_bpe_new.restype = ctypes.c_void_p
+            lib.dawn_bpe_new.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+            lib.dawn_bpe_encode.restype = ctypes.c_long
+            lib.dawn_bpe_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_long, ctypes.POINTER(ctypes.c_int32)]
+            lib.dawn_bpe_free.argtypes = [ctypes.c_void_p]
             # language filter (lang.cpp)
             lib.dawn_is_english.restype = ctypes.c_int
             lib.dawn_is_english.argtypes = [
