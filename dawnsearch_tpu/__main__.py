@@ -165,6 +165,17 @@ def main(argv=None) -> int:
     if args.listen:
         cfg.web_listen_address = args.listen
     print(cfg.summary())
+    if cfg.dist_num_processes > 1:
+        # multi-host crew: join the cluster before first device use;
+        # non-leader processes run the SPMD follower loop instead of a
+        # node (parallel/multihost.py)
+        from dawnsearch_tpu.parallel import multihost
+        multihost.init_distributed(cfg.dist_coordinator,
+                                   cfg.dist_num_processes,
+                                   cfg.dist_process_id)
+        if cfg.dist_process_id > 0:
+            multihost.follower_main(cfg)
+            return 0
     node = DawnNode(cfg).start()
     node.run_forever()
     return 0

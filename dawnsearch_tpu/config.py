@@ -108,6 +108,14 @@ class Config:
     warc_source: str = ""  # glob of local WARC files; "" = Common Crawl
     warmup: bool = False  # pre-compile the encoder bucket grid at boot
     compilation_cache: bool = False  # persist XLA compiles under data_dir
+    # --- multi-host (DCN) tier (parallel/multihost.py) ---
+    # One sharded index spanning several JAX processes: process 0 runs
+    # the full node, the rest run SPMD followers. Requires
+    # index_kind="sharded" and a shared data_dir. "" = single-process.
+    dist_coordinator: str = ""  # jax.distributed coordinator host:port
+    dist_num_processes: int = 1
+    dist_process_id: int = 0
+    dist_ping_interval: float = 60.0  # follower keepalive broadcast
 
     @classmethod
     def load(cls, path: str | None = "DawnSearch.toml", env: dict | None = None) -> "Config":

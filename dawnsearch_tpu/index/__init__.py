@@ -38,14 +38,27 @@ def load_index(path: str, **kwargs):
     """
     import numpy as np
 
+    # `_sharded_loader` (multihost leader): replaces
+    # ShardedFlatIndex.load so INIT broadcasts to the SPMD followers
+    # BEFORE the load's cross-process device_put collectives run
+    # (parallel/multihost.crew_sharded_loader). Non-sharded snapshots
+    # are refused in that mode — the provider then rebuilds through the
+    # factory, which announces a fresh INIT.
+    sharded_loader = kwargs.pop("_sharded_loader", None)
     with np.load(path, allow_pickle=False) as z:
         names = set(z.files)
         kind = str(z["kind"]) if "kind" in names else None
+    if sharded_loader is not None and kind != "sharded":
+        raise ValueError(
+            f"multihost mode serves sharded snapshots only (got "
+            f"kind={kind!r}); rebuilding")
     if kind is not None:
         if kind == "sharded":
             from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
-            return ShardedFlatIndex.load(
-                path, **_filtered(ShardedFlatIndex, kwargs))
+            skw = _filtered(ShardedFlatIndex, kwargs)
+            if sharded_loader is not None:
+                return sharded_loader(path, skw)
+            return ShardedFlatIndex.load(path, **skw)
         # "auto" snapshots: IVF/AutoIndex left the product tree in
         # round 3 (measured 53x slower than flat at LOWER recall even
         # in its purpose-built clustered regime — doc/performance.md).

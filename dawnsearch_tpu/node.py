@@ -106,12 +106,14 @@ def _sharded_mesh(cfg: Config):
     return make_mesh({"shard": n}, devices=jax.devices()[:n])
 
 
-def make_index_factory(cfg: Config, dim: int = 384):
+def make_index_factory(cfg: Config, dim: int = 384, crew=None):
     """Index per config: exact flat (default), IVF for large corpora,
     or device-sharded flat over a mesh. The returned factory carries
     `.load_kwargs` — the configuration a snapshot RELOAD must re-apply
     (snapshots store data, not policy; SearchProvider passes these to
-    load_index)."""
+    load_index). With `crew` (a multihost.MultihostCrew on the leader),
+    sharded indexes are wrapped so every op broadcasts to the SPMD
+    followers first (parallel/multihost.py)."""
     def _exact():
         return ("f16" if (cfg.index_rerank == "device"
                           and cfg.index_dtype != "f32") else None)
@@ -138,17 +140,28 @@ def make_index_factory(cfg: Config, dim: int = 384):
     if cfg.index_kind not in ("flat", "sharded"):
         raise ValueError(f"unknown index_kind {cfg.index_kind}")
 
+    if crew is not None and cfg.index_kind != "sharded":
+        raise ValueError('multihost mode (dist_num_processes > 1) '
+                         'requires index_kind="sharded"')
+
     def factory():
         if cfg.index_kind == "flat":
             from dawnsearch_tpu.index.flat import FlatIndex
             return FlatIndex(dim=dim, dtype=cfg.index_dtype,
                              max_capacity=cfg.index_capacity,
                              exact=_exact())
-        from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
-        return ShardedFlatIndex(mesh=_sharded_mesh(cfg), dim=dim,
-                                dtype=cfg.index_dtype,
-                                max_capacity=cfg.index_capacity,
-                                exact=_exact())
+
+        def make_inner():
+            from dawnsearch_tpu.parallel.sharded_index import \
+                ShardedFlatIndex
+            return ShardedFlatIndex(mesh=_sharded_mesh(cfg), dim=dim,
+                                    dtype=cfg.index_dtype,
+                                    max_capacity=cfg.index_capacity,
+                                    exact=_exact())
+        if crew is not None:
+            from dawnsearch_tpu.parallel import multihost
+            return multihost.build_fresh(crew, make_inner, dim)
+        return make_inner()
 
     def load_kwargs():
         kw = {"max_capacity": cfg.index_capacity}
@@ -156,6 +169,9 @@ def make_index_factory(cfg: Config, dim: int = 384):
             kw["exact"] = _exact()
         if cfg.index_kind == "sharded":
             kw["mesh"] = _sharded_mesh(cfg)
+        if crew is not None:
+            from dawnsearch_tpu.parallel import multihost
+            kw["_sharded_loader"] = multihost.crew_sharded_loader(crew)
         return kw
 
     factory.load_kwargs = load_kwargs
@@ -181,6 +197,21 @@ class DawnNode:
         from dawnsearch_tpu.serving.batcher import EmbeddingBatcher
         from dawnsearch_tpu.serving.search_service import SearchService
 
+        self.crew = None
+        if cfg.dist_num_processes > 1:
+            # multi-host leader: join the cluster BEFORE the encoder's
+            # first device use, and broadcast every index op to the
+            # SPMD followers (parallel/multihost.py)
+            from dawnsearch_tpu.parallel import multihost
+            if cfg.dist_process_id != 0:
+                raise ValueError(
+                    "DawnNode is the leader; run followers via "
+                    "`python -m dawnsearch_tpu` with dist_process_id>0")
+            multihost.init_distributed(cfg.dist_coordinator,
+                                       cfg.dist_num_processes,
+                                       cfg.dist_process_id)
+            self.crew = multihost.MultihostCrew(
+                ping_interval=cfg.dist_ping_interval)
         self.encoder = encoder if encoder is not None else make_encoder(cfg)
         self.batcher = EmbeddingBatcher(
             self.encoder.encode, max_batch=cfg.embed_batch_size,
@@ -189,7 +220,7 @@ class DawnNode:
         self.provider = SearchProvider(
             data_dir=cfg.data_dir, dim=dim, index_dtype=cfg.index_dtype,
             max_pages=cfg.index_capacity,
-            index_factory=make_index_factory(cfg, dim=dim))
+            index_factory=make_index_factory(cfg, dim=dim, crew=self.crew))
         self.udp = None
         if cfg.udp:
             from dawnsearch_tpu.net.udp_service import UdpService
@@ -280,6 +311,10 @@ class DawnNode:
             self.udp.stop()
         self.batcher.stop()
         self.service.shutdown()
+        if self.crew is not None:
+            # AFTER the final save (shutdown saves through the crew's
+            # SAVE collective) — releases the followers with OP_STOP
+            self.crew.shutdown()
         log.info("node %s stopped", self.instance_id)
 
     def __enter__(self) -> "DawnNode":

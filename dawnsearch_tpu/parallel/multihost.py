@@ -1,0 +1,427 @@
+"""Multi-host (DCN) tier: one sharded index spanning multiple JAX processes.
+
+SURVEY §2.3 maps the reference's peer fan-out (one UDP datagram per
+peer, host-side merge — /root/reference/src/net/udp_service.rs:297-330,
+src/search/search_service.rs:213-276) to two TPU-native tiers: XLA
+collectives over ICI within a slice (parallel/sharded_index.py), and
+the host UDP/DCN tier for open-membership swarms (net/udp_service.py).
+This module adds the tier between them: a CLOSED deployment of N JAX
+processes (multi-host pod or multi-slice) serving ONE ShardedFlatIndex
+whose "shard" mesh axis spans every process's devices, so the
+cross-host hop is an XLA `all_gather` riding the runtime's DCN
+collectives — not application datagrams.
+
+Design (the standard JAX multi-controller contract):
+
+- Every process executes the SAME jitted programs in the SAME order on
+  the global mesh. Process 0 (the leader) runs the full DawnNode —
+  HTTP/UDP frontends, encoder, store, ingest. Processes 1..N-1 run
+  `follower_main`: a loop that learns each operation from a host-side
+  broadcast and executes its device half in lockstep.
+- The control plane is `multihost_utils.broadcast_one_to_all`: a fixed
+  (8,) int64 header (opcode + shape metadata), then the payload arrays
+  whose shapes the header determines. Payload batch dims are bucketed
+  to powers of two so the broadcast compiles O(log B) programs.
+- Ordering: the leader holds one crew lock across broadcast AND the
+  following device dispatch, making its op order identical to the
+  followers' sequential loop — collectives inside the search/write
+  programs then pair up across processes by construction.
+- Failure model is fail-stop, like `jax.distributed` itself: a process
+  that dies takes the collective down (the runtime surfaces a
+  distributed error); restart the crew. Open-membership robustness
+  (deadlines, stragglers, partial results) stays the UDP tier's job —
+  that is exactly the reference's split between its index and its
+  network (SURVEY §5 "failure detection").
+- A keepalive PING broadcast (dist_ping_interval, default 60 s) keeps
+  idle followers inside a bounded collective wait.
+
+The leader's SearchProvider sees a `MultihostShardedIndex`: the same
+duck-typed index surface, with every state-touching entry point
+prefixed by a broadcast. It deliberately does NOT expose
+`search_dispatch` (the provider then serializes searches under its
+device lock — required here, since the broadcast order IS the program
+order) and is not a FlatIndex/ShardedFlatIndex instance (the fused
+serving paths' isinstance gates then opt out, so followers never need
+the encoder or token streams).
+
+Shared state contract: all processes read the same config (TOML) and
+`data_dir` must be a shared (or replicated) filesystem — followers load
+the same index snapshot bytes the leader loads. The SQLite store stays
+leader-only. Snapshot save gathers the sharded buffers to every host
+(one full copy in host RAM) and the leader writes the standard
+"sharded" .npz, so single-process runs reload multihost snapshots
+unchanged and vice versa.
+
+Verified end-to-end on this machine by tests/test_multihost.py: two OS
+processes x two virtual CPU devices each (gloo collectives — the same
+code path a real pod takes over DCN), exact-recall parity against
+numpy, leader save -> single-process reload.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from dawnsearch_tpu.utils.logging import service_logger
+
+log = service_logger("Multihost")
+
+OP_PING = 0
+OP_INIT = 1
+OP_SEARCH = 2
+OP_ADD = 3
+OP_SAVE = 4
+OP_STOP = 5
+
+_HEADER_LEN = 8
+
+_init_done = False
+
+
+def init_distributed(coordinator: str, num_processes: int,
+                     process_id: int) -> None:
+    """`jax.distributed.initialize` exactly once, BEFORE first device
+    use (the backend binds to the cluster at initialization; a later
+    call is an error). Call sites: the CLI right after config parse,
+    DawnNode.__init__ (idempotent), follower_main."""
+    global _init_done
+    if _init_done or num_processes <= 1:
+        return
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _init_done = True
+    log.info("distributed runtime up: process %d/%d via %s",
+             process_id, num_processes, coordinator)
+
+
+def _bcast(x: np.ndarray) -> np.ndarray:
+    from jax.experimental import multihost_utils as mhu
+    return np.asarray(mhu.broadcast_one_to_all(x))
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    """Next power of two >= n (>= lo): bounds broadcast/compile shape
+    count to O(log max_batch)."""
+    return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+
+class MultihostCrew:
+    """The broadcast control plane shared by leader wrapper and
+    follower loop. All sends happen under `lock`; the leader holds it
+    across the subsequent device dispatch too (see module docstring)."""
+
+    def __init__(self, ping_interval: float = 60.0):
+        import jax
+        self.is_leader = jax.process_index() == 0
+        self.lock = threading.RLock()
+        self._ping_interval = ping_interval
+        self._timer: threading.Timer | None = None
+        self._timer_lock = threading.Lock()
+        self._stopped = False
+        if self.is_leader and ping_interval > 0:
+            self._schedule_ping()
+
+    # -- leader side --------------------------------------------------------
+
+    def send(self, op: int, meta: tuple = (), payloads: tuple = ()) -> None:
+        header = np.zeros(_HEADER_LEN, np.int64)
+        header[0] = op
+        header[1:1 + len(meta)] = meta
+        with self.lock:
+            _bcast(header)
+            for p in payloads:
+                _bcast(p)
+
+    def _schedule_ping(self) -> None:
+        with self._timer_lock:
+            if self._stopped:
+                return
+            self._timer = threading.Timer(self._ping_interval, self._ping)
+            self._timer.daemon = True
+            self._timer.start()
+
+    def _ping(self) -> None:
+        if self._stopped:
+            return
+        try:
+            self.send(OP_PING)
+        except Exception:
+            log.exception("keepalive ping failed")
+        self._schedule_ping()
+
+    def shutdown(self) -> None:
+        """Stop the keepalive and release the followers (OP_STOP)."""
+        if self._stopped:
+            return
+        self._stopped = True
+        with self._timer_lock:
+            if self._timer is not None:
+                self._timer.cancel()
+        if self.is_leader:
+            self.send(OP_STOP)
+
+    # -- follower side ------------------------------------------------------
+
+    def recv_header(self) -> np.ndarray:
+        return _bcast(np.zeros(_HEADER_LEN, np.int64))
+
+    def recv(self, shape: tuple, dtype) -> np.ndarray:
+        return _bcast(np.zeros(shape, dtype))
+
+
+def _replicated(arr, mesh) -> np.ndarray:
+    """All-gather a mesh-sharded array to every process (host RAM cost:
+    one full copy), via a jitted identity with replicated out-sharding —
+    a collective, so every process must call it in lockstep."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    out = jax.jit(lambda x: x,
+                  out_shardings=NamedSharding(mesh, P()))(arr)
+    return np.asarray(out)
+
+
+def _gather_snapshot(inner) -> dict:
+    """Collective: replicate the index buffers and package them in the
+    exact array set ShardedFlatIndex.deferred_save writes, so the
+    snapshot is byte-layout-identical to a single-process one."""
+    has_scales = inner.dtype in ("i8", "i4")
+    has_exact = inner.exact is not None
+    return dict(
+        kind="sharded",
+        codes=_replicated(inner._codes, inner.mesh),
+        scales=(_replicated(inner._scales, inner.mesh) if has_scales
+                else np.empty(0)),
+        exact=(_replicated(inner._exact, inner.mesh) if has_exact
+               else np.empty(0)),
+        ids=_replicated(inner._ids, inner.mesh),
+        counts=np.array(inner._counts),
+        next_id=inner._next_id,
+        dtype=inner.dtype,
+        dim=inner.dim,
+    )
+
+
+class MultihostShardedIndex:
+    """Leader-side index: ShardedFlatIndex surface, broadcast-prefixed.
+
+    Wraps (not subclasses) so the fused serving paths' isinstance gates
+    reject it and every mutation/search funnels through add()/search()
+    — the two entry points the followers mirror."""
+
+    def __init__(self, inner, crew: MultihostCrew):
+        self.inner = inner
+        self.crew = crew
+
+    # -- delegated read-only surface ---------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+    @property
+    def dim(self) -> int:
+        return self.inner.dim
+
+    @property
+    def dtype(self) -> str:
+        return self.inner.dtype
+
+    @property
+    def capacity(self) -> int:
+        return self.inner.capacity
+
+    @property
+    def max_capacity(self):
+        return self.inner.max_capacity
+
+    @property
+    def nbytes(self) -> int:
+        return self.inner.nbytes
+
+    @property
+    def device_rerank(self) -> bool:
+        return self.inner.device_rerank
+
+    def device_fetch_width(self, k: int) -> int:
+        return self.inner.device_fetch_width(k)
+
+    # -- broadcast-prefixed ops --------------------------------------------
+
+    def add(self, vectors, ids=None) -> np.ndarray:
+        rows = np.asarray(vectors, np.float32)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        n = rows.shape[0]
+        if n == 0:
+            return np.empty((0,), np.int64)
+        if ids is None:
+            # materialize ids HERE so the broadcast pins them — both
+            # sides then insert identical (row, id) pairs by contract,
+            # not by trusting _next_id to have stayed in sync
+            ids = np.arange(self.inner._next_id, self.inner._next_id + n,
+                            dtype=np.int64)
+        ids = np.asarray(ids, np.int64)
+        np_ = _bucket(n)
+        rows_p = np.zeros((np_, rows.shape[1]), np.float32)
+        rows_p[:n] = rows
+        ids_p = np.full((np_,), -1, np.int64)
+        ids_p[:n] = ids
+        with self.crew.lock:  # broadcast + dispatch = one ordered op
+            self.crew.send(OP_ADD, (np_, n), (rows_p, ids_p))
+            return self.inner.add(rows, ids)
+
+    def search(self, queries, k: int):
+        q = np.asarray(queries, np.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        B = q.shape[0]
+        Bp = _bucket(B)
+        qp = np.empty((Bp, q.shape[1]), np.float32)
+        qp[:B] = q
+        qp[B:] = q[0]  # pad by repetition: padding must stay unit-norm
+        with self.crew.lock:
+            self.crew.send(OP_SEARCH, (Bp, B, k), (qp,))
+            d, u = self.inner.search(qp, k)
+        d, u = d[:B], u[:B]
+        if single:
+            return d[0], u[0]
+        return d, u
+
+    def save(self, path: str) -> None:
+        self.deferred_save()(path)
+
+    def deferred_save(self):
+        """Collective gather NOW (all processes in lockstep, one host
+        copy of the buffers), file write deferred — so the caller's
+        deferred-write contract (provider autosave off the query path)
+        holds and the follower side has no file to write."""
+        from dawnsearch_tpu.index.flat import _atomic_savez
+        with self.crew.lock:
+            self.crew.send(OP_SAVE)
+            blobs = _gather_snapshot(self.inner)
+
+        def write(path: str) -> None:
+            _atomic_savez(path, **blobs)
+
+        return write
+
+
+def build_fresh(crew: MultihostCrew, make_inner, dim: int
+                ) -> MultihostShardedIndex:
+    """Announce INIT(fresh), then construct — under the crew lock, and
+    in that order: materializing device buffers on a cross-process mesh
+    is ITSELF a collective (device_put reshards across hosts), so the
+    followers must be constructing their replica concurrently, and no
+    keepalive ping may interleave with the construction collectives. A
+    second INIT (the provider discarded a stale snapshot and rebuilt)
+    makes followers rebuild too."""
+    with crew.lock:
+        crew.send(OP_INIT, (0, dim))
+        inner = make_inner()
+    return MultihostShardedIndex(inner, crew)
+
+
+def crew_sharded_loader(crew: MultihostCrew):
+    """`load_index(_sharded_loader=...)` hook: announce INIT(loaded)
+    BEFORE loading (see build_fresh — the load's device_puts are
+    collectives), then load + wrap under the crew lock. If the load
+    raises, the follower loading the same snapshot bytes raises
+    identically and returns to its INIT wait, while the provider falls
+    back to the factory — which announces a fresh INIT."""
+    import numpy as np
+
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    def load(path: str, kwargs: dict) -> MultihostShardedIndex:
+        with np.load(path, allow_pickle=False) as z:
+            dim = int(z["dim"])
+        with crew.lock:
+            crew.send(OP_INIT, (1, dim))
+            inner = ShardedFlatIndex.load(path, **kwargs)
+        return MultihostShardedIndex(inner, crew)
+
+    return load
+
+
+def run_follower(crew: MultihostCrew, cfg, index_path: str) -> None:
+    """The follower loop: materialize the index replica on INIT, then
+    mirror every broadcast op until OP_STOP. Payloads are received
+    unconditionally (a skipped recv would desync the stream); only the
+    device execution is exception-guarded — a host-side refusal (cap
+    exceeded, bad queries) raises IDENTICALLY on the leader, so both
+    sides skip the program and stay in lockstep."""
+    from dawnsearch_tpu.index import load_index
+    from dawnsearch_tpu.node import make_index_factory
+
+    inner = None
+    while True:
+        h = crew.recv_header()
+        op = int(h[0])
+        if op == OP_PING:
+            continue
+        if op == OP_STOP:
+            log.info("follower released")
+            return
+        if op == OP_INIT:
+            loaded, dim = int(h[1]), int(h[2])
+            factory = make_index_factory(cfg, dim=dim)
+            try:
+                if loaded:
+                    lk = factory.load_kwargs()
+                    inner = load_index(index_path, **lk)
+                else:
+                    inner = factory()
+            except Exception:
+                # the leader's twin load raised the same way (same
+                # snapshot bytes, same code); it will announce a fresh
+                # INIT from its factory fallback — wait for it
+                inner = None
+                log.exception("follower INIT failed; awaiting re-INIT")
+                continue
+            log.info("follower index ready (loaded=%d, dim=%d, %d rows)",
+                     loaded, dim, len(inner))
+            continue
+        if inner is None:  # ops before INIT: nothing to mirror
+            log.warning("op %d before INIT — ignored", op)
+            continue
+        if op == OP_SEARCH:
+            bp, b, k = int(h[1]), int(h[2]), int(h[3])
+            q = crew.recv((bp, inner.dim), np.float32)
+            try:
+                inner.search(q, k)
+            except Exception:
+                log.exception("follower search failed (leader skipped too)")
+        elif op == OP_ADD:
+            np_, n = int(h[1]), int(h[2])
+            rows = crew.recv((np_, inner.dim), np.float32)
+            ids = crew.recv((np_,), np.int64)
+            try:
+                inner.add(rows[:n], ids[:n])
+            except Exception:
+                log.exception("follower add failed (leader skipped too)")
+        elif op == OP_SAVE:
+            try:
+                _gather_snapshot(inner)  # participate; leader writes
+            except Exception:
+                log.exception("follower save-gather failed")
+        else:
+            log.warning("unknown op %d — ignored", op)
+
+
+def follower_main(cfg) -> None:
+    """Entry point for `python -m dawnsearch_tpu` when
+    dist_process_id > 0: join the cluster, mirror the leader until
+    OP_STOP. No encoder, store, or frontend — the follower's entire job
+    is the device half of the SPMD programs."""
+    import os
+
+    init_distributed(cfg.dist_coordinator, cfg.dist_num_processes,
+                     cfg.dist_process_id)
+    crew = MultihostCrew(ping_interval=cfg.dist_ping_interval)
+    from dawnsearch_tpu.index.provider import INDEX_FILE
+    index_path = os.path.join(cfg.data_dir, INDEX_FILE)
+    run_follower(crew, cfg, index_path)

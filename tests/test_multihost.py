@@ -1,0 +1,103 @@
+"""Multi-host (DCN) tier: 2 OS processes x 2 virtual CPU devices each
+serve ONE 4-shard ShardedFlatIndex through gloo collectives — the same
+jax.distributed code path a real pod takes over DCN, which is the only
+instrument this single-chip bench provides (SURVEY §4's "multi-node
+without a cluster" analog, one level up from the in-process mesh).
+
+Covers: cluster bootstrap (parallel/multihost.init_distributed), the
+broadcast control plane (INIT/ADD/SEARCH/SAVE/PING/STOP), exact-recall
+parity against numpy on the leader, keepalive across idle gaps,
+snapshot save through the collective gather, and cross-world reload —
+the crew-written snapshot loads in THIS single-process suite (8-device
+mesh re-stripe) with identical search results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_crew(tmp_path, scenario: str, timeout: float = 300.0):
+    """Spawn leader (pid 0) + follower (pid 1); return their RESULT
+    dicts keyed by role."""
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(p), "2", str(port),
+             str(tmp_path), scenario],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO)
+        for p in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = {}
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                results[r["role"]] = r
+    assert {"leader", "follower"} <= set(results), outs
+    return results
+
+
+def test_crew_index_ops(tmp_path):
+    res = _run_crew(tmp_path, "index")
+    lead = res["leader"]
+    assert lead["count"] == 700
+    # bare-index recall: i8 quantized scan without the provider's f32
+    # re-rank (single-process measures the same ~0.99 at this scale)
+    assert lead["recall"] >= 0.98
+    assert lead["self_hits"]
+    assert lead["single_hit"] and lead["post_idle_hit"]
+    assert lead["snapshot"]
+    assert res["follower"]["ok"]
+
+    # The crew-written snapshot is format-identical to a single-process
+    # sharded snapshot: reload HERE (8-device conftest mesh, so the
+    # saved 4 shards re-stripe through add()) and reproduce the search.
+    from dawnsearch_tpu.index import load_index
+    idx = load_index(os.path.join(tmp_path, "crew_snapshot.npz"))
+    assert len(idx) == 700
+    rng = np.random.default_rng(3)  # worker's corpus, regenerated
+    rows = rng.standard_normal((700, 384)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    _, u = idx.search(rows[:8], 10)
+    exact = np.argsort(1.0 - rows[:8] @ rows.T, axis=1)[:, :10]
+    rec = np.mean([len(set(u[b].tolist()) & set(exact[b].tolist())) / 10
+                   for b in range(8)])
+    assert rec >= 0.98 and (u[:, 0] == np.arange(8)).all()
+
+
+def test_crew_full_node(tmp_path):
+    res = _run_crew(tmp_path, "node")
+    lead = res["leader"]
+    assert lead["inserted"] == 40
+    assert lead["count"] == 40
+    assert lead["served"]
+    assert res["follower"]["ok"]
