@@ -270,7 +270,8 @@ class MultihostShardedIndex:
         ids_p = np.full((np_,), -1, np.int64)
         ids_p[:n] = ids
         with self.crew.lock:  # broadcast + dispatch = one ordered op
-            self.crew.send(OP_ADD, (np_, n), (rows_p, ids_p))
+            self.crew.send(OP_ADD, (np_, n, rows.shape[1]),
+                           (rows_p, ids_p))
             return self.inner.add(rows, ids)
 
     def search(self, queries, k: int):
@@ -284,7 +285,7 @@ class MultihostShardedIndex:
         qp[:B] = q
         qp[B:] = q[0]  # pad by repetition: padding must stay unit-norm
         with self.crew.lock:
-            self.crew.send(OP_SEARCH, (Bp, B, k), (qp,))
+            self.crew.send(OP_SEARCH, (Bp, B, k, q.shape[1]), (qp,))
             d, u = self.inner.search(qp, k)
         d, u = d[:B], u[:B]
         if single:
@@ -385,25 +386,34 @@ def run_follower(crew: MultihostCrew, cfg, index_path: str) -> None:
             log.info("follower index ready (loaded=%d, dim=%d, %d rows)",
                      loaded, dim, len(inner))
             continue
-        if inner is None:  # ops before INIT: nothing to mirror
-            log.warning("op %d before INIT — ignored", op)
-            continue
+        # payload shapes come from the HEADER, never from local state:
+        # payloads are consumed unconditionally even when this follower
+        # has no index yet (a skipped recv would desync the stream)
         if op == OP_SEARCH:
-            bp, b, k = int(h[1]), int(h[2]), int(h[3])
-            q = crew.recv((bp, inner.dim), np.float32)
+            bp, b, k, dim = (int(h[1]), int(h[2]), int(h[3]), int(h[4]))
+            q = crew.recv((bp, dim), np.float32)
+            if inner is None:
+                log.warning("search before INIT — ignored")
+                continue
             try:
                 inner.search(q, k)
             except Exception:
                 log.exception("follower search failed (leader skipped too)")
         elif op == OP_ADD:
-            np_, n = int(h[1]), int(h[2])
-            rows = crew.recv((np_, inner.dim), np.float32)
+            np_, n, dim = int(h[1]), int(h[2]), int(h[3])
+            rows = crew.recv((np_, dim), np.float32)
             ids = crew.recv((np_,), np.int64)
+            if inner is None:
+                log.warning("add before INIT — ignored")
+                continue
             try:
                 inner.add(rows[:n], ids[:n])
             except Exception:
                 log.exception("follower add failed (leader skipped too)")
         elif op == OP_SAVE:
+            if inner is None:
+                log.warning("save before INIT — ignored")
+                continue
             try:
                 _gather_snapshot(inner)  # participate; leader writes
             except Exception:
