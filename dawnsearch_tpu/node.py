@@ -140,9 +140,21 @@ def make_index_factory(cfg: Config, dim: int = 384, crew=None):
     if cfg.index_kind not in ("flat", "sharded"):
         raise ValueError(f"unknown index_kind {cfg.index_kind}")
 
-    if crew is not None and cfg.index_kind != "sharded":
-        raise ValueError('multihost mode (dist_num_processes > 1) '
-                         'requires index_kind="sharded"')
+    if cfg.dist_num_processes > 1:
+        # (checked on leader AND follower — make_index_factory builds
+        # the follower's replica too, so both refuse identically)
+        if cfg.index_kind != "sharded":
+            raise ValueError('multihost mode (dist_num_processes > 1) '
+                             'requires index_kind="sharded"')
+        if cfg.mesh_shards != 0:
+            import jax
+            if cfg.mesh_shards != len(jax.devices()):
+                # a sub-mesh could exclude every device of some process,
+                # which then holds no addressable shard of any buffer
+                # and cannot even read the replicated search outputs
+                raise ValueError(
+                    "multihost mode shards over every device in the "
+                    "cluster; leave mesh_shards = 0")
 
     def factory():
         if cfg.index_kind == "flat":

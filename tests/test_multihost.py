@@ -101,3 +101,34 @@ def test_crew_full_node(tmp_path):
     assert lead["count"] == 40
     assert lead["served"]
     assert res["follower"]["ok"]
+
+
+def test_multihost_config_validation(tmp_path):
+    """make_index_factory refuses multihost configs that cannot work,
+    at BOOT (leader and follower run the same check via the same
+    factory call in run_follower), not weeks later in a rebuild path:
+    non-sharded index kinds, and a sub-mesh (mesh_shards != every
+    device) — a sub-mesh could exclude all of some process's devices,
+    leaving it with no addressable shard of any global buffer."""
+    import jax
+    import pytest
+
+    from dawnsearch_tpu.config import Config
+    from dawnsearch_tpu.node import make_index_factory
+
+    def cfg(**kw):
+        c = Config()
+        c.data_dir = str(tmp_path / "data")
+        c.dist_num_processes = 2
+        for k, v in kw.items():
+            setattr(c, k, v)
+        return c
+
+    with pytest.raises(ValueError, match="sharded"):
+        make_index_factory(cfg(index_kind="flat"))
+    with pytest.raises(ValueError, match="mesh_shards"):
+        make_index_factory(cfg(index_kind="sharded", mesh_shards=4))
+    # 0 (= every device) and the explicit full count are both fine
+    make_index_factory(cfg(index_kind="sharded", mesh_shards=0))
+    make_index_factory(cfg(index_kind="sharded",
+                           mesh_shards=len(jax.devices())))
