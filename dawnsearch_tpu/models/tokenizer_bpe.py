@@ -87,6 +87,22 @@ def _adjacent_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
     return set(zip(word, word[1:]))
 
 
+def _merge_pair(word: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """Replace every non-overlapping (a, b) adjacency in `word` with the
+    fused symbol — the one merge semantics shared by the encoder's
+    rank loop and the trainer (they must never diverge)."""
+    merged: list[str] = []
+    i = 0
+    while i < len(word):
+        if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+            merged.append(a + b)
+            i += 2
+        else:
+            merged.append(word[i])
+            i += 1
+    return tuple(merged)
+
+
 class ByteLevelBPETokenizer:
     """vocab.json + merges.txt -> the WordPieceTokenizer serving
     interface (pad/unk/cls/sep ids, encode, encode_batch), so
@@ -113,9 +129,16 @@ class ByteLevelBPETokenizer:
             vocab = json.load(f)
         merges: list[tuple[str, str]] = []
         with open(merges_path, encoding="utf-8") as f:
-            for line in f:
+            for lineno, line in enumerate(f):
                 line = line.rstrip("\n")
-                if not line or line.startswith("#"):
+                # HF skips ONLY the first "#version" header line; every
+                # other line is a merge. Byte-level merges can start
+                # with '#' ("# #", "## ##" — real GPT-2/RoBERTa
+                # merges.txt has them), so a blanket '#' comment skip
+                # silently drops merges and diverges from the checkpoint.
+                if lineno == 0 and line.startswith("#version"):
+                    continue
+                if not line:
                     continue
                 a, b = line.split(" ")
                 merges.append((a, b))
@@ -146,17 +169,7 @@ class ByteLevelBPETokenizer:
             best = min(pairs, key=lambda p: self.ranks.get(p, 1 << 60))
             if best not in self.ranks:
                 break
-            a, b = best
-            merged: list[str] = []
-            i = 0
-            while i < len(word):
-                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
-                    merged.append(a + b)
-                    i += 2
-                else:
-                    merged.append(word[i])
-                    i += 1
-            word = tuple(merged)
+            word = _merge_pair(word, *best)
         out = list(word)
         if len(self._cache) < 65536:  # bound the per-process cache
             self._cache[token] = out
@@ -254,19 +267,7 @@ def train_bpe(texts: list[str], size: int = 4096,
         a, b = best
         new_words: dict[tuple[str, ...], int] = {}
         for word, freq in words.items():
-            if a not in word:
-                new_words[word] = new_words.get(word, 0) + freq
-                continue
-            merged: list[str] = []
-            i = 0
-            while i < len(word):
-                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
-                    merged.append(a + b)
-                    i += 2
-                else:
-                    merged.append(word[i])
-                    i += 1
-            key = tuple(merged)
+            key = word if a not in word else _merge_pair(word, a, b)
             new_words[key] = new_words.get(key, 0) + freq
         words = new_words
     vocab_list.append(MASK_TOK)

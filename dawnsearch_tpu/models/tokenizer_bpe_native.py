@@ -97,7 +97,9 @@ class NativeByteLevelBPETokenizer:
         return cls(py.vocab, order)
 
     def encode(self, text: str, max_len: int | None = None) -> list[int]:
-        cap = min(max_len or self.MAX_IDS, self.MAX_IDS)
+        # explicit None check: max_len=0 is a real cap (the Python twin
+        # returns just [cls, sep]), not "no limit"
+        cap = self.MAX_IDS if max_len is None else min(max_len, self.MAX_IDS)
         # encode always emits <s>...</s>, so >= 2 ids even at cap < 2
         # (matching the Python twin's cap = max(max_len-2, 0) + specials)
         out = (ctypes.c_int32 * max(cap, 2))()

@@ -132,6 +132,12 @@ class MultihostCrew:
         header[0] = op
         header[1:1 + len(meta)] = meta
         with self.lock:
+            # re-check under the lock: a keepalive ping that passed its
+            # outer _stopped check can otherwise win the lock AFTER
+            # shutdown() broadcast OP_STOP and the followers exited,
+            # wedging this process in a peerless collective
+            if self._stopped and op != OP_STOP:
+                return
             _bcast(header)
             for p in payloads:
                 _bcast(p)
@@ -173,21 +179,32 @@ class MultihostCrew:
         return _bcast(np.zeros(shape, dtype))
 
 
-def _replicated(arr, mesh) -> np.ndarray:
-    """All-gather a mesh-sharded array to every process (host RAM cost:
-    one full copy), via a jitted identity with replicated out-sharding —
-    a collective, so every process must call it in lockstep."""
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    out = jax.jit(lambda x: x,
-                  out_shardings=NamedSharding(mesh, P()))(arr)
-    return np.asarray(out)
+_REPL_JIT: dict = {}  # mesh -> jitted replicate-identity (avoid a
+#                       guaranteed recompile per save from a fresh lambda)
+
+
+def _replicated(arr, mesh):
+    """DISPATCH an all-gather of a mesh-sharded array to every process
+    (host RAM cost: one full copy once materialized), via a cached
+    jitted identity with replicated out-sharding — a collective, so
+    every process must dispatch it in lockstep. Returns the async
+    jax.Array; the caller materializes it OFF the crew lock."""
+    fn = _REPL_JIT.get(mesh)
+    if fn is None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        fn = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+        _REPL_JIT[mesh] = fn
+    return fn(arr)
 
 
 def _gather_snapshot(inner) -> dict:
-    """Collective: replicate the index buffers and package them in the
-    exact array set ShardedFlatIndex.deferred_save writes, so the
-    snapshot is byte-layout-identical to a single-process one."""
+    """Collective: dispatch replication of the index buffers and package
+    them in the exact array set ShardedFlatIndex.deferred_save writes,
+    so the snapshot is byte-layout-identical to a single-process one.
+    Values are still async jax.Arrays (plus host scalars) — dispatch
+    order is what must stay in lockstep across processes; the multi-GB
+    readback happens in _materialize, outside the crew lock."""
     has_scales = inner.dtype in ("i8", "i4")
     has_exact = inner.exact is not None
     return dict(
@@ -203,6 +220,13 @@ def _gather_snapshot(inner) -> dict:
         dtype=inner.dtype,
         dim=inner.dim,
     )
+
+
+def _materialize(blobs: dict) -> dict:
+    """Force the gathered buffers to host numpy (blocks on the transfer;
+    inputs are immutable jax.Arrays already scheduled, so later adds
+    cannot change what this reads)."""
+    return {k: np.asarray(v) for k, v in blobs.items()}
 
 
 class MultihostShardedIndex:
@@ -296,17 +320,18 @@ class MultihostShardedIndex:
         self.deferred_save()(path)
 
     def deferred_save(self):
-        """Collective gather NOW (all processes in lockstep, one host
-        copy of the buffers), file write deferred — so the caller's
-        deferred-write contract (provider autosave off the query path)
-        holds and the follower side has no file to write."""
+        """Collective gather DISPATCH now (all processes in lockstep,
+        ~ms under the crew lock), readback + file write deferred to the
+        returned callable — so the caller's deferred-write contract
+        (provider autosave off the query path) holds for the multi-GB
+        readback too, and the follower side has no file to write."""
         from dawnsearch_tpu.index.flat import _atomic_savez
         with self.crew.lock:
             self.crew.send(OP_SAVE)
             blobs = _gather_snapshot(self.inner)
 
         def write(path: str) -> None:
-            _atomic_savez(path, **blobs)
+            _atomic_savez(path, **_materialize(blobs))
 
         return write
 
@@ -354,7 +379,9 @@ def run_follower(crew: MultihostCrew, cfg, index_path: str) -> None:
     unconditionally (a skipped recv would desync the stream); only the
     device execution is exception-guarded — a host-side refusal (cap
     exceeded, bad queries) raises IDENTICALLY on the leader, so both
-    sides skip the program and stay in lockstep."""
+    sides skip the program and stay in lockstep. An op arriving while
+    this follower has no index is fail-stop (raise), never skip: the
+    leader is entering a collective we cannot join."""
     from dawnsearch_tpu.index import load_index
     from dawnsearch_tpu.node import make_index_factory
 
@@ -389,12 +416,21 @@ def run_follower(crew: MultihostCrew, cfg, index_path: str) -> None:
         # payload shapes come from the HEADER, never from local state:
         # payloads are consumed unconditionally even when this follower
         # has no index yet (a skipped recv would desync the stream)
+        # inner is None past this point means this follower's INIT
+        # failed for a follower-local reason (NFS hiccup, OOM) while the
+        # leader's succeeded — the leader is about to enter a global-mesh
+        # collective we cannot join. Skipping it would hang the leader
+        # inside the device program forever; fail-stop instead (the
+        # module contract: a desynced process takes the crew down
+        # visibly, via the runtime's distributed error).
         if op == OP_SEARCH:
             bp, b, k, dim = (int(h[1]), int(h[2]), int(h[3]), int(h[4]))
             q = crew.recv((bp, dim), np.float32)
             if inner is None:
-                log.warning("search before INIT — ignored")
-                continue
+                raise RuntimeError(
+                    "follower got SEARCH with no index (INIT failed "
+                    "locally while the leader's succeeded) — failing "
+                    "stop rather than desyncing the collective")
             try:
                 inner.search(q, k)
             except Exception:
@@ -404,16 +440,20 @@ def run_follower(crew: MultihostCrew, cfg, index_path: str) -> None:
             rows = crew.recv((np_, dim), np.float32)
             ids = crew.recv((np_,), np.int64)
             if inner is None:
-                log.warning("add before INIT — ignored")
-                continue
+                raise RuntimeError(
+                    "follower got ADD with no index (INIT failed "
+                    "locally while the leader's succeeded) — failing "
+                    "stop rather than desyncing the collective")
             try:
                 inner.add(rows[:n], ids[:n])
             except Exception:
                 log.exception("follower add failed (leader skipped too)")
         elif op == OP_SAVE:
             if inner is None:
-                log.warning("save before INIT — ignored")
-                continue
+                raise RuntimeError(
+                    "follower got SAVE with no index (INIT failed "
+                    "locally while the leader's succeeded) — failing "
+                    "stop rather than desyncing the collective")
             try:
                 _gather_snapshot(inner)  # participate; leader writes
             except Exception:

@@ -74,7 +74,7 @@ def test_specials_match(pair):
         (py.pad_id, py.unk_id, py.cls_id, py.sep_id)
 
 
-@pytest.mark.parametrize("max_len", [2, 3, 8, 16, 128])
+@pytest.mark.parametrize("max_len", [0, 1, 2, 3, 8, 16, 128])
 def test_truncation_matches_python(pair, max_len):
     py, cc = pair
     text = "the quick brown fox jumps over the lazy dog " * 10

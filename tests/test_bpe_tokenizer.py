@@ -119,6 +119,25 @@ def test_file_round_trip(trained):
         assert tok2.encode(text) == tok.encode(text)
 
 
+def test_hash_merges_survive_file_round_trip(tmp_path):
+    """Real GPT-2/RoBERTa merges.txt contains merges whose tokens start
+    with '#' ("# #", "## ##"); only the FIRST "#version" header line is
+    a comment. A blanket '#' skip in from_files silently drops those
+    merges and tokenization diverges from the checkpoint (regression:
+    round-3 review finding)."""
+    corpus = CORPUS + ["#### heading ## subheading #### more ## hashes",
+                       "#### #### ## ## # # ###"] * 3
+    tok = train_bpe(corpus, size=600)
+    assert any(a.lstrip("Ġ").startswith("#") for a, _ in tok.ranks), \
+        "corpus failed to induce a '#' merge — test needs a denser corpus"
+    vp, mp = tok.save(str(tmp_path))
+    loaded = ByteLevelBPETokenizer.from_files(vp, mp)
+    assert loaded.ranks == tok.ranks  # NO merges dropped on reload
+    hf = transformers.RobertaTokenizer(vocab_file=vp, merges_file=mp)
+    for text in ["#### header", "## x ## y ####", "# lone hash", "a#b"]:
+        assert loaded.encode(text) == hf.encode(text), text
+
+
 def test_merges_actually_merge(trained):
     """The trainer must learn multi-char tokens for corpus-frequent
     words (otherwise the 'trained' vocab is just the byte alphabet)."""

@@ -103,6 +103,50 @@ def test_crew_full_node(tmp_path):
     assert res["follower"]["ok"]
 
 
+def test_send_after_shutdown_is_dropped(monkeypatch):
+    """A keepalive ping that loses the lock race to shutdown() must NOT
+    broadcast into a crew whose followers already exited on OP_STOP —
+    that wedges the leader in a peerless collective (round-3 review
+    finding). send() re-checks _stopped under the lock."""
+    from dawnsearch_tpu.parallel import multihost as mh
+
+    sent = []
+    monkeypatch.setattr(mh, "_bcast",
+                        lambda x: (sent.append(np.array(x)), x)[1])
+    crew = mh.MultihostCrew(ping_interval=0)
+    crew.shutdown()
+    assert [int(h[0]) for h in sent] == [mh.OP_STOP]
+    crew.send(mh.OP_PING)  # the late timer thread's broadcast
+    crew.send(mh.OP_ADD, (1, 1, 3), (np.zeros((1, 3), np.float32),))
+    assert [int(h[0]) for h in sent] == [mh.OP_STOP]  # both dropped
+
+
+def test_follower_fail_stop_on_op_before_init(tmp_path):
+    """An op arriving while the follower has no index means the leader
+    is entering a collective this process cannot join: the follower must
+    fail stop (raise), not warn-and-skip — skipping hangs the leader
+    inside the device program forever (round-3 review finding)."""
+    from dawnsearch_tpu.config import Config
+    from dawnsearch_tpu.parallel import multihost as mh
+
+    crew = mh.MultihostCrew(ping_interval=0)
+    headers = iter([
+        np.array([mh.OP_PING, 0, 0, 0, 0, 0, 0, 0], np.int64),  # benign
+        np.array([mh.OP_SEARCH, 8, 8, 10, 384, 0, 0, 0], np.int64),
+    ])
+    crew.recv_header = lambda: next(headers)
+    payloads = []
+    crew.recv = lambda shape, dtype: (payloads.append(shape),
+                                      np.zeros(shape, dtype))[1]
+    cfg = Config()
+    cfg.data_dir = str(tmp_path)
+    with pytest.raises(RuntimeError, match="failing"):
+        mh.run_follower(crew, cfg, str(tmp_path / "index.npz"))
+    # the payload was still consumed before raising (stream stays sane
+    # for any diagnostics a wrapper might attempt)
+    assert payloads == [(8, 384)]
+
+
 def test_multihost_config_validation(tmp_path):
     """make_index_factory refuses multihost configs that cannot work,
     at BOOT (leader and follower run the same check via the same
