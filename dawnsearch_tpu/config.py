@@ -93,6 +93,12 @@ class Config:
     # "dawn" (versionable msgpack) | "reference" (rmp-serde byte-compat,
     # joins a reference swarm; decode always accepts both)
     wire_format: str = "dawn"
+    # "i24" (3 B/dim, reference-parity) | "i8" (1 B/dim + scale: Search/
+    # Embedding packets drop ~1180 B -> ~420 B at a cosine perturbation
+    # ~4e-5, far below the selector's re-rank floor). Dawn format only —
+    # the reference layout is fixed i24; every dawn decoder accepts
+    # both, so i8 and i24 nodes interoperate per-frame.
+    wire_embedding: str = "i24"
     search_deadline_ms: float = 200.0  # P2P collection deadline (udp_service.rs:301)
     # Two-phase remote search (the reference's own sketched evolution,
     # udp_packets.rs:40-43 commented-out SearchSummary/PageRequest):

@@ -15,7 +15,10 @@ decode() auto-detecting either:
   (url, title, text) triple instead of per-field smaz: smaz targets
   very short strings, while replicated pages are ~2 KB of natural
   language where zlib compresses ~2x better, fitting more text under
-  the MTU budget.
+  the MTU budget. `Config.wire_embedding="i8"` additionally ships
+  Search/Embedding vectors as int8+scale (~420 B packets instead of
+  ~1180 B); decode() accepts either field, so i8 and i24 dawn nodes
+  interoperate frame-by-frame.
 - "reference": byte-compatible with the reference's rmp-serde 1.1.2
   enum layout — a single-entry msgpack map {variant_name: [fields in
   declaration order]} with serde-renamed variant names
@@ -35,7 +38,8 @@ import msgpack
 import numpy as np
 
 from dawnsearch_tpu.net import smaz
-from dawnsearch_tpu.ops.quant import from_i24_bytes, to_i24_bytes
+from dawnsearch_tpu.ops.quant import (from_i8_wire_bytes, from_i24_bytes,
+                                      to_i8_wire_bytes, to_i24_bytes)
 
 MAX_PACKET = 1472  # stay under typical MTU (udp_packets.rs:22-24)
 
@@ -62,17 +66,21 @@ class Search:
 
     TAG = SEARCH
 
-    def fields(self) -> dict:
-        f = {"si": self.search_id, "dl": self.distance_limit,
-             "em": to_i24_bytes(self.embedding)}
+    def fields(self, wire_embedding: str = "i24") -> dict:
+        f = {"si": self.search_id, "dl": self.distance_limit}
+        if wire_embedding == "i8":  # 1 B/dim + scale: ~420 B packet
+            f["e8"] = to_i8_wire_bytes(self.embedding)
+        else:
+            f["em"] = to_i24_bytes(self.embedding)
         if self.two_phase:  # absent = False keeps old peers byte-stable
             f["tp"] = True
         return f
 
     @classmethod
     def from_fields(cls, f: dict) -> "Search":
-        return cls(f["si"], f.get("dl"), from_i24_bytes(f["em"]),
-                   bool(f.get("tp", False)))
+        emb = (from_i8_wire_bytes(f["e8"]) if "e8" in f
+               else from_i24_bytes(f["em"]))
+        return cls(f["si"], f.get("dl"), emb, bool(f.get("tp", False)))
 
 
 @dataclasses.dataclass
@@ -149,12 +157,17 @@ class Embedding:
 
     TAG = EMBEDDING
 
-    def fields(self) -> dict:
+    def fields(self, wire_embedding: str = "i24") -> dict:
+        if wire_embedding == "i8":
+            return {"si": self.search_id,
+                    "e8": to_i8_wire_bytes(self.embedding)}
         return {"si": self.search_id, "em": to_i24_bytes(self.embedding)}
 
     @classmethod
     def from_fields(cls, f: dict) -> "Embedding":
-        return cls(f["si"], from_i24_bytes(f["em"]))
+        emb = (from_i8_wire_bytes(f["e8"]) if "e8" in f
+               else from_i24_bytes(f["em"]))
+        return cls(f["si"], emb)
 
 
 @dataclasses.dataclass
@@ -323,7 +336,8 @@ def _ref_packet(name: str, v: list) -> Packet:
                   for w in v[0]])
 
 
-def _encode_unchecked(packet: Packet, wire_format: str) -> bytes:
+def _encode_unchecked(packet: Packet, wire_format: str,
+                      wire_embedding: str = "i24") -> bytes:
     if wire_format == WIRE_REFERENCE:
         if type(packet) not in _REF_VARIANT:
             # the reference never shipped its SearchSummary/PageRequest
@@ -331,15 +345,22 @@ def _encode_unchecked(packet: Packet, wire_format: str) -> bytes:
             raise ValueError(
                 f"{type(packet).__name__} has no reference wire layout "
                 "(two-phase search is dawn-format only)")
-        # f32 floats (0xca) and bin-typed bytes, exactly as rmp writes them
+        # f32 floats (0xca) and bin-typed bytes, exactly as rmp writes
+        # them; wire_embedding is ignored — the reference layout is
+        # i24-only (vector.rs:48-87), interop wins over bytes
         return msgpack.packb({_REF_VARIANT[type(packet)]:
                               _ref_values(packet)},
                              use_bin_type=True, use_single_float=True)
-    return msgpack.packb([packet.TAG, packet.fields()], use_bin_type=True)
+    if isinstance(packet, (Search, Embedding)):
+        fields = packet.fields(wire_embedding)
+    else:
+        fields = packet.fields()
+    return msgpack.packb([packet.TAG, fields], use_bin_type=True)
 
 
-def encode(packet: Packet, wire_format: str = WIRE_DAWN) -> bytes:
-    data = _encode_unchecked(packet, wire_format)
+def encode(packet: Packet, wire_format: str = WIRE_DAWN,
+           wire_embedding: str = "i24") -> bytes:
+    data = _encode_unchecked(packet, wire_format, wire_embedding)
     if len(data) > MAX_PACKET:
         raise ValueError(
             f"{type(packet).__name__} packet {len(data)} B exceeds "

@@ -109,6 +109,16 @@ class UdpService:
         self.instance_id = instance_id
         self.deadline_s = cfg.search_deadline_ms / 1000.0
         self.wire = getattr(cfg, "wire_format", packets.WIRE_DAWN)
+        self.wire_emb = getattr(cfg, "wire_embedding", "i24")
+        if self.wire_emb not in ("i24", "i8"):
+            raise ValueError(
+                f"wire_embedding={self.wire_emb!r}: must be 'i24' or 'i8'")
+        if self.wire_emb == "i8" and self.wire == packets.WIRE_REFERENCE:
+            # refuse silently-ignored config: the reference layout is
+            # fixed i24 (vector.rs:48-87), there is nothing to honor
+            raise ValueError(
+                "wire_embedding='i8' requires wire_format='dawn' "
+                "(the reference wire layout is i24-only)")
         self.trackers: list[tuple[str, int]] = [
             parse_addr(t) for t in cfg.trackers]
         self.peers: dict[str, PeerInfo] = {}  # instance_id -> info
@@ -179,7 +189,7 @@ class UdpService:
             self._active[sid] = st
         pkt = packets.encode(
             Search(sid, distance_limit, embedding,
-                   two_phase=self.two_phase), self.wire)
+                   two_phase=self.two_phase), self.wire, self.wire_emb)
         estimated = 0
         reached = 0
         for p in peers:
@@ -370,7 +380,7 @@ class UdpService:
                 if emb is not None:
                     self._sock.sendto(
                         packets.encode(Embedding(pkt.search_id, emb),
-                                       self.wire), src)
+                                       self.wire, self.wire_emb), src)
         elif isinstance(pkt, Embedding):
             with self._emb_lock:
                 waiter = self._emb_waiters.get(pkt.search_id)

@@ -1,4 +1,4 @@
-"""Quantization: i8 storage (device), i24 wire codec, i16 (host).
+"""Quantization: i8 storage (device), i24/i8 wire codecs, i16 (host).
 
 Rebuild of the reference's scalar quantizers (/root/reference/src/search/vector.rs):
 - i24 wire format (vector.rs:48-87): 3 bytes/dim little-endian, value
@@ -24,6 +24,54 @@ import numpy as np
 from dawnsearch_tpu.ops.vector import EM_LEN, MAX_VECTOR_DELTA
 
 I24_MAX = 0x7FFFFF
+
+
+# ---------------------------------------------------------------------------
+# i8 wire codec (dawn wire format option): 1 byte/dim + f32 scale.
+# The reference's i24 wire spends 3 B/dim on precision a 384-d cosine
+# ranking cannot use (i8 query perturbation is ~4e-5 in cosine, two
+# orders below the fused selector's own re-rank floor) — i8 cuts a
+# Search packet from ~1180 B to ~420 B, tripling fan-out per byte.
+# Symmetric per-vector scale, same layout as the i8 STORAGE quantizer
+# below, serialized little-endian.
+# ---------------------------------------------------------------------------
+
+I8_WIRE_BYTES = EM_LEN + 4  # D codes + f32 scale
+
+
+def to_i8_wire_bytes(v: np.ndarray) -> bytes:
+    """f32[D] unit vector -> D little-endian int8 codes + f32 scale."""
+    import struct
+
+    v = np.asarray(v, dtype=np.float32)
+    scale = float(np.max(np.abs(v)))
+    if scale == 0.0:
+        scale = 1.0
+    q = np.clip(np.rint(v / scale * 127.0), -127, 127).astype(np.int8)
+    return q.tobytes() + struct.pack("<f", scale)
+
+
+def from_i8_wire_bytes(data: bytes, dim: int = EM_LEN,
+                       check: bool = True) -> np.ndarray:
+    """D+4 bytes -> f32[D]. Validates the scale and (like the i24
+    decoder, vector.rs:70) the decoded norm, so a hostile frame cannot
+    smuggle an unnormalized query past the distance math."""
+    import struct
+
+    if len(data) != dim + 4:
+        raise ValueError(f"expected {dim + 4} bytes, got {len(data)}")
+    (scale,) = struct.unpack("<f", data[dim:])
+    # unit vectors have max|v| <= 1; tolerate the same slack as the
+    # norm check (a legit encoder never exceeds 1.0)
+    if not np.isfinite(scale) or not 0.0 < scale <= 1.0 + MAX_VECTOR_DELTA:
+        raise ValueError("i8 wire scale out of range")
+    q = np.frombuffer(data[:dim], dtype=np.int8).astype(np.float32)
+    v = q * np.float32(scale / 127.0)
+    if check:
+        l = float(np.linalg.norm(v.astype(np.float64)))
+        if not (1.0 - MAX_VECTOR_DELTA < l < 1.0 + MAX_VECTOR_DELTA):
+            raise ValueError("Embedding is not normalized")
+    return v
 
 
 # ---------------------------------------------------------------------------

@@ -330,6 +330,33 @@ def test_mixed_wire_swarm(tmp_path):
         tracker.stop()
 
 
+def test_i8_wire_embedding_swarm(tmp_path):
+    # A wire_embedding="i8" node (420 B Search frames) fans out to a
+    # default i24 node and gets its remote hits back: decode() keys on
+    # the field, so mixed i8/i24 dawn swarms just work.
+    tracker = Tracker("127.0.0.1:0").start()
+    a = DawnNode(node_cfg(tmp_path, "a", tracker.port, accept_insert=False),
+                 encoder=HashEncoder()).start()
+    b = DawnNode(node_cfg(tmp_path, "b", tracker.port, accept_insert=False,
+                          wire_embedding="i8"),
+                 encoder=HashEncoder()).start()
+    try:
+        assert wait_until(lambda: a.udp.fresh_peers() and b.udp.fresh_peers())
+        a.service.insert_pages([("https://q.example/x", "Quantized", "wire")])
+        wait_until(
+            lambda: any(p.pages_indexed == 1 for p in b.udp.fresh_peers()))
+        res = b.service.text_search("Quantized\nwire")  # b queries with i8
+        assert res.pages and res.pages[0].url == "https://q.example/x"
+        assert res.pages[0].instance_id == a.instance_id
+        # and the remote more-like path exercises the i8 Embedding reply
+        res2 = a.service.text_search("Quantized\nwire")  # a queries with i24
+        assert res2.pages and res2.pages[0].instance_id == a.instance_id
+    finally:
+        a.stop()
+        b.stop()
+        tracker.stop()
+
+
 @pytest.mark.parametrize("wire", ["dawn", "reference"])
 def test_raw_udp_client_example(tmp_path, wire):
     """examples/search_udp.py (the search_udp.rs twin): a raw client

@@ -116,3 +116,95 @@ def test_truncated_real_packet():
     for cut in (1, len(data) // 2, len(data) - 1):
         with _pytest.raises(Exception):
             packets.decode(data[:cut])
+
+
+# --- i8 wire embeddings (dawn format option, Config.wire_embedding) ---------
+
+
+def test_i8_search_roundtrip_small_and_accurate():
+    q = unit(7)
+    data = packets.encode(Search(42, 0.3, q), wire_embedding="i8")
+    assert len(data) < 450  # vs ~1180 B with i24
+    p = packets.decode(data)
+    assert isinstance(p, Search) and p.search_id == 42
+    # cosine perturbation of i8+scale is ~4e-5 — far below the 1%
+    # normalization tolerance and the selector's re-rank floor
+    assert float(p.embedding @ q) > 1.0 - 1e-4
+    assert abs(float(np.linalg.norm(p.embedding)) - 1.0) < 0.01
+
+
+def test_i8_embedding_roundtrip():
+    q = unit(11)
+    data = packets.encode(Embedding(9, q), wire_embedding="i8")
+    assert len(data) < 420
+    e = packets.decode(data)
+    assert isinstance(e, Embedding) and float(e.embedding @ q) > 1.0 - 1e-4
+
+
+def test_i8_and_i24_nodes_interoperate_per_frame():
+    """decode() keys on the field, not the node config: an i8 frame and
+    an i24 frame of the same query decode to ~the same vector."""
+    q = unit(13)
+    a = packets.decode(packets.encode(Search(1, None, q),
+                                      wire_embedding="i8"))
+    b = packets.decode(packets.encode(Search(1, None, q)))
+    assert float(a.embedding @ b.embedding) > 1.0 - 1e-4
+
+
+def test_i8_ranking_parity():
+    """Top-10 over a corpus with the i8-roundtripped query matches the
+    f32 query's ranking (the claim behind shipping 3x fewer bytes)."""
+    rng = np.random.default_rng(5)
+    corpus = rng.standard_normal((2000, 384)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    overlaps = []
+    for seed in range(16):
+        q = unit(100 + seed)
+        qd = packets.decode(packets.encode(Search(1, None, q),
+                                           wire_embedding="i8")).embedding
+        exact = set(np.argsort(corpus @ q)[-10:].tolist())
+        got = set(np.argsort(corpus @ qd)[-10:].tolist())
+        overlaps.append(len(exact & got) / 10)
+    assert float(np.mean(overlaps)) >= 0.99
+
+
+def test_i8_hostile_frames_rejected():
+    import msgpack
+
+    from dawnsearch_tpu.ops.quant import to_i8_wire_bytes
+
+    good = to_i8_wire_bytes(unit(3))
+
+    def frame(e8):
+        return msgpack.packb([Search.TAG, {"si": 1, "dl": None, "e8": e8}],
+                             use_bin_type=True)
+
+    for bad in (
+        good[:-1],                      # truncated
+        good + b"\x00",                 # oversized
+        good[:384] + b"\x00\x00\x00\x00",   # scale == 0
+        good[:384] + np.float32(2.0).tobytes(),  # scale > 1+tol
+        good[:384] + np.float32(np.nan).tobytes(),  # non-finite scale
+        (np.zeros(384, np.int8).tobytes()
+         + np.float32(0.5).tobytes()),  # decodes to all-zero: not unit
+    ):
+        with pytest.raises(ValueError):
+            packets.decode(frame(bad))
+
+
+def test_i8_on_reference_wire_is_refused_at_boot():
+    """The reference layout is fixed i24; a config asking for i8 there
+    must fail fast, not be silently ignored."""
+    from dawnsearch_tpu.config import Config
+    from dawnsearch_tpu.net.udp_service import UdpService
+
+    cfg = Config()
+    cfg.wire_format = "reference"
+    cfg.wire_embedding = "i8"
+    cfg.udp_listen_address = "127.0.0.1:0"
+    with pytest.raises(ValueError, match="i24-only"):
+        UdpService(cfg, "testinstance0000")
+    cfg.wire_embedding = "bogus"
+    cfg.wire_format = "dawn"
+    with pytest.raises(ValueError, match="i24"):
+        UdpService(cfg, "testinstance0000")
