@@ -195,6 +195,7 @@ class UdpService:
         for p in peers:
             try:
                 self._sock.sendto(pkt, parse_addr(p.addr))
+                METRICS.inc("query_bytes", len(pkt))
                 estimated += p.pages_indexed  # optimistic (udp_service.rs:320)
                 reached += 1
             except (OSError, ValueError, OverflowError):

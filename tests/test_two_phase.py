@@ -44,10 +44,12 @@ def test_no_reference_wire_layout():
         packets.encode(PageRequest(1, [1]), packets.WIRE_REFERENCE)
 
 
-def _swarm(tmp_path, tracker_port, two_phase: bool, n_resp: int = 3):
+def _swarm(tmp_path, tracker_port, two_phase: bool, n_resp: int = 3,
+           wire_embedding: str = "i24"):
     searcher = DawnNode(
         node_cfg(tmp_path, f"s{two_phase}", tracker_port,
-                 two_phase_search=two_phase),
+                 two_phase_search=two_phase,
+                 wire_embedding=wire_embedding),
         encoder=HashEncoder()).start()
     responders = [
         DawnNode(node_cfg(tmp_path, f"r{two_phase}{i}", tracker_port),
@@ -68,19 +70,22 @@ def _fill(responders, body: str):
 
 
 def _reply_bytes_for_search(searcher, query):
-    before = METRICS.snapshot().get("reply_bytes", 0)
+    before = METRICS.snapshot()
     res = searcher.service.text_search(query, k=20)
-    after = METRICS.snapshot().get("reply_bytes", 0)
-    return res, after - before
+    after = METRICS.snapshot()
+    return (res,
+            after.get("reply_bytes", 0) - before.get("reply_bytes", 0),
+            after.get("query_bytes", 0) - before.get("query_bytes", 0))
 
 
-def _run_mode(tmp_path, two_phase: bool):
-    """Isolated swarm (own tracker) -> (result, reply bytes)."""
+def _run_mode(tmp_path, two_phase: bool, wire_embedding: str = "i24"):
+    """Isolated swarm (own tracker) -> (result, reply bytes, query bytes)."""
     body = "the lighthouse keeper watched the winter storm roll in " * 20
     tracker = Tracker("127.0.0.1:0").start()
     nodes = []
     try:
-        s, rs = _swarm(tmp_path, tracker.port, two_phase=two_phase)
+        s, rs = _swarm(tmp_path, tracker.port, two_phase=two_phase,
+                       wire_embedding=wire_embedding)
         nodes += [s, *rs]
         _fill(rs, body)
         assert s.udp.two_phase == two_phase
