@@ -303,15 +303,21 @@ def bench_ingest(n_pages: int = 4096) -> float:
         batcher = EmbeddingBatcher(enc.encode)
         provider = SearchProvider(data_dir=None, verify_on_load=False)
         service = SearchService(provider, batcher)
-        # pre-compile the fused ingest program at the (256, seq) bucket
-        # via a throwaway service so timing measures steady state
+        # pre-compile the fused ingest program at the 512 AND 1024
+        # batch buckets via a throwaway service so timing measures
+        # steady state (the coalescing path below runs both)
         scratch = SearchService(
             SearchProvider(data_dir=None, verify_on_load=False), batcher)
         scratch.insert_pages([(f"https://warm/{i}", "w", body)
                               for i in range(512)])
+        scratch.insert_pages([(f"https://warm2/{i}", "w", body)
+                              for i in range(1024)])
         # batch 512 = the shipped ingest_batch_size default (round-3
-        # soak: best on both axes under mixed load; 1024 measured 4238
-        # pages/s standalone in BENCH_r02 for continuity)
+        # soak: best on both axes under mixed query load); with the
+        # chip query-idle — this standalone bench, bulk backfills — the
+        # insert thread coalesces waiting batches up to the encoder's
+        # 1024 bucket, recovering BENCH_r02's batch-1024 dispatch
+        # amortization without giving up the soak's latency trade
         ex = ExtractionService(service, source=LocalWarcSource(warc),
                                batch_size=512)
         t0 = time.perf_counter()

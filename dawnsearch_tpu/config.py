@@ -43,7 +43,11 @@ class Config:
     # doc/performance.md "Concurrent-load soak"); batches amortize the
     # ~80 ms tunneled dispatch round-trip, but a 1024 encode blocks the
     # device queue twice as long per program for queries sharing the
-    # chip
+    # chip. When the chip is QUERY-IDLE the insert thread coalesces
+    # waiting batches up to the encoder's top bucket automatically
+    # (extraction_service.py QUERY_IDLE_S), so standalone backfills
+    # still get batch-1024 dispatch amortization — this size is the
+    # under-load operating point only.
     ingest_batch_size: int = 512
     # extraction worker processes (0 = in-thread). The extraction
     # thread's Python share serializes with tokenize/insert on the GIL

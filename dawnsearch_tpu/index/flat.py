@@ -48,6 +48,14 @@ DEFAULT_SEGMENT = 16384
 DEFAULT_CHUNK = 65536
 
 
+class IndexFull(RuntimeError):
+    """Deterministic capacity refusal (the reference's 1M-page cap,
+    search_provider.rs:164-166). A distinct class so the multihost
+    follower loop can tell a host-side refusal that raised IDENTICALLY
+    on the leader (co-skip, stay in lockstep) from a follower-local
+    device failure (fail-stop — parallel/multihost.py)."""
+
+
 def _atomic_savez(path: str, **arrays) -> None:
     """np.savez + atomic rename (shared by FlatIndex and
     ShardedFlatIndex snapshot writers — one copy of the crash-safety
@@ -344,7 +352,7 @@ class FlatIndex:
         if self.max_capacity is not None:
             new_cap = min(_round_up(self.max_capacity, self.segment), new_cap)
         if new_cap <= self.capacity:
-            raise RuntimeError(
+            raise IndexFull(
                 f"index full: capacity {self.capacity}, need {needed}")
         pad = new_cap - self.capacity
         self._codes = jnp.pad(self._codes, ((0, pad), (0, 0)))

@@ -34,6 +34,7 @@ log = service_logger("Extraction")
 CRAWL = "CC-MAIN-2023-23"  # extraction_service.rs:31-32
 ERROR_BACKOFF_S = 60.0  # extraction_service.rs:54-57
 BETWEEN_FILES_S = 10.0  # extraction_service.rs:58-59
+QUERY_IDLE_S = 2.0  # no query this recently -> coalesce ingest batches
 
 
 class WarcLedger:
@@ -196,7 +197,8 @@ class ExtractionService:
                  ledger: WarcLedger | None = None,
                  between_files_s: float | None = None,
                  workers: int = 0,
-                 rate_limit: float = 0.0):
+                 rate_limit: float = 0.0,
+                 coalesce_max: int | None = None):
         self.service = service
         self.source = source if source is not None else CommonCrawlSource()
         self.batch_size = batch_size
@@ -217,6 +219,20 @@ class ExtractionService:
             between_files_s = (0.0 if isinstance(source, LocalWarcSource)
                                else BETWEEN_FILES_S)
         self.between_files_s = between_files_s
+        # Adaptive insert coalescing: when extraction runs ahead (a
+        # batch is already waiting in _ready) AND no query dispatched in
+        # the last QUERY_IDLE_S, the insert thread merges waiting
+        # batches up to coalesce_max pages into ONE fused-ingest
+        # dispatch — the per-dispatch tunnel round-trip (~80 ms) is the
+        # standalone-ingest bottleneck at batch 512 (BENCH_r03 2.7k
+        # pages/s vs r02's 4.2k at batch 1024). Under live query load
+        # the recency gate keeps dispatches at batch_size, preserving
+        # the round-3 soak's latency trade (config.py ingest_batch_size
+        # rationale). None = auto (the service's fused-ingest bucket
+        # cap); 0 disables.
+        if coalesce_max is None:
+            coalesce_max = getattr(service, "max_ingest_batch", None) or 0
+        self.coalesce_max = max(int(coalesce_max), 0)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._tokenize_thread: threading.Thread | None = None
@@ -307,14 +323,42 @@ class ExtractionService:
             self._ready.put(("batch", name, triples, token_ids))
             self._batches.task_done()
 
+    def _queries_recent(self) -> bool:
+        t = getattr(self.service, "last_query_monotonic", None)
+        return t is not None and (time.monotonic() - t) < QUERY_IDLE_S
+
     def _insert_loop(self) -> None:
         failed: set[str] = set()  # files with a dropped insert batch
+        pending = None  # item pulled mid-coalesce, handled next turn
         while True:
-            item = self._ready.get()
+            item = pending if pending is not None else self._ready.get()
+            pending = None
             if item is None:
                 self._ready.task_done()
                 return
             kind, name, triples, token_ids = item
+            owed = 1  # task_done() calls this turn (1 per merged item)
+            names = {name}
+            if kind == "batch" and self.coalesce_max > len(triples):
+                # merge already-waiting batches into one dispatch while
+                # the chip is query-idle (rationale at coalesce_max)
+                while (len(triples) < self.coalesce_max
+                       and not self._queries_recent()):
+                    try:
+                        nxt = self._ready.get_nowait()
+                    except queue.Empty:
+                        break
+                    if (nxt is None or nxt[0] != "batch"
+                            or (nxt[3] is None) != (token_ids is None)
+                            or len(triples) + len(nxt[2])
+                            > self.coalesce_max):
+                        pending = nxt  # sentinel/mark/oversize: next turn
+                        break
+                    owed += 1
+                    triples = triples + nxt[2]
+                    if token_ids is not None:
+                        token_ids = token_ids + nxt[3]
+                    names.add(nxt[1])
             try:
                 if kind == "mark":
                     if name in failed:
@@ -327,9 +371,10 @@ class ExtractionService:
                     self._insert(triples, token_ids)
             except Exception:
                 log.exception("insert batch failed")
-                failed.add(name)
+                failed.update(names)
             finally:
-                self._ready.task_done()
+                for _ in range(owed):
+                    self._ready.task_done()
 
     def _insert(self, triples: list[tuple[str, str, str]],
                 token_ids: list[list[int]] | None) -> None:

@@ -129,19 +129,30 @@ class ByteLevelBPETokenizer:
             vocab = json.load(f)
         merges: list[tuple[str, str]] = []
         with open(merges_path, encoding="utf-8") as f:
-            for lineno, line in enumerate(f):
+            for lineno, line in enumerate(f, start=1):
                 line = line.rstrip("\n")
-                # HF skips ONLY the first "#version" header line; every
-                # other line is a merge. Byte-level merges can start
-                # with '#' ("# #", "## ##" — real GPT-2/RoBERTa
-                # merges.txt has them), so a blanket '#' comment skip
-                # silently drops merges and diverges from the checkpoint.
-                if lineno == 0 and line.startswith("#version"):
+                # Parity target is the FAST tokenizer (the `tokenizers`
+                # crate the reference links, Cargo.toml:52): it skips
+                # "#version" header lines wherever they appear, and
+                # every other non-blank line is a merge. (HF's *slow*
+                # RobertaTokenizer instead drops line 1 unconditionally
+                # — divergent only for headerless nonstandard files.)
+                # Byte-level merges can start with '#' ("# #", "## ##"
+                # — real GPT-2/RoBERTa merges.txt has them), so a
+                # blanket '#' comment skip would silently drop merges.
+                if line.startswith("#version"):
                     continue
-                if not line:
+                if not line.strip():
                     continue
-                a, b = line.split(" ")
-                merges.append((a, b))
+                # split() (not split(" ")): byte-level tokens never
+                # contain a literal space (it maps to Ġ), so this just
+                # tolerates stray/duplicate whitespace like HF does
+                parts = line.split()
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"{merges_path}:{lineno}: expected 'A B' merge "
+                        f"pair, got {line!r}")
+                merges.append((parts[0], parts[1]))
         return cls(vocab, merges)
 
     def save(self, directory: str) -> tuple[str, str]:

@@ -242,16 +242,27 @@ class UdpService:
         with st.lock:
             st.expected = awaiting  # keyed: stragglers can't satisfy it
             st.event.clear()
-        for src, (_iid, pids) in wanted.items():
+        unreachable: set[tuple[str, int]] = set()
+        for src, (iid, pids) in wanted.items():
             # chunk at the wire cap so search_k > SUMMARY_MAX still
             # round-trips instead of tripping the peer's validator
             for c in range(0, len(pids), packets.SUMMARY_MAX):
+                chunk = pids[c: c + packets.SUMMARY_MAX]
                 try:
                     self._sock.sendto(packets.encode(
-                        PageRequest(sid, pids[c: c + packets.SUMMARY_MAX]),
-                        self.wire), src)
+                        PageRequest(sid, chunk), self.wire), src)
                 except OSError:
-                    pass
+                    # a failed send can never be answered: shrink the
+                    # awaited set so one dead responder between phases
+                    # doesn't burn the whole second deadline for pages
+                    # that already arrived (round-3 VERDICT item 7)
+                    unreachable.update((iid, pid) for pid in chunk)
+        if unreachable:
+            with st.lock:
+                if st.expected is not None:
+                    st.expected -= unreachable
+                    if not st.expected:
+                        st.event.set()
         st.event.wait(self.deadline_s)  # phase 2, same silent-partial model
 
     def replicate(self, url: str, title: str, text: str) -> None:

@@ -36,7 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dawnsearch_tpu.index.flat import (
-    DEFAULT_CHUNK, DEFAULT_SEGMENT, rerank_kernel, search_kernel)
+    DEFAULT_CHUNK, DEFAULT_SEGMENT, IndexFull, rerank_kernel, search_kernel)
 from dawnsearch_tpu.ops.vector import EM_LEN
 from dawnsearch_tpu.parallel.mesh import make_mesh
 
@@ -270,7 +270,7 @@ class ShardedFlatIndex:
                 -(-self.max_capacity // self.n_shards), self.segment)
             new_cap = min(new_cap, max(limit, self.cap_per_shard))
         if new_cap <= self.cap_per_shard:
-            raise RuntimeError("sharded index full")
+            raise IndexFull("sharded index full")
         pad = new_cap - self.cap_per_shard
         self._codes = jax.device_put(
             jnp.pad(self._codes, ((0, 0), (0, pad), (0, 0))), self._shard3)
@@ -328,13 +328,13 @@ class ShardedFlatIndex:
         if needed > self.cap_per_shard:
             try:
                 self._grow(needed)
-            except RuntimeError:
+            except IndexFull:
                 pass
             if needed > self.cap_per_shard:
                 room = (self.cap_per_shard - self._counts).astype(np.int64)
                 free = int(room.sum())
                 if free < n:
-                    raise RuntimeError(
+                    raise IndexFull(
                         f"sharded index full: {n} rows, {free} free slots")
                 per_shard, max_rows = self._stripe_plan(n, room=room)
         return per_shard, max_rows

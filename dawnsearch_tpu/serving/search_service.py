@@ -23,6 +23,7 @@ the UDP P2P service implements it; None means single-node.
 from __future__ import annotations
 
 import threading
+import time
 from typing import Protocol, Sequence
 
 import numpy as np
@@ -68,6 +69,12 @@ class SearchService:
         self.instance_id = instance_id
         self.k = k
         self.remote = remote
+        # monotonic stamp of the last local query dispatch (every query
+        # funnels through _fused_text_batch or _local_search_batch);
+        # the ingest pipeline reads it to decide whether the chip is
+        # contended — coalesce big idle-time ingest dispatches, keep
+        # them small under live query load (the round-3 soak trade)
+        self.last_query_monotonic = 0.0
         # Two-lock split (the reference's never-block-search actor
         # model, dawnsearch.rs:64-78, rebuilt for async device dispatch):
         # - _lock guards the DEVICE index state (buffer references +
@@ -147,6 +154,7 @@ class SearchService:
 
     def _fused_text_batch(self, payloads: list) -> list:
         """(text, k) payloads -> [(embedding, local SearchResult)]."""
+        self.last_query_monotonic = time.monotonic()
         by_k: dict[int, list[int]] = {}
         for idx, (_, k) in enumerate(payloads):
             by_k.setdefault(k, []).append(idx)
@@ -174,6 +182,7 @@ class SearchService:
 
     def _local_search_batch(self, embeddings: np.ndarray, k: int
                             ) -> list[SearchResult]:
+        self.last_query_monotonic = time.monotonic()
         # dispatch_lock: the device lock covers only program enqueue;
         # execution wait + re-rank + store join run outside it (same
         # tail contract as the fused text path — UDP-served searches
@@ -230,6 +239,15 @@ class SearchService:
         return self.batcher.embed(text)
 
     # -- ingestion ------------------------------------------------------------
+
+    @property
+    def max_ingest_batch(self) -> int | None:
+        """Largest page batch one fused-ingest dispatch accepts (the
+        encoder's top batch bucket); None when only the split path
+        exists. The extraction pipeline coalesces idle-time batches up
+        to this size to amortize the per-dispatch tunnel cost."""
+        fi = self._fused_ingest
+        return fi.max_batch if fi is not None else None
 
     @staticmethod
     def _combined(pages: Sequence[tuple[str, str, str]]) -> list[str]:

@@ -42,6 +42,29 @@ def main() -> int:
     multihost.init_distributed(cfg.dist_coordinator, nproc, proc)
 
     if proc > 0:
+        if scenario == "failadd":
+            # inject a follower-LOCAL device failure in add(): the
+            # fail-stop contract says run_follower must raise (crew
+            # dies visibly), never log-and-desync
+            from dawnsearch_tpu.parallel.sharded_index import (
+                ShardedFlatIndex)
+
+            def boom(self, *a, **k):
+                raise RuntimeError("injected follower-local failure")
+
+            ShardedFlatIndex.add = boom
+            try:
+                multihost.follower_main(cfg)
+            except RuntimeError as e:
+                print("RESULT " + json.dumps(
+                    {"role": "follower", "ok": False, "died": True,
+                     "err": str(e)}), flush=True)
+                os._exit(0)  # skip interpreter teardown: the leader may
+                #              still hold half-open gloo state
+            print("RESULT " + json.dumps(
+                {"role": "follower", "ok": False, "died": False}),
+                flush=True)
+            return 0
         multihost.follower_main(cfg)
         print("RESULT " + json.dumps({"role": "follower", "ok": True}),
               flush=True)
@@ -49,6 +72,8 @@ def main() -> int:
 
     if scenario == "node":
         return leader_node(cfg)
+    if scenario == "failadd":
+        return leader_failadd(cfg)
     return leader_index(cfg)
 
 
@@ -96,6 +121,45 @@ def leader_index(cfg) -> int:
     }), flush=True)
     crew.shutdown()
     return 0
+
+
+def leader_failadd(cfg) -> int:
+    """Leader half of the fail-stop injection: dispatch one add whose
+    follower half raises a local device failure. The follower dies
+    (fail-stop); the leader's half of the global-mesh collective then
+    either raises a distributed-runtime error or blocks until the crew
+    is torn down — either way the desync is VISIBLE, never silent."""
+    import threading
+
+    import numpy as np
+
+    from dawnsearch_tpu.node import make_index_factory
+    from dawnsearch_tpu.parallel import multihost
+
+    crew = multihost.MultihostCrew(ping_interval=0)  # deterministic stream
+    index = make_index_factory(cfg, dim=384, crew=crew)()
+
+    rows = np.random.default_rng(0).standard_normal((16, 384))
+    rows = (rows / np.linalg.norm(rows, axis=1, keepdims=True)).astype(
+        np.float32)
+    state = {"outcome": "blocked"}
+
+    def do_add():
+        try:
+            index.add(rows)
+            state["outcome"] = "completed"
+        except Exception as e:  # distributed runtime error = visible
+            state["outcome"] = "raised"
+            state["err"] = f"{type(e).__name__}: {e}"[:500]
+
+    t = threading.Thread(target=do_add, daemon=True)
+    t.start()
+    t.join(timeout=60.0)
+    print("RESULT " + json.dumps({"role": "leader", **state}), flush=True)
+    # no crew.shutdown(): the follower is dead, OP_STOP would hang; and
+    # the add thread may be wedged in the peerless collective — leave
+    # via _exit (daemon thread, no teardown)
+    os._exit(0)
 
 
 def leader_node(cfg) -> int:

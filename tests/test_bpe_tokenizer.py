@@ -138,6 +138,33 @@ def test_hash_merges_survive_file_round_trip(tmp_path):
         assert loaded.encode(text) == hf.encode(text), text
 
 
+def test_merges_file_tolerance(trained, tmp_path):
+    """from_files matches the FAST tokenizer's parsing (the reference's
+    `tokenizers` crate): "#version" headers are skipped wherever they
+    appear, stray/duplicate whitespace is tolerated (byte-level tokens
+    never contain a literal space), and a malformed line raises with
+    its line number rather than a bare unpack error (round-3 advisor
+    finding)."""
+    tok, vocab_path, merges_path = trained
+    lines = open(merges_path, encoding="utf-8").read().splitlines()
+    assert lines[0].startswith("#version")
+
+    # trailing + duplicated spaces, blank lines, a stray mid-file header
+    messy = tmp_path / "messy_merges.txt"
+    body = [lines[1] + " ", "", *lines[2:5], "#version: 0.2",
+            *("  ".join(ln.split()) for ln in lines[5:])]
+    messy.write_text("\n".join([lines[0], *body]) + "\n", encoding="utf-8")
+    loaded = ByteLevelBPETokenizer.from_files(vocab_path, str(messy))
+    assert loaded.ranks == tok.ranks
+    for text in TEXTS:
+        assert loaded.encode(text) == tok.encode(text)
+
+    bad = tmp_path / "bad_merges.txt"
+    bad.write_text("#version: 0.2\na b c\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="bad_merges.txt:2"):
+        ByteLevelBPETokenizer.from_files(vocab_path, str(bad))
+
+
 def test_merges_actually_merge(trained):
     """The trainer must learn multi-char tokens for corpus-frequent
     words (otherwise the 'trained' vocab is just the byte alphabet)."""

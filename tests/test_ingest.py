@@ -219,6 +219,65 @@ def test_extraction_service_worker_pool(tmp_path):
     assert svc2.batches == []
 
 
+def test_insert_coalescing_when_query_idle(tmp_path):
+    """With the chip query-idle and extraction running ahead, the
+    insert thread merges waiting batches up to the service's
+    max_ingest_batch — one fused dispatch per ~2x pages (the BENCH_r03
+    ingest regression fix). Service duck-type: max_ingest_batch set,
+    no recent last_query_monotonic."""
+    import time as _time
+
+    class SlowService(FakeService):
+        max_ingest_batch = 8
+
+        def insert_pages(self, pages, from_network=False, token_ids=None):
+            _time.sleep(0.05)  # insert slower than extraction -> backlog
+            return super().insert_pages(pages, from_network)
+
+    records = [(f"https://co.example/{i}",
+                page_html(f"Story {i}", ENGLISH)) for i in range(24)]
+    p = str(tmp_path / "co.warc.gz")
+    write_warc(p, records)
+    svc = SlowService()
+    ex = ExtractionService(svc, source=LocalWarcSource(p), batch_size=2)
+    assert ex.coalesce_max == 8  # auto-picked from the service
+    ex.start()
+    ex.join(timeout=30)
+    assert sum(len(b) for b in svc.batches) == 24
+    assert max(len(b) for b in svc.batches) > 2  # coalescing engaged
+    assert max(len(b) for b in svc.batches) <= 8  # ...bounded
+    # order preserved under coalescing
+    flat = [page[0] for b in svc.batches for page in b]
+    assert flat == [f"https://co.example/{i}" for i in range(24)]
+
+
+def test_insert_coalescing_gated_by_recent_queries(tmp_path):
+    """A recent query dispatch (last_query_monotonic fresh) suppresses
+    coalescing: batches stay at batch_size so queries interleave
+    between small ingest dispatches (the round-3 soak latency trade)."""
+    import time as _time
+
+    class BusyService(FakeService):
+        max_ingest_batch = 8
+
+        def insert_pages(self, pages, from_network=False, token_ids=None):
+            self.last_query_monotonic = _time.monotonic()  # live queries
+            _time.sleep(0.05)
+            return super().insert_pages(pages, from_network)
+
+    records = [(f"https://busy.example/{i}",
+                page_html(f"Story {i}", ENGLISH)) for i in range(24)]
+    p = str(tmp_path / "busy.warc.gz")
+    write_warc(p, records)
+    svc = BusyService()
+    svc.last_query_monotonic = _time.monotonic()
+    ex = ExtractionService(svc, source=LocalWarcSource(p), batch_size=2)
+    ex.start()
+    ex.join(timeout=30)
+    assert sum(len(b) for b in svc.batches) == 24
+    assert max(len(b) for b in svc.batches) == 2  # never coalesced
+
+
 def test_extraction_service_end_to_end(tmp_path):
     """WARC -> extract -> embed -> index -> search, full pipeline."""
     from dawnsearch_tpu.index.provider import SearchProvider

@@ -103,11 +103,30 @@ def test_crew_full_node(tmp_path):
     assert res["follower"]["ok"]
 
 
+def test_crew_dies_visibly_on_follower_local_failure(tmp_path):
+    """E2E fail-stop over real gloo collectives: a follower whose add()
+    raises a local device failure kills its process (run_follower
+    propagates), and the leader's half of the collective never
+    completes silently — it raises a distributed error or blocks until
+    teardown. Both outcomes are visible; silent desync is the bug this
+    contract prevents (round-3 VERDICT weak-4)."""
+    res = _run_crew(tmp_path, "failadd")
+    fol = res["follower"]
+    assert fol["died"] and "injected follower-local" in fol["err"]
+    lead = res["leader"]
+    assert lead["outcome"] in ("raised", "blocked"), lead
+    if lead["outcome"] == "raised":
+        assert lead["err"]  # the distributed runtime named the failure
+
+
 def test_send_after_shutdown_is_dropped(monkeypatch):
     """A keepalive ping that loses the lock race to shutdown() must NOT
     broadcast into a crew whose followers already exited on OP_STOP —
     that wedges the leader in a peerless collective (round-3 review
-    finding). send() re-checks _stopped under the lock."""
+    finding). send() re-checks _stopped under the lock: PING drops
+    silently (benign timer race), but real ops FAIL FAST — their device
+    half would otherwise still dispatch as a peerless global-mesh
+    collective and hang (round-3 advisor finding)."""
     from dawnsearch_tpu.parallel import multihost as mh
 
     sent = []
@@ -116,9 +135,13 @@ def test_send_after_shutdown_is_dropped(monkeypatch):
     crew = mh.MultihostCrew(ping_interval=0)
     crew.shutdown()
     assert [int(h[0]) for h in sent] == [mh.OP_STOP]
-    crew.send(mh.OP_PING)  # the late timer thread's broadcast
-    crew.send(mh.OP_ADD, (1, 1, 3), (np.zeros((1, 3), np.float32),))
-    assert [int(h[0]) for h in sent] == [mh.OP_STOP]  # both dropped
+    crew.send(mh.OP_PING)  # the late timer thread's broadcast: dropped
+    with pytest.raises(RuntimeError, match="crew stopped"):
+        crew.send(mh.OP_ADD, (1, 1, 3), (np.zeros((1, 3), np.float32),))
+    with pytest.raises(RuntimeError, match="crew stopped"):
+        crew.send(mh.OP_SEARCH, (8, 8, 10, 3),
+                  (np.zeros((8, 3), np.float32),))
+    assert [int(h[0]) for h in sent] == [mh.OP_STOP]  # nothing leaked
 
 
 def test_follower_fail_stop_on_op_before_init(tmp_path):
@@ -145,6 +168,67 @@ def test_follower_fail_stop_on_op_before_init(tmp_path):
     # the payload was still consumed before raising (stream stays sane
     # for any diagnostics a wrapper might attempt)
     assert payloads == [(8, 384)]
+
+
+def _scripted_crew(mh, headers_list):
+    """A crew whose broadcast stream is scripted: recv_header pops the
+    given headers, recv returns zeros (payloads consumed, never used)."""
+    crew = mh.MultihostCrew(ping_interval=0)
+    headers = iter([np.array(h + [0] * (8 - len(h)), np.int64)
+                    for h in headers_list])
+    crew.recv_header = lambda: next(headers)
+    crew.recv = lambda shape, dtype: np.zeros(shape, dtype)
+    return crew
+
+
+def _follower_cfg(tmp_path):
+    from dawnsearch_tpu.config import Config
+    cfg = Config()
+    cfg.data_dir = str(tmp_path)
+    cfg.index_kind = "sharded"
+    return cfg
+
+
+def test_follower_fail_stop_on_local_device_failure(tmp_path, monkeypatch):
+    """A follower-LOCAL op failure (device OOM, XLA runtime error) must
+    kill the follower, uniform with the INIT contract — the leader has
+    dispatched its half of a global-mesh collective this process can no
+    longer match, and log-and-continue would desync every subsequent
+    collective silently (round-3 VERDICT weak-4)."""
+    from dawnsearch_tpu.parallel import multihost as mh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected follower-local device failure")
+
+    monkeypatch.setattr(ShardedFlatIndex, "add", boom)
+    crew = _scripted_crew(mh, [
+        [mh.OP_INIT, 0, 384],             # fresh build
+        [mh.OP_ADD, 8, 4, 384],           # leader dispatched its half...
+    ])
+    with pytest.raises(RuntimeError, match="injected follower-local"):
+        mh.run_follower(crew, _follower_cfg(tmp_path),
+                        str(tmp_path / "index.npz"))
+
+
+def test_follower_co_skips_deterministic_refusals(tmp_path, monkeypatch):
+    """IndexFull / ValueError raise identically on the leader BEFORE any
+    dispatch — the follower skips in lockstep and keeps serving."""
+    from dawnsearch_tpu.index.flat import IndexFull
+    from dawnsearch_tpu.parallel import multihost as mh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    def full(self, *a, **k):
+        raise IndexFull("sharded index full")
+
+    monkeypatch.setattr(ShardedFlatIndex, "add", full)
+    crew = _scripted_crew(mh, [
+        [mh.OP_INIT, 0, 384],
+        [mh.OP_ADD, 8, 4, 384],           # refused on both sides
+        [mh.OP_STOP],                     # ...and the loop kept going
+    ])
+    mh.run_follower(crew, _follower_cfg(tmp_path),
+                    str(tmp_path / "index.npz"))  # returns cleanly
 
 
 def test_multihost_config_validation(tmp_path):

@@ -114,11 +114,88 @@ def _run_mode(tmp_path, two_phase: bool, wire_embedding: str = "i24"):
 
 
 def test_two_phase_cuts_reply_bytes_at_fanout(tmp_path):
-    res1, bytes1 = _run_mode(tmp_path / "one", two_phase=False)
+    res1, bytes1, _ = _run_mode(tmp_path / "one", two_phase=False)
     assert any(p.url == "https://r1.example/3" for p in res1.pages)
 
-    res2, bytes2 = _run_mode(tmp_path / "two", two_phase=True)
+    res2, bytes2, _ = _run_mode(tmp_path / "two", two_phase=True)
     assert any(p.url == "https://r1.example/3" for p in res2.pages)
     # equal quality above; fewer bytes: each responder sent one tiny
     # summary and only globally-winning pages crossed as full packets
     assert bytes2 < bytes1 * 0.7, (bytes1, bytes2)
+
+
+def test_dead_phase2_responder_does_not_burn_deadline(tmp_path):
+    """Phase-2 deadline hygiene (round-3 VERDICT item 7): when the
+    PageRequest send to one summary-winning responder FAILS, its keys
+    leave the awaited set immediately — the search wakes as soon as
+    the live responders' pages arrive instead of burning the whole
+    second deadline, and still returns the live peers' results."""
+    import time
+
+    from dawnsearch_tpu.net.packets import PageRequest as PR
+
+    body = "the observatory dome turned slowly under the summer stars " * 20
+    tracker = Tracker("127.0.0.1:0").start()
+    nodes = []
+    try:
+        s, rs = _swarm(tmp_path, tracker.port, two_phase=True)
+        nodes += [s, *rs]
+        _fill(rs, body)
+        dead = rs[0]
+        dead_addr = dead.udp._sock.getsockname()
+
+        class FlakySock:
+            """Delegating proxy: only phase-2 PageRequests to the
+            "dead" responder fail at send time; phase 1 reaches all."""
+
+            def __init__(self, sock):
+                self._s = sock
+
+            def __getattr__(self, a):
+                return getattr(self._s, a)
+
+            def sendto(self, data, dest):
+                if dest[1] == dead_addr[1]:
+                    try:
+                        if isinstance(packets.decode(data), PR):
+                            raise OSError("responder died between phases")
+                    except ValueError:
+                        pass
+                return self._s.sendto(data, dest)
+
+        s.udp._sock = FlakySock(s.udp._sock)
+        t0 = time.perf_counter()
+        res = s.service.text_search("doc 1-2\n" + body + " variant 1 2",
+                                    k=20)
+        dt = time.perf_counter() - t0
+        # live responders' pages still came back...
+        assert any(p.url == "https://r1.example/2" for p in res.pages)
+        # ...and phase 2 did not sleep its full deadline on the dead
+        # peer (phase 1 early-wakes; the 1.5x bound leaves phase 2 only
+        # a fraction of its 500 ms window)
+        assert dt < 1.5 * s.cfg.search_deadline_ms / 1000.0, dt
+        # the dead responder's pages are absent (summaries won slots,
+        # but the page requests never reached it)
+        assert not any(p.url.startswith("https://r0.example/")
+                       for p in res.pages)
+    finally:
+        for n in nodes:
+            n.stop()
+        tracker.stop()
+
+
+def test_i8_wire_cuts_query_bytes_at_equal_quality(tmp_path):
+    """i8 wire embeddings (packets.py:69-77) x two-phase: Search packets
+    shrink ~1180 -> ~420 B at no ranking cost (round-3 i8-wire tier)."""
+    res24, _, qbytes24 = _run_mode(tmp_path / "q24", two_phase=True,
+                                   wire_embedding="i24")
+    assert any(p.url == "https://r1.example/3" for p in res24.pages)
+
+    res8, _, qbytes8 = _run_mode(tmp_path / "q8", two_phase=True,
+                                 wire_embedding="i8")
+    assert any(p.url == "https://r1.example/3" for p in res8.pages)
+    # same winning URLs both ways (equal result quality on this corpus)
+    assert ({p.url for p in res8.pages[:10]}
+            == {p.url for p in res24.pages[:10]})
+    # ~2.8x fewer query bytes (420 vs 1180 B per Search packet)
+    assert 0 < qbytes8 < qbytes24 * 0.45, (qbytes24, qbytes8)
