@@ -256,7 +256,7 @@ def bench_e2e(index=None, n_rows: int = 1_000_000, batch: int = 256,
     return qps
 
 
-def bench_ingest(n_pages: int = 4096) -> float:
+def bench_ingest(n_pages: int = 8192) -> float:
     """Full ingestion stack: WARC -> C++ extraction -> language filter ->
     C++ tokenization -> TPU batch embed -> index add (BASELINE.json
     config 5 / the reference's 'minutes per WARC' hot path,

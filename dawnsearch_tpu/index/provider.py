@@ -257,6 +257,7 @@ class SearchProvider:
         titles: Sequence[str],
         texts: Sequence[str],
         embeddings: np.ndarray,
+        base: int | None = None,
     ) -> list[int | None]:
         """Store-only insert (the device index was already written by the
         fused ingest program). Rows must have passed screen().
@@ -267,10 +268,22 @@ class SearchProvider:
         the stored prefix and route the remainder through the
         store-first path; on an unexpected rowid (store and index
         irreconcilably diverged) we rebuild the index from the store.
+
+        `base` is the device row of rows[0]. The default (current index
+        length minus n) is only correct when no LATER batch has been
+        dispatched yet; the pipelined ingest path (search_service
+        insert_pages overlaps batch i's readback with batch i+1's
+        dispatch) captures base at its own dispatch time and passes it
+        explicitly. A rollback with later batches in flight orphans
+        their device rows; their store_pages calls then see the rowid
+        mismatch and take the rebuild-from-store path — heavy, correct,
+        and only reachable through disk-level store failures (screen()
+        under the ingest gate already excludes duplicates/cap).
         """
         rows = list(zip(urls, titles, texts, embeddings))
         n = len(rows)
-        base = len(self.index) - n  # device row of rows[0]
+        if base is None:
+            base = len(self.index) - n  # device row of rows[0]
         ids: list[int | None] = []
         # ingest_gate: the recovery paths mutate the index (rollback /
         # rebuild-from-db), which must not interleave with a snapshot

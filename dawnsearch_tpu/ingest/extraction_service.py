@@ -222,23 +222,28 @@ class ExtractionService:
         # Adaptive insert coalescing: when extraction runs ahead (a
         # batch is already waiting in _ready) AND no query dispatched in
         # the last QUERY_IDLE_S, the insert thread merges waiting
-        # batches up to coalesce_max pages into ONE fused-ingest
-        # dispatch — the per-dispatch tunnel round-trip (~80 ms) is the
+        # batches up to coalesce_max pages into ONE insert_pages call —
+        # the per-dispatch tunnel round-trip (~80 ms) is the
         # standalone-ingest bottleneck at batch 512 (BENCH_r03 2.7k
         # pages/s vs r02's 4.2k at batch 1024). Under live query load
         # the recency gate keeps dispatches at batch_size, preserving
         # the round-3 soak's latency trade (config.py ingest_batch_size
-        # rationale). None = auto (the service's fused-ingest bucket
-        # cap); 0 disables.
+        # rationale). None = auto: TWO fused-ingest bucket caps, so
+        # insert_pages' one-deep sub-batch pipeline (dispatch i+1
+        # before readback i) engages; 0 disables.
         if coalesce_max is None:
-            coalesce_max = getattr(service, "max_ingest_batch", None) or 0
+            coalesce_max = 2 * (getattr(service, "max_ingest_batch", None)
+                                or 0)
         self.coalesce_max = max(int(coalesce_max), 0)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._tokenize_thread: threading.Thread | None = None
         self._insert_thread: threading.Thread | None = None
-        self._batches: "queue.Queue" = queue.Queue(maxsize=4)
-        self._ready: "queue.Queue" = queue.Queue(maxsize=4)
+        # depth 8 (~8 MB of page text at the shipped batch size): deep
+        # enough that a full coalesce window (2x the 1024 bucket cap =
+        # 4 batches) can be waiting while 4 more stage behind it
+        self._batches: "queue.Queue" = queue.Queue(maxsize=8)
+        self._ready: "queue.Queue" = queue.Queue(maxsize=8)
         self.pages_ingested = 0
 
     def start(self) -> "ExtractionService":

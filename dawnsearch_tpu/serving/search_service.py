@@ -290,32 +290,52 @@ class SearchService:
             # readback) and the SQLite batch write happen outside it, so
             # concurrent queries dispatch between sub-batches instead of
             # stacking up behind a 0.2-0.5 s critical section (the
-            # round-2 p99 3.5 s tail, doc/performance.md). Consistency
-            # note: index rows land before their store rows commit;
-            # results_from_ids drops ids the store can't join yet, so a
-            # query racing an insert simply doesn't see the newest
-            # sub-batch (the reference's actor mailbox has the same
-            # insert-then-search ordering, dawnsearch.rs:64-78).
+            # round-2 p99 3.5 s tail, doc/performance.md).
+            # Sub-batches are SOFTWARE-PIPELINED one deep: batch i+1's
+            # dispatch (and its async device->host copy) is enqueued
+            # BEFORE batch i's readback blocks, hiding the fixed
+            # dispatch round-trip (~100 ms through the tunnel — the
+            # dominant standalone-ingest cost, round-4; store_pages
+            # gets the device-row base captured at dispatch time since
+            # len(index) has already advanced past it). Consistency
+            # note: index rows land before their store rows commit (now
+            # up to TWO sub-batches ahead); results_from_ids drops ids
+            # the store can't join yet, so a query racing an insert
+            # simply doesn't see the newest sub-batches (the reference's
+            # actor mailbox has the same insert-then-search ordering,
+            # dawnsearch.rs:64-78).
             fi = self._fused_ingest
             with self._ingest_lock:
                 keep = self.provider.screen(urls)
                 kept = [i for i, ok in enumerate(keep) if ok]
                 ids = [None] * len(pages)
                 maxb = fi.max_batch or max(len(kept), 1)
+
+                def finish(sub, emb_dev, base):
+                    with METRICS.timer("fused_ingest"):
+                        embs = np.asarray(emb_dev)[: len(sub)]
+                    stored = self.provider.store_pages(
+                        [urls[i] for i in sub], [titles[i] for i in sub],
+                        [texts[i] for i in sub], embs, base=base)
+                    for i, sid in zip(sub, stored):
+                        ids[i] = sid
+
+                inflight = None
                 for s in range(0, len(kept), maxb):
                     sub = kept[s: s + maxb]
                     tk = ([token_ids[i] for i in sub]
                           if token_ids is not None else None)
                     with self._lock:
+                        base = len(self.provider.index)
                         emb_dev = fi.dispatch(
                             [combined[i] for i in sub], token_ids=tk)
-                    with METRICS.timer("fused_ingest"):
-                        embs = np.asarray(emb_dev)[: len(sub)]
-                    stored = self.provider.store_pages(
-                        [urls[i] for i in sub], [titles[i] for i in sub],
-                        [texts[i] for i in sub], embs)
-                    for i, sid in zip(sub, stored):
-                        ids[i] = sid
+                    if hasattr(emb_dev, "copy_to_host_async"):
+                        emb_dev.copy_to_host_async()
+                    if inflight is not None:
+                        finish(*inflight)
+                    inflight = (sub, emb_dev, base)
+                if inflight is not None:
+                    finish(*inflight)
         else:
             embs = self.batcher.embed_many(combined)
             # LOCK ORDER: ingest gate strictly OUTSIDE the device lock,

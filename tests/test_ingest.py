@@ -240,12 +240,12 @@ def test_insert_coalescing_when_query_idle(tmp_path):
     write_warc(p, records)
     svc = SlowService()
     ex = ExtractionService(svc, source=LocalWarcSource(p), batch_size=2)
-    assert ex.coalesce_max == 8  # auto-picked from the service
+    assert ex.coalesce_max == 16  # auto: 2x the service's bucket cap
     ex.start()
     ex.join(timeout=30)
     assert sum(len(b) for b in svc.batches) == 24
     assert max(len(b) for b in svc.batches) > 2  # coalescing engaged
-    assert max(len(b) for b in svc.batches) <= 8  # ...bounded
+    assert max(len(b) for b in svc.batches) <= 16  # ...bounded
     # order preserved under coalescing
     flat = [page[0] for b in svc.batches for page in b]
     assert flat == [f"https://co.example/{i}" for i in range(24)]
