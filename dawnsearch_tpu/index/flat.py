@@ -80,6 +80,16 @@ def _write_scales(buf: jax.Array, scales: jax.Array, start: jax.Array) -> jax.Ar
     return jax.lax.dynamic_update_slice(buf, scales, (start,))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("block",))
+def _write_rows_i4(buf: jax.Array, vals: jax.Array, start: jax.Array, *,
+                   block: int) -> jax.Array:
+    """i4 twin of _write_rows: `vals` are (n, D) biased nibble values;
+    the row-block repack rides in the same donated program
+    (ops/quant.write_rows_i4)."""
+    from dawnsearch_tpu.ops.quant import write_rows_i4
+    return write_rows_i4(buf, vals, start, block)
+
+
 @jax.jit
 def _quantize_rows_i8(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
     rows = rows.astype(jnp.float32)
@@ -95,13 +105,16 @@ def _is_i4(codes: jax.Array) -> bool:
 
 
 def _chunk_scores(q: jax.Array, chunk_codes: jax.Array,
-                  chunk_scales: jax.Array | None) -> jax.Array:
+                  chunk_scales: jax.Array | None,
+                  i4_block: int | None = None) -> jax.Array:
     """(B, D) x (C, D) -> (B, C) ip-distance (1 - dot), f32 accumulation.
 
     f32 storage scores in f32 (the exactness oracle); bf16/i8 storage
     runs bf16 operands so the MXU runs at bf16 rate (int8 codes are
     exact in bf16; the query's bf16 rounding is ~the same magnitude as
-    the i8 storage error and measured recall-neutral)."""
+    the i8 storage error and measured recall-neutral). i4 chunks arrive
+    row-block PACKED ((C/2, D) uint8 covering whole blocks) and unpack
+    to 2x the rows in natural order (ops/quant.py)."""
     if chunk_scales is None:
         qq = q.astype(chunk_codes.dtype) if chunk_codes.dtype == jnp.bfloat16 else q
         dots = jax.lax.dot_general(qq, chunk_codes, (((1,), (1,)), ((), ())),
@@ -109,7 +122,7 @@ def _chunk_scores(q: jax.Array, chunk_codes: jax.Array,
         return 1.0 - dots
     if _is_i4(chunk_codes):
         from dawnsearch_tpu.ops.quant import unpack_i4
-        chunk_codes = unpack_i4(chunk_codes)
+        chunk_codes = unpack_i4(chunk_codes, i4_block)
     x = chunk_codes.astype(jnp.bfloat16)
     dots = jax.lax.dot_general(q.astype(jnp.bfloat16), x,
                                (((1,), (1,)), ((), ())),
@@ -130,11 +143,13 @@ def _select_smallest(scores: jax.Array, k: int, approx: bool
 
 def _block_topk(q: jax.Array, block_codes: jax.Array,
                 block_scales: jax.Array | None, offset, count: jax.Array,
-                k: int, approx: bool) -> tuple[jax.Array, jax.Array]:
+                k: int, approx: bool,
+                i4_block: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Top-k over one contiguous row block at global row `offset`.
-    Rows with global id >= count score +inf."""
-    n = block_codes.shape[0]
-    scores = _chunk_scores(q, block_codes, block_scales)
+    Rows with global id >= count score +inf. `offset` and `count` are
+    LOGICAL rows (i4 block_codes carry 2 rows per packed row)."""
+    scores = _chunk_scores(q, block_codes, block_scales, i4_block)
+    n = scores.shape[1]
     global_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) + offset
     scores = jnp.where(global_ids < count, scores, jnp.inf)
     vals, idx = _select_smallest(scores, min(k, n), approx)
@@ -154,23 +169,36 @@ def _merge_topk(best: tuple[jax.Array, jax.Array],
 
 def search_kernel(codes: jax.Array, scales: jax.Array | None, queries: jax.Array,
                   count: jax.Array, k: int, chunk: int,
-                  approx: bool = False) -> tuple[jax.Array, jax.Array]:
+                  approx: bool = False,
+                  i4_block: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Chunked exact search -> (distances (B,k) asc, row ids (B,k)).
 
     Invalid slots (>= count) come back with distance +inf and id -1.
     Capacity need not divide `chunk`: full chunks run under lax.scan
     with a running merge, the remainder block merges at the end.
+    `chunk` and `count` are LOGICAL rows; i4 codes arrive row-block
+    packed at 2 rows/packed row and `i4_block` must divide `chunk`
+    (FlatIndex validates at construction), so every chunk holds whole
+    packing blocks and unpacks in natural order.
     """
-    cap = codes.shape[0]
+    i4 = _is_i4(codes)
+    if i4 and i4_block is None:
+        raise ValueError("i4 codes need an explicit i4_block "
+                         "(the index's packing block)")
+    cap = codes.shape[0] * 2 if i4 else codes.shape[0]  # logical rows
+    pr = 2 if i4 else 1  # logical rows per stored row
     B = queries.shape[0]
     q = queries.astype(jnp.float32)
+    blk = i4_block if i4 else None
     if cap <= chunk:
-        dists, ids = _block_topk(q, codes, scales, 0, count, k, approx)
+        dists, ids = _block_topk(q, codes, scales, 0, count, k, approx, blk)
         return dists, jnp.where(jnp.isfinite(dists), ids, -1)
 
     n_full = cap // chunk
+    chunk_s = chunk // pr  # stored rows per chunk
     rem = cap - n_full * chunk
-    codes_c = codes[: n_full * chunk].reshape(n_full, chunk, codes.shape[1])
+    codes_c = codes[: n_full * chunk_s].reshape(n_full, chunk_s,
+                                                codes.shape[1])
     scales_c = (None if scales is None
                 else scales[: n_full * chunk].reshape(n_full, chunk))
 
@@ -184,23 +212,23 @@ def search_kernel(codes: jax.Array, scales: jax.Array | None, queries: jax.Array
         else:
             c_idx, chunk_codes, chunk_scales = inp
         cand = _block_topk(q, chunk_codes, chunk_scales, c_idx * chunk,
-                           count, k, approx)
+                           count, k, approx, blk)
         return _merge_topk(carry, cand, k), None
 
     xs = (jnp.arange(n_full, dtype=jnp.int32), codes_c) if scales_c is None \
         else (jnp.arange(n_full, dtype=jnp.int32), codes_c, scales_c)
     (dists, ids), _ = jax.lax.scan(body, init, xs)
     if rem:
-        tail = _block_topk(q, codes[n_full * chunk:],
+        tail = _block_topk(q, codes[n_full * chunk_s:],
                            None if scales is None else scales[n_full * chunk:],
-                           n_full * chunk, count, k, approx)
+                           n_full * chunk, count, k, approx, blk)
         dists, ids = _merge_topk((dists, ids), tail, k)
     ids = jnp.where(jnp.isfinite(dists), ids, -1)
     return dists, ids
 
 
 _search = functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "approx"))(search_kernel)
+    jax.jit, static_argnames=("k", "chunk", "approx", "i4_block"))(search_kernel)
 
 
 def rerank_kernel(exact: jax.Array, q: jax.Array, dists: jax.Array,
@@ -223,9 +251,12 @@ def rerank_kernel(exact: jax.Array, q: jax.Array, dists: jax.Array,
     return out_d, out_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "kf", "chunk", "approx"))
-def _search_rerank(codes, scales, exact, q, count, k, kf, chunk, approx):
-    d, i = search_kernel(codes, scales, q, count, kf, chunk, approx=approx)
+@functools.partial(jax.jit, static_argnames=("k", "kf", "chunk", "approx",
+                                             "i4_block"))
+def _search_rerank(codes, scales, exact, q, count, k, kf, chunk, approx,
+                   i4_block=None):
+    d, i = search_kernel(codes, scales, q, count, kf, chunk, approx=approx,
+                         i4_block=i4_block)
     return rerank_kernel(exact, q, d, i, k)
 
 
@@ -308,8 +339,23 @@ class FlatIndex:
         self.capacity = _round_up(max(capacity, segment), segment)
         jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8,
                "i4": jnp.uint8}[dtype]
-        width = dim // 2 if dtype == "i4" else dim
-        self._codes = jnp.zeros((self.capacity, width), jdt)
+        if dtype == "i4":
+            # Row-block nibble packing, (capacity/2, dim) uint8 — the
+            # lane dim stays a 128-multiple so XLA never pads/copies
+            # the codes (ops/quant.py header). Block-aligned growth and
+            # whole-block chunking keep the layout position-stable.
+            from dawnsearch_tpu.ops.quant import i4_block_for
+            self._i4_block = i4_block_for(segment)
+            if chunk % self._i4_block != 0:
+                raise ValueError(
+                    f"i4 chunked scan needs chunk % block == 0, got "
+                    f"chunk={chunk} block={self._i4_block} (pick a "
+                    f"segment dividing the chunk, or align segment to "
+                    f"{chunk})")
+            self._codes = jnp.zeros((self.capacity // 2, dim), jdt)
+        else:
+            self._i4_block = None
+            self._codes = jnp.zeros((self.capacity, dim), jdt)
         self._scales = (jnp.ones((self.capacity,), jnp.float32)
                         if dtype in ("i8", "i4") else None)
         self._exact = (jnp.zeros((self.capacity, dim), jnp.float16)
@@ -355,7 +401,8 @@ class FlatIndex:
             raise IndexFull(
                 f"index full: capacity {self.capacity}, need {needed}")
         pad = new_cap - self.capacity
-        self._codes = jnp.pad(self._codes, ((0, pad), (0, 0)))
+        pad_codes = pad // 2 if self.dtype == "i4" else pad
+        self._codes = jnp.pad(self._codes, ((0, pad_codes), (0, 0)))
         if self._scales is not None:
             self._scales = jnp.pad(self._scales, ((0, pad),),
                                    constant_values=1.0)
@@ -376,14 +423,16 @@ class FlatIndex:
             self._grow_to(self.count + n)
         start = jnp.int32(self.count)
         if self.dtype == "i4":
-            from dawnsearch_tpu.ops.quant import quantize_i4, quantize_i4_np
+            from dawnsearch_tpu.ops.quant import (quantize_i4_vals,
+                                                  quantize_i4_vals_np)
             if isinstance(vectors, np.ndarray):
-                codes, scales = quantize_i4_np(vectors)
-                codes, scales = jnp.asarray(codes), jnp.asarray(scales)
+                vals, scales = quantize_i4_vals_np(vectors)
+                vals, scales = jnp.asarray(vals), jnp.asarray(scales)
             else:
                 rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
-                codes, scales = quantize_i4(rows)
-            self._codes = _write_rows(self._codes, codes, start)
+                vals, scales = quantize_i4_vals(rows)
+            self._codes = _write_rows_i4(self._codes, vals, start,
+                                         block=self._i4_block)
             self._scales = _write_scales(self._scales, scales, start)
         elif self.dtype == "i8":
             if isinstance(vectors, np.ndarray):
@@ -453,20 +502,23 @@ class FlatIndex:
         # unsupported shapes. Recall measured identical to approx_min_k
         # (0.982 raw at 1M).
         from dawnsearch_tpu.ops import scan_select
-        fused = scan_select.eligible(self.count, self.capacity, self.dim,
-                                     self.dtype, self.selector,
-                                     self.fused_min_rows)
+        fused = (scan_select.eligible(self.count, self.capacity, self.dim,
+                                      self.dtype, self.selector,
+                                      self.fused_min_rows)
+                 and (self.dtype != "i4"
+                      or self._i4_block == scan_select.DEFAULT_TN))
         if fused:
             d, i = self._search_fused(q, k_eff)
         elif self._exact is not None:
             kf = self.device_fetch_width(k_eff)
             d, i = _search_rerank(self._codes, self._scales, self._exact,
                                   q, jnp.int32(self.count), k_eff, kf,
-                                  self.chunk, approx)
+                                  self.chunk, approx,
+                                  i4_block=self._i4_block)
         else:
             d, i = _search(self._codes, self._scales, q,
                            jnp.int32(self.count), k_eff, self.chunk,
-                           approx=approx)
+                           approx=approx, i4_block=self._i4_block)
         return d, i, k_eff, single
 
     @staticmethod
@@ -499,9 +551,14 @@ class FlatIndex:
         if self._exact is not None:
             return np.asarray(self._exact[row_id], np.float32)
         if self.dtype == "i4":
-            from dawnsearch_tpu.ops.quant import unpack_i4_np
-            row = unpack_i4_np(
-                np.asarray(self._codes[row_id])[None, :])[0].astype(np.float32)
+            # row-block layout: logical row r lives in packed row
+            # (r // T)*T/2 + r % (T/2), low nibble for the block's
+            # first half, high for the second (ops/quant.py)
+            t = self._i4_block
+            b, off = divmod(row_id, t)
+            packed = np.asarray(self._codes[b * (t // 2) + off % (t // 2)])
+            nib = packed >> 4 if off >= t // 2 else packed & 0xF
+            row = nib.astype(np.float32) - 8.0
         else:
             row = np.asarray(self._codes[row_id]).astype(np.float32)
         if self._scales is not None:
@@ -529,6 +586,7 @@ class FlatIndex:
         Do not call the closure outside such a gate on live indexes."""
         codes, scales, exact = self._codes, self._scales, self._exact
         count, dtype, dim = self.count, self.dtype, self.dim
+        i4_block = self._i4_block
 
         def write(path: str) -> None:
             _atomic_savez(
@@ -541,6 +599,10 @@ class FlatIndex:
                 count=count,
                 dtype=dtype,
                 dim=dim,
+                # i4 codes are position-dependent (row-block packing);
+                # absent key = pre-round-4 dim-plane layout, migrated
+                # on load (ops/quant.migrate_i4_dimplane_np)
+                i4_block=(i4_block or 0),
             )
         return write
 
@@ -554,9 +616,42 @@ class FlatIndex:
             scales = z["scales"]
             # "exact" key absent in round-1 snapshots — stay loadable
             exact = z["exact"] if "exact" in z.files else np.empty(0)
+            snap_block = int(z["i4_block"]) if "i4_block" in z.files else 0
         has_exact = exact.size > 0
         kwargs.setdefault("exact", "f16" if has_exact else None)
-        idx = cls(dim=dim, dtype=dtype, capacity=codes.shape[0], **kwargs)
+        if dtype == "i4":
+            from dawnsearch_tpu.ops.quant import pack_i4_np, unpack_i4_np
+            capacity = (codes.shape[0] if snap_block == 0
+                        else codes.shape[0] * 2)
+            idx = cls(dim=dim, dtype=dtype, capacity=capacity, **kwargs)
+            if snap_block == 0:
+                # pre-round-4 snapshot: per-row dim-plane nibbles
+                # ((cap, D/2), byte j = dims j | D/2+j << 4) ->
+                # biased values, natural order
+                vals = np.concatenate(
+                    [codes & 0xF, codes >> 4], axis=-1).astype(np.uint8)
+            elif snap_block != idx._i4_block:
+                # saved under a different segment policy
+                vals = (unpack_i4_np(codes, snap_block)
+                        .astype(np.int16) + 8).astype(np.uint8)
+            else:
+                vals = None
+            if vals is not None:
+                # repack into idx's row-block layout; idx.capacity is
+                # the (segment-rounded) target, pad the tail with zeros
+                # (masked by count like any unwritten slot)
+                if idx.capacity > vals.shape[0]:
+                    vals = np.pad(vals,
+                                  ((0, idx.capacity - vals.shape[0]),
+                                   (0, 0)))
+                codes = pack_i4_np(vals, idx._i4_block)
+            if scales.shape[0] < idx.capacity:
+                scales = np.pad(scales,
+                                ((0, idx.capacity - scales.shape[0]),),
+                                constant_values=1.0)
+        else:
+            idx = cls(dim=dim, dtype=dtype, capacity=codes.shape[0],
+                      **kwargs)
         jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8,
                "i4": jnp.uint8}[dtype]
         idx._codes = jnp.asarray(codes, jdt)
@@ -578,12 +673,16 @@ class FlatIndex:
             # newly added rows refresh it.
             if dtype == "i4":
                 from dawnsearch_tpu.ops.quant import unpack_i4_np
-                deq = unpack_i4_np(codes).astype(np.float32) * scales[:, None]
+                # `codes` is in idx's row-block layout at this point
+                # (migrated above if the snapshot was older)
+                deq = (unpack_i4_np(codes, idx._i4_block)
+                       .astype(np.float32) * scales[:, None])
             else:
                 deq = codes.astype(np.float32)
                 if dtype == "i8":
                     deq = deq * scales[:, None]
             idx._exact = jnp.asarray(deq.astype(np.float16))
         idx.count = count
-        idx.capacity = codes.shape[0]
+        idx.capacity = (codes.shape[0] * 2 if dtype == "i4"
+                        else codes.shape[0])
         return idx

@@ -152,56 +152,171 @@ def dequantize_i8(q: QuantizedRows) -> jax.Array:
 # of i8 on the same HBM; doc/performance.md "the i4 capacity tier")
 # ---------------------------------------------------------------------------
 #
-# Dim-PLANE nibble packing: packed byte j of a row holds dim j in the
-# low nibble and dim D/2+j in the high nibble. Unpacking therefore
-# yields two contiguous dim planes ([0, D/2) and [D/2, D)) and a dot
-# product splits into two matmuls over the query's matching halves —
-# NO row permutation, so the fused selector's window ids, per-row
-# scales, and count masking are untouched (ops/scan_select.py). Codes
-# are symmetric [-7, 7] with per-row scale absmax/7, stored biased +8
-# in [1, 15].
+# ROW-BLOCK nibble packing, TILE-ALIGNED. Codes live as uint8
+# [cap/2, D]: within each block of `block` logical rows, packed row p
+# holds dim j of logical row p in the LOW nibble and of logical row
+# p + block/2 in the HIGH nibble. Unpacking a whole block therefore
+# yields the block's rows in NATURAL ORDER ([lo rows | hi rows]), so
+# the fused selector's window ids, per-row scales, and count masking
+# are untouched (ops/scan_select.py treats one grid tile as one block).
+#
+# Why not the obvious per-row dim-plane packing ((N, D/2), byte j =
+# dims j | D/2+j << 4)? D/2 = 192 is not a multiple of the TPU's
+# 128-lane tile, so every XLA/Mosaic materialization of the codes pads
+# 192 -> 256 lanes: measured at 32M rows, the compiled search program
+# carried an 8.00 GB padded copy of the 6.00 GB codes (1.33x) and the
+# 64M tier could not exist at all (16 GB padded > 15.75 GB HBM). With
+# the lane dim at D = 384 the layout is tile-native: the same program
+# compiles with temp 2.0 GB and no copy (compile-only A/B, round 4).
+# Codes are symmetric [-7, 7] with per-row scale absmax/7, stored
+# biased +8 in [1, 15]; scale/exact/ids arrays stay per-LOGICAL-row.
+
+# One packing block = one fused-selector grid tile (scan_select
+# DEFAULT_TN). Indexes whose segment is not a multiple of this use
+# block = segment and serve from the XLA chunked path only.
+I4_BLOCK = 16384
 
 
-def quantize_i4_np(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(N, D) f32 -> ((N, D/2) uint8 plane-packed nibbles, (N,) f32 scales)."""
+def quantize_i4_vals_np(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(N, D) f32 -> ((N, D) uint8 biased nibble VALUES in [1, 15],
+    (N,) f32 scales). Packing is position-dependent (row-block layout)
+    and happens at write time: pack_i4_np / write_rows_i4."""
     rows = np.atleast_2d(np.asarray(rows, np.float32))
     d = rows.shape[1]
     if d % 2:
         raise ValueError(f"i4 packing needs an even dim, got {d}")
     absmax = np.abs(rows).max(axis=1)
     scales = (np.maximum(absmax, 1e-12) / 7.0).astype(np.float32)
-    c = np.clip(np.rint(rows / scales[:, None]), -7, 7).astype(np.int32) + 8
-    packed = (c[:, : d // 2] | (c[:, d // 2:] << 4)).astype(np.uint8)
-    return packed, scales
-
-
-def unpack_i4_np(packed: np.ndarray) -> np.ndarray:
-    """(N, D/2) uint8 -> (N, D) int8 codes in [-7, 7] (biased decode)."""
-    p = np.asarray(packed, np.uint8)
-    lo = (p & 0xF).astype(np.int8) - 8
-    hi = (p >> 4).astype(np.int8) - 8
-    return np.concatenate([lo, hi], axis=-1)
+    vals = (np.clip(np.rint(rows / scales[:, None]), -7, 7)
+            .astype(np.int16) + 8).astype(np.uint8)
+    return vals, scales
 
 
 @jax.jit
-def quantize_i4(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Device twin of quantize_i4_np (same layout, bit-identical for
-    inputs where round() agrees; covered by tests/test_i4.py)."""
+def quantize_i4_vals(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Device twin of quantize_i4_vals_np (bit-identical for inputs
+    where round() agrees; covered by tests/test_i4.py)."""
     rows = jnp.atleast_2d(rows.astype(jnp.float32))
-    d = rows.shape[1]
     absmax = jnp.max(jnp.abs(rows), axis=1)
     scales = jnp.maximum(absmax, 1e-12) / 7.0
-    c = (jnp.clip(jnp.round(rows / scales[:, None]), -7, 7)
-         .astype(jnp.int32) + 8)
-    packed = (c[:, : d // 2] | (c[:, d // 2:] << 4)).astype(jnp.uint8)
-    return packed, scales
+    vals = (jnp.clip(jnp.round(rows / scales[:, None]), -7, 7)
+            .astype(jnp.int32) + 8).astype(jnp.uint8)
+    return vals, scales
 
 
-def unpack_i4(packed: jax.Array) -> jax.Array:
+def pack_i4_np(vals: np.ndarray, block: int = I4_BLOCK) -> np.ndarray:
+    """(N, D) biased nibble values -> (N/2, D) row-block packed uint8.
+    N must be a multiple of `block` (buffer capacities are)."""
+    n, d = vals.shape
+    if block % 2 or n % block:
+        raise ValueError(f"pack_i4 needs n % block == 0 and even block, "
+                         f"got n={n} block={block}")
+    g = vals.reshape(n // block, block, d)
+    return (g[:, : block // 2] | (g[:, block // 2:] << 4)).reshape(
+        n // 2, d).astype(np.uint8)
+
+
+def unpack_i4_np(packed: np.ndarray, block: int = I4_BLOCK) -> np.ndarray:
+    """(P, D) row-block packed uint8 -> (2P, D) int8 codes in [-7, 7],
+    natural row order. 2P must be a multiple of `block`."""
+    p = np.asarray(packed, np.uint8)
+    np_, d = p.shape
+    n = 2 * np_
+    if n % block:
+        raise ValueError(f"unpack_i4 needs rows % block == 0, "
+                         f"got {n} rows, block={block}")
+    g = p.reshape(n // block, block // 2, d)
+    lo = (g & 0xF).astype(np.int8) - 8
+    hi = (g >> 4).astype(np.int8) - 8
+    return np.concatenate([lo, hi], axis=1).reshape(n, d)
+
+
+def unpack_i4(packed: jax.Array, block: int = I4_BLOCK) -> jax.Array:
     """jnp twin of unpack_i4_np; traced inside index/flat.py's XLA scan."""
-    lo = (packed & 0xF).astype(jnp.int8) - 8
-    hi = (packed >> 4).astype(jnp.int8) - 8
-    return jnp.concatenate([lo, hi], axis=-1)
+    np_, d = packed.shape
+    n = 2 * np_
+    g = packed.reshape(n // block, block // 2, d)
+    lo = (g & 0xF).astype(jnp.int8) - 8
+    hi = (g >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=1).reshape(n, d)
+
+
+def write_rows_i4(buf: jax.Array, vals: jax.Array, start,
+                  block: int = I4_BLOCK) -> jax.Array:
+    """Write `vals` ((n, D) biased nibble values) at LOGICAL row `start`
+    into a row-block packed buffer ((capP, D) uint8, capL = 2*capP a
+    multiple of `block`). `start` may be a host int or traced i32;
+    `n` must be static and <= capL. Traced-safe: reads the block-aligned
+    region covering the write, unpacks to natural order, updates,
+    repacks, writes back — the only read-modify-write in the index
+    family (nibble writes share bytes with rows that already landed)."""
+    capP, d = buf.shape
+    capL = 2 * capP
+    n = vals.shape[0]
+    nb = min(n // block + 2, capL // block)
+    RL = nb * block
+    start = jnp.asarray(start, jnp.int32)
+    r0 = jnp.clip((start // block) * block, 0, capL - RL)
+    region = jax.lax.dynamic_slice(buf, (r0 // 2, 0), (RL // 2, d))
+    g = region.reshape(nb, block // 2, d)
+    logical = jnp.concatenate([g & 0xF, g >> 4], axis=1).reshape(RL, d)
+    logical = jax.lax.dynamic_update_slice(
+        logical, vals.astype(jnp.uint8), (start - r0, 0))
+    g2 = logical.reshape(nb, block, d)
+    packed = (g2[:, : block // 2] | (g2[:, block // 2:] << 4)).reshape(
+        RL // 2, d).astype(jnp.uint8)
+    return jax.lax.dynamic_update_slice(buf, packed, (r0 // 2, 0))
+
+
+def blend_rows_i4(buf: jax.Array, new_vals: jax.Array, shift, s, mask,
+                  block: int = I4_BLOCK) -> jax.Array:
+    """write_rows_i4's blend twin for the sharded paths
+    (parallel/sharded_index._blend_write contract): roll `new_vals`
+    ((mr, D) biased nibble values) down by `shift`, write at logical
+    offset `s`, keep old rows where `mask` is False."""
+    capP, d = buf.shape
+    capL = 2 * capP
+    mr = new_vals.shape[0]
+    nb = min(mr // block + 2, capL // block)
+    RL = nb * block
+    s = jnp.asarray(s, jnp.int32)
+    r0 = jnp.clip((s // block) * block, 0, capL - RL)
+    region = jax.lax.dynamic_slice(buf, (r0 // 2, 0), (RL // 2, d))
+    g = region.reshape(nb, block // 2, d)
+    logical = jnp.concatenate([g & 0xF, g >> 4], axis=1).reshape(RL, d)
+    rolled = jnp.roll(new_vals.astype(jnp.uint8), shift, axis=0)
+    off = s - r0
+    old = jax.lax.dynamic_slice(logical, (off, 0), (mr, d))
+    merged = jnp.where(mask[:, None], rolled, old)
+    logical = jax.lax.dynamic_update_slice(logical, merged, (off, 0))
+    g2 = logical.reshape(nb, block, d)
+    packed = (g2[:, : block // 2] | (g2[:, block // 2:] << 4)).reshape(
+        RL // 2, d).astype(jnp.uint8)
+    return jax.lax.dynamic_update_slice(buf, packed, (r0 // 2, 0))
+
+
+def i4_block_for(segment: int) -> int:
+    """The packing block an index with this segment size uses: the
+    fused-selector tile when the segment aligns to it (every grown
+    capacity then stays block-aligned), else the segment itself
+    (small/test indexes — XLA chunked path only)."""
+    if segment % I4_BLOCK == 0:
+        return I4_BLOCK
+    if segment % 2:
+        raise ValueError(f"i4 needs an even segment, got {segment}")
+    return segment
+
+
+def migrate_i4_dimplane_np(old_packed: np.ndarray,
+                           block: int = I4_BLOCK) -> np.ndarray:
+    """Load-time migration for pre-round-4 snapshots: (N, D/2) per-row
+    dim-plane packing (byte j = dims j | D/2+j << 4) -> the row-block
+    layout above."""
+    p = np.asarray(old_packed, np.uint8)
+    lo = (p & 0xF).astype(np.uint8)
+    hi = (p >> 4).astype(np.uint8)
+    vals = np.concatenate([lo, hi], axis=-1)  # biased values, natural
+    return pack_i4_np(vals, block)
 
 
 def i4_fetch_width(count: int, k: int) -> int:

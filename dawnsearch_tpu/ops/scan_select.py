@@ -141,25 +141,29 @@ def _mask_select_store(db, base, count_ref, vals_ref, ids_ref,
     ids_ref[...] = jnp.where(jnp.isfinite(vals), ids, -1)
 
 
-def _select_kernel_i4(qlo_ref, qhi_ref, qscale_ref, codes_ref, scales_ref,
+def _select_kernel_i4(q_ref, qscale_ref, codes_ref, scales_ref,
                       count_ref, vals_ref, ids_ref, lo_ref, hi_ref, *,
                       qi8: bool):
-    """i4 variant: codes arrive nibble-PACKED (TN, D/2) uint8 in the
-    dim-plane layout (ops/quant.py: byte j = dims j | D/2+j << 4), so
-    unpacking yields two contiguous dim planes and the dot product is
-    two matmuls against the query's matching halves — rows keep their
-    natural order, and the window argmin / per-row scales / count mask
-    are byte-identical to the i8 kernel (_mask_select_store). The
-    unpacked planes are CACHED in VMEM scratch: under the N-major grid
-    the query-tile index is the inner loop, so the unpack (i32 widen +
-    shift + bias; Mosaic has no i8 vector subtract — arith.subi fails
-    to legalize on the packed 8x128x4xi8 layout) runs once per codes
-    block and every later query tile reuses it. The bi dimension is
-    declared "arbitrary" (not "parallel") for exactly this carried
-    scratch. The query is pre-split OUTSIDE the kernel (a lane slice
-    at D/2=192 would relayout in Mosaic)."""
-    TB = qlo_ref.shape[0]
-    TN = codes_ref.shape[0]
+    """i4 variant: codes arrive nibble-PACKED (TN/2, D) uint8 in the
+    row-block layout (ops/quant.py: one packing block == one grid tile;
+    packed row p = logical rows base+p low nibble | base+TN/2+p high),
+    so unpacking yields the tile's FIRST and SECOND row halves and the
+    dot product is two full-dim matmuls whose outputs concatenate along
+    lanes into natural row order — the window argmin / per-row scales /
+    count mask are byte-identical to the i8 kernel (_mask_select_store).
+    The lane dim stays D = 384 (a 128-multiple): the previous per-row
+    dim-plane layout ((TN, 192)) forced a 1.33x padded relayout of the
+    whole codes array in HBM — 8 GB of dead copy at 32M rows — because
+    192 pads to 256 lanes (quant.py header, compile-only A/B round 4).
+    The unpacked halves are CACHED in VMEM scratch: under the N-major
+    grid the query-tile index is the inner loop, so the unpack (i32
+    widen + shift + bias; Mosaic has no i8 vector subtract — arith.subi
+    fails to legalize on the packed 8x128x4xi8 layout) runs once per
+    codes block and every later query tile reuses it. The bi dimension
+    is declared "arbitrary" (not "parallel") for exactly this carried
+    scratch."""
+    TB = q_ref.shape[0]
+    TN = codes_ref.shape[0] * 2   # logical rows per tile (= one block)
     R = TN // W
     ni = pl.program_id(0)
     base = ni * TN
@@ -167,28 +171,30 @@ def _select_kernel_i4(qlo_ref, qhi_ref, qscale_ref, codes_ref, scales_ref,
     @pl.when(pl.program_id(1) == 0)
     def _unpack():
         p = codes_ref[...].astype(jnp.int32)
-        lo_ref[...] = ((p & 0xF) - 8).astype(jnp.int8)   # dims [0, D/2)
-        hi_ref[...] = ((p >> 4) - 8).astype(jnp.int8)    # dims [D/2, D)
+        lo_ref[...] = ((p & 0xF) - 8).astype(jnp.int8)  # rows [0, TN/2)
+        hi_ref[...] = ((p >> 4) - 8).astype(jnp.int8)   # rows [TN/2, TN)
 
     lo = lo_ref[...]
     hi = hi_ref[...]
     if qi8:
-        dots = (jax.lax.dot_general(
-                    qlo_ref[...], lo, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                + jax.lax.dot_general(
-                    qhi_ref[...], hi, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32))
+        q = q_ref[...]
+        dots = jnp.concatenate(
+            [jax.lax.dot_general(q, lo, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32),
+             jax.lax.dot_general(q, hi, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32)],
+            axis=1)                                      # (TB, TN) natural
         scaled = dots.astype(jnp.float32) * qscale_ref[...]
     else:
-        scaled = (jax.lax.dot_general(
-                      qlo_ref[...].astype(jnp.bfloat16),
-                      lo.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                      preferred_element_type=jnp.float32)
-                  + jax.lax.dot_general(
-                      qhi_ref[...].astype(jnp.bfloat16),
-                      hi.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                      preferred_element_type=jnp.float32))
+        q = q_ref[...].astype(jnp.bfloat16)
+        scaled = jnp.concatenate(
+            [jax.lax.dot_general(q, lo.astype(jnp.bfloat16),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32),
+             jax.lax.dot_general(q, hi.astype(jnp.bfloat16),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)],
+            axis=1)
     db = 2.0 - scaled * scales_ref[...]
     _mask_select_store(db, base, count_ref, vals_ref, ids_ref, TB, TN, R)
 
@@ -197,11 +203,12 @@ def _select_kernel_i4(qlo_ref, qhi_ref, qscale_ref, codes_ref, scales_ref,
 def _candidates_i4(codes: jax.Array, scales: jax.Array, q: jax.Array,
                    count: jax.Array, tb: int, tn: int, qi8: bool = True
                    ) -> tuple[jax.Array, jax.Array]:
-    """i4 twin of _candidates: codes are (N, D/2) packed uint8; the
-    query splits into dim-plane halves outside the kernel. Same N-major
-    grid, output blocks, and count contract as _candidates."""
+    """i4 twin of _candidates: codes are (N/2, D) row-block packed uint8
+    with block == tn (ops/quant.py I4_BLOCK; supports() pins tn for
+    i4). Same N-major grid, output blocks, and count contract as
+    _candidates."""
     B, D = q.shape
-    N = codes.shape[0]
+    N = codes.shape[0] * 2        # logical rows
     R = tn // W
     if qi8:
         qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True),
@@ -211,20 +218,17 @@ def _candidates_i4(codes: jax.Array, scales: jax.Array, q: jax.Array,
     else:
         qs = jnp.ones((B, 1), jnp.float32)
         qq = q.astype(jnp.float32)
-    qlo, qhi = qq[:, : D // 2], qq[:, D // 2:]
     vals, ids = pl.pallas_call(
         functools.partial(_select_kernel_i4, qi8=qi8),
         out_shape=(jax.ShapeDtypeStruct((B, N // W), jnp.float32),
                    jax.ShapeDtypeStruct((B, N // W), jnp.int32)),
         grid=(N // tn, B // tb),   # N MAJOR: codes DMA'd once, revisited
         in_specs=[
-            pl.BlockSpec((tb, D // 2), lambda ni, bi: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, D // 2), lambda ni, bi: (bi, 0),
+            pl.BlockSpec((tb, D), lambda ni, bi: (bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda ni, bi: (bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, codes.shape[1]), lambda ni, bi: (ni, 0),
+            pl.BlockSpec((tn // 2, D), lambda ni, bi: (ni, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda ni, bi: (0, ni),
                          memory_space=pltpu.VMEM),
@@ -236,15 +240,15 @@ def _candidates_i4(codes: jax.Array, scales: jax.Array, q: jax.Array,
             pl.BlockSpec((tb, R), lambda ni, bi: (bi, ni),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((tn, D // 2), jnp.int8),
-                        pltpu.VMEM((tn, D // 2), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((tn // 2, D), jnp.int8),
+                        pltpu.VMEM((tn // 2, D), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             # bi must iterate in order: the unpacked-plane scratch is
             # written at bi == 0 and read by every later query tile.
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=80 * 1024 * 1024),
         interpret=_interpret(),
-    )(qlo, qhi, qs, codes, scales[None, :],
+    )(qq, qs, codes, scales[None, :],
       count.reshape(1).astype(jnp.int32))
     return vals, ids
 
@@ -310,7 +314,15 @@ def supports(capacity: int, dim: int, dtype: str,
     tn must be a multiple of W*128: each grid step emits tn/W output
     LANES, and Mosaic requires 128-lane blocks (measured: tn=8192
     fails lowering with R=64). `dim` is the LOGICAL dim for every
-    dtype (i4 stores dim/2 packed bytes per row)."""
+    dtype. i4 codes are row-block packed ((N/2, D) uint8, ops/quant.py)
+    with one packing block per grid tile, so i4 additionally pins
+    tn == I4_BLOCK — callers must guarantee their codes were packed
+    with that block (index constructors align segment to it or stay on
+    the XLA path; i4_block_for)."""
+    if dtype == "i4":
+        from dawnsearch_tpu.ops.quant import I4_BLOCK
+        if tn != I4_BLOCK:
+            return False
     return (dtype in ("i8", "bf16", "i4") and capacity % tn == 0
             and capacity >= tn and dim % 128 == 0
             and tn % (W * 128) == 0)
@@ -348,9 +360,9 @@ def search_select(codes: jax.Array, scales: jax.Array | None,
     QI8_DEFAULT gates it for i8 codes (see doc/performance.md for the
     measured A/B before flipping it)."""
     B = queries.shape[0]
-    N = codes.shape[0]
-    i4 = codes.dtype == jnp.uint8  # nibble-packed (N, D/2) storage
-    D = codes.shape[1] * 2 if i4 else codes.shape[1]  # logical dim
+    i4 = codes.dtype == jnp.uint8  # row-block packed (N/2, D) storage
+    N = codes.shape[0] * 2 if i4 else codes.shape[0]  # logical rows
+    D = codes.shape[1]
     if N % tn != 0 or D % 128 != 0 or tn % (W * 128) != 0:
         # A non-multiple capacity would floor-truncate the grid AND
         # leave N//W - grid*R output columns uninitialized — garbage
@@ -360,6 +372,14 @@ def search_select(codes: jax.Array, scales: jax.Array | None,
         raise ValueError(
             f"search_select needs capacity % {tn} == 0 and dim % 128 == 0,"
             f" got codes {codes.shape}; pad the buffer (see supports())")
+    if i4:
+        from dawnsearch_tpu.ops.quant import I4_BLOCK
+        if tn != I4_BLOCK:
+            # the kernel reads one packing block per grid tile; any
+            # other tn would silently permute rows (see supports())
+            raise ValueError(
+                f"i4 codes are block-packed with block={I4_BLOCK}; "
+                f"search_select needs tn == {I4_BLOCK}, got {tn}")
     if qi8 is None:
         qi8 = QI8_DEFAULT and (codes.dtype == jnp.int8 or i4)
     tb = min(tb, max(8, 1 << (B - 1).bit_length()))  # small batches

@@ -50,11 +50,12 @@ def _round_up(n: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "kf", "chunk", "mesh", "has_scales", "has_exact",
-                     "approx", "dp_axis", "fused_sel"))
+                     "approx", "dp_axis", "fused_sel", "i4_block"))
 def _sharded_search(codes, scales, exact, ids, counts, queries, *, k: int,
                     kf: int, chunk: int, mesh: Mesh, has_scales: bool,
                     has_exact: bool, approx: bool = False,
-                    dp_axis: str | None = None, fused_sel: bool = False):
+                    dp_axis: str | None = None, fused_sel: bool = False,
+                    i4_block: int | None = None):
     """Queries -> merged (distances, user ids).
 
     Rows shard over AXIS ("shard"); the merge is lax.top_k over an
@@ -66,7 +67,7 @@ def _sharded_search(codes, scales, exact, ids, counts, queries, *, k: int,
     from its f16 shadow before gathering only k."""
 
     def local(codes_blk, scales_blk, exact_blk, ids_blk, counts_blk, q):
-        cap = codes_blk.shape[1]
+        cap = ids_blk.shape[1]   # LOGICAL rows (i4 codes pack 2/row)
         B = q.shape[0]
         sc = scales_blk[0] if has_scales else None
         if fused_sel:  # Pallas score+select per shard (ops/scan_select.py)
@@ -74,7 +75,7 @@ def _sharded_search(codes, scales, exact, ids, counts, queries, *, k: int,
             d, i = search_select(codes_blk[0], sc, q, counts_blk[0], kf)
         else:
             d, i = search_kernel(codes_blk[0], sc, q, counts_blk[0], kf,
-                                 chunk, approx=approx)
+                                 chunk, approx=approx, i4_block=i4_block)
         if has_exact:
             d, i = rerank_kernel(exact_blk[0], q, d, i, k)
         safe = jnp.clip(i, 0, cap - 1)
@@ -115,24 +116,32 @@ def _blend_write(buf, new, shift, s, mask):
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "has_scales",
-                                             "has_exact"),
+                                             "has_exact", "i4_block"),
                    donate_argnums=(0, 1, 2, 3))
 def _sharded_write(codes, scales, exact, ids, row_blocks, scale_blocks,
                    exact_blocks, id_blocks, nvalid, starts, *, mesh: Mesh,
-                   has_scales: bool, has_exact: bool):
+                   has_scales: bool, has_exact: bool,
+                   i4_block: int | None = None):
     """Each shard blend-writes its first nvalid[s] block rows at its own
     row offset; rows past nvalid[s] (block padding) leave the buffer
-    untouched, so a full shard participates as a no-op."""
+    untouched, so a full shard participates as a no-op. i4 row blocks
+    arrive as biased nibble VALUES and repack into the shard-local
+    row-block layout inside the write (ops/quant.blend_rows_i4)."""
 
     def local(codes_blk, scales_blk, exact_blk, ids_blk, rows, scs, exs,
               uids, nv, start):
-        cap = codes_blk.shape[1]
+        cap = ids_blk.shape[1]   # LOGICAL rows (i4 codes pack 2/row)
         mr = rows.shape[1]
         s = jnp.minimum(start[0], cap - mr)  # caller guarantees mr <= cap
         shift = start[0] - s
         iota = jnp.arange(mr, dtype=jnp.int32)
         mask = (iota >= shift) & (iota < shift + nv[0])
-        codes_out = _blend_write(codes_blk, rows, shift, s, mask)
+        if i4_block is not None:
+            from dawnsearch_tpu.ops.quant import blend_rows_i4
+            codes_out = blend_rows_i4(codes_blk[0], rows[0], shift, s,
+                                      mask, i4_block)[None]
+        else:
+            codes_out = _blend_write(codes_blk, rows, shift, s, mask)
         ids_out = _blend_write(ids_blk, uids, shift, s, mask)
         scales_out = (_blend_write(scales_blk, scs, shift, s, mask)
                       if has_scales else scales_blk)
@@ -202,9 +211,21 @@ class ShardedFlatIndex:
         jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8,
                "i4": jnp.uint8}[dtype]
         S, cap = self.n_shards, self.cap_per_shard
-        width = dim // 2 if dtype == "i4" else dim  # i4: packed nibbles
+        if dtype == "i4":
+            # row-block nibble packing, (S, cap/2, dim) — lane dim a
+            # 128-multiple so XLA never pads/copies (ops/quant.py)
+            from dawnsearch_tpu.ops.quant import i4_block_for
+            self._i4_block = i4_block_for(segment)
+            if chunk % self._i4_block != 0:
+                raise ValueError(
+                    f"i4 chunked scan needs chunk % block == 0, got "
+                    f"chunk={chunk} block={self._i4_block}")
+            rows = cap // 2
+        else:
+            self._i4_block = None
+            rows = cap
         self._codes = jax.device_put(
-            jnp.zeros((S, cap, width), jdt), self._shard3)
+            jnp.zeros((S, rows, dim), jdt), self._shard3)
         self._scales = (jax.device_put(jnp.ones((S, cap), jnp.float32),
                                        self._shard2)
                         if dtype in ("i8", "i4")
@@ -272,8 +293,10 @@ class ShardedFlatIndex:
         if new_cap <= self.cap_per_shard:
             raise IndexFull("sharded index full")
         pad = new_cap - self.cap_per_shard
+        pad_codes = pad // 2 if self.dtype == "i4" else pad
         self._codes = jax.device_put(
-            jnp.pad(self._codes, ((0, 0), (0, pad), (0, 0))), self._shard3)
+            jnp.pad(self._codes, ((0, 0), (0, pad_codes), (0, 0))),
+            self._shard3)
         if self.dtype in ("i8", "i4"):
             self._scales = jax.device_put(
                 jnp.pad(self._scales, ((0, 0), (0, pad)), constant_values=1.0),
@@ -359,10 +382,12 @@ class ShardedFlatIndex:
             scs = np.maximum(absmax, 1e-12) / 127.0
             data = np.clip(np.round(rows / scs[:, None]), -127, 127)
         elif self.dtype == "i4":
-            from dawnsearch_tpu.ops.quant import quantize_i4_np
-            data, scs = quantize_i4_np(rows)  # packed (n, D/2) uint8
-        width = D // 2 if self.dtype == "i4" else D
-        row_blocks = np.zeros((S, max_rows, width), np.float32)
+            from dawnsearch_tpu.ops.quant import quantize_i4_vals_np
+            # biased nibble VALUES (n, D); the row-block packing is
+            # position-dependent and happens device-side in the blend
+            # write (ops/quant.blend_rows_i4)
+            data, scs = quantize_i4_vals_np(rows)
+        row_blocks = np.zeros((S, max_rows, D), np.float32)
         scale_blocks = np.ones((S, max_rows), np.float32)
         exact_blocks = (np.zeros((S, max_rows, D), np.float16)
                         if self.exact else None)
@@ -396,6 +421,7 @@ class ShardedFlatIndex:
             jax.device_put(jnp.asarray(starts), self._shard1),
             mesh=self.mesh, has_scales=has_scales,
             has_exact=self.exact is not None,
+            i4_block=self._i4_block,
         )
         for s in range(S):
             self._counts[s] += len(per_shard[s])
@@ -431,9 +457,11 @@ class ShardedFlatIndex:
                 q = jnp.pad(q, ((0, padded_b - q.shape[0]), (0, 0)))
         kf = self.device_fetch_width(k_local) if self.exact else k_local
         from dawnsearch_tpu.ops import scan_select
-        fused_sel = scan_select.eligible(
+        fused_sel = (scan_select.eligible(
             int(self._counts.min()), self.cap_per_shard, self.dim,
             self.dtype, min_rows=self.fused_min_rows)
+            and (self.dtype != "i4"
+                 or self._i4_block == scan_select.DEFAULT_TN))
         d, u = _sharded_search(
             self._codes, self._scales, self._exact, self._ids,
             jnp.asarray(self._counts, jnp.int32), q,
@@ -441,7 +469,7 @@ class ShardedFlatIndex:
             has_scales=self.dtype in ("i8", "i4"),
             has_exact=self.exact is not None,
             approx=self.dtype != "f32", dp_axis=self.dp_axis,
-            fused_sel=fused_sel)
+            fused_sel=fused_sel, i4_block=self._i4_block)
         return d, u, B, k_local, single
 
     @staticmethod
@@ -475,6 +503,7 @@ class ShardedFlatIndex:
         dtype, dim, has_scales = self.dtype, self.dim, (
             self.dtype in ("i8", "i4"))
         has_exact = self.exact is not None
+        i4_block = self._i4_block
 
         def write(path: str) -> None:
             _atomic_savez(
@@ -489,6 +518,9 @@ class ShardedFlatIndex:
                 next_id=next_id,
                 dtype=dtype,
                 dim=dim,
+                # absent key = pre-round-4 dim-plane i4 layout
+                # (migrated on load; see ops/quant.py header)
+                i4_block=(i4_block or 0),
             )
         return write
 
@@ -499,20 +531,40 @@ class ShardedFlatIndex:
         is fine as long as it divides the saved shard count evenly (rows
         are re-striped); otherwise rows are re-added through add()."""
         with np.load(path, allow_pickle=False) as z:
-            codes = z["codes"]  # (S0, cap, D)
+            codes = z["codes"]  # (S0, cap, D); i4: (S0, cap/2, D)
             scales = z["scales"]
             exact = z["exact"] if "exact" in z.files else np.empty(0)
             ids = z["ids"]
             counts = z["counts"].astype(np.int64)
             dtype = str(z["dtype"])
-            dim = int(z["dim"])  # logical dim (i4 codes store dim/2 bytes)
+            dim = int(z["dim"])  # logical dim
             next_id = int(z["next_id"])
+            snap_block = int(z["i4_block"]) if "i4_block" in z.files else 0
         has_exact = exact.size > 0
-        S0, cap0 = codes.shape[:2]
+        S0 = codes.shape[0]
+        # logical per-shard capacity: new-format i4 packs 2 rows/stored
+        # row; legacy dim-plane i4 (absent i4_block key) stored (cap,
+        # D/2) — migrate below
+        legacy_i4 = dtype == "i4" and snap_block == 0
+        cap0 = codes.shape[1] if (dtype != "i4" or legacy_i4) \
+            else codes.shape[1] * 2
         kwargs.setdefault("segment", cap0)  # preserve saved capacity
         kwargs.setdefault("exact", "f16" if has_exact else None)
         idx = cls(mesh=mesh, dim=dim, dtype=dtype,
                   capacity_per_shard=cap0, **kwargs)
+        if dtype == "i4" and (legacy_i4 or snap_block != idx._i4_block):
+            # repack every shard into idx's row-block layout
+            from dawnsearch_tpu.ops.quant import pack_i4_np, unpack_i4_np
+            if legacy_i4:
+                vals = np.concatenate(
+                    [codes & 0xF, codes >> 4], axis=-1).astype(np.uint8)
+            else:
+                vals = (unpack_i4_np(
+                            codes.reshape(-1, dim), snap_block)
+                        .astype(np.int16) + 8).astype(np.uint8).reshape(
+                            S0, cap0, dim)
+            codes = pack_i4_np(vals.reshape(-1, dim), idx._i4_block
+                               ).reshape(S0, cap0 // 2, dim)
         if idx.n_shards == S0:
             idx._codes = jax.device_put(
                 jnp.asarray(codes, idx._codes.dtype), idx._shard3)
@@ -528,8 +580,10 @@ class ShardedFlatIndex:
                 # re-rank buffer (round-2 advisor; see FlatIndex.load)
                 if dtype == "i4":
                     from dawnsearch_tpu.ops.quant import unpack_i4_np
+                    # blocks never straddle shard boundaries (block
+                    # divides cap_per_shard), so a flat unpack is safe
                     deq = (unpack_i4_np(
-                               codes.reshape(-1, codes.shape[2])
+                               codes.reshape(-1, dim), idx._i4_block
                            ).astype(np.float32).reshape(S0, cap0, dim)
                            * scales[:, :, None])
                 else:
@@ -550,7 +604,8 @@ class ShardedFlatIndex:
                     rows = exact[s, :n].astype(np.float32)
                 elif dtype == "i4":
                     from dawnsearch_tpu.ops.quant import unpack_i4_np
-                    rows = (unpack_i4_np(codes[s, :n]).astype(np.float32)
+                    rows = (unpack_i4_np(codes[s], idx._i4_block)
+                            [:n].astype(np.float32)
                             * scales[s, :n, None])
                 else:
                     rows = codes[s, :n].astype(np.float32)

@@ -28,10 +28,11 @@ from dawnsearch_tpu.utils.logging import METRICS
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mask_padding", "include_padding", "k", "chunk",
-                     "approx", "kf", "fused_sel"))
+                     "approx", "kf", "fused_sel", "i4_block"))
 def _fused_program(params, input_ids, mask, codes, scales, count, *,
                    cfg, mask_padding, include_padding, k, chunk, approx,
-                   kf=None, exact=None, fused_sel=False):
+                   kf=None, exact=None, fused_sel=False,
+                   i4_block: int | None = None):
     emb = encode_batch(params, input_ids, mask, cfg=cfg,
                        mask_padding=mask_padding,
                        include_padding=include_padding)
@@ -40,7 +41,7 @@ def _fused_program(params, input_ids, mask, codes, scales, count, *,
         d, i = search_select(codes, scales, emb, count, kf or k)
     else:
         d, i = search_kernel(codes, scales, emb, count, kf or k, chunk,
-                             approx=approx)
+                             approx=approx, i4_block=i4_block)
     if exact is not None:  # device-side f16 re-rank, same program
         d, i = rerank_kernel(exact, emb, d, i, k)
     return emb, d, i
@@ -76,9 +77,11 @@ class FusedQueryPath:
                   or (ix.selector == "auto" and ix.dtype != "f32"))
         kf = ix.device_fetch_width(k_eff) if ix.device_rerank else None
         from dawnsearch_tpu.ops import scan_select
-        fused_sel = scan_select.eligible(ix.count, ix.capacity, ix.dim,
-                                         ix.dtype, ix.selector,
-                                         ix.fused_min_rows)
+        fused_sel = (scan_select.eligible(ix.count, ix.capacity, ix.dim,
+                                          ix.dtype, ix.selector,
+                                          ix.fused_min_rows)
+                     and (ix.dtype != "i4"
+                          or ix._i4_block == scan_select.DEFAULT_TN))
         with METRICS.timer("fused_query_dispatch"):
             emb, d, i = _fused_program(
                 enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
@@ -86,7 +89,8 @@ class FusedQueryPath:
                 cfg=enc.cfg, mask_padding=enc.mask_padding,
                 include_padding=enc.include_padding_in_pool,
                 k=k_eff, chunk=ix.chunk, approx=approx,
-                kf=kf, exact=ix._exact, fused_sel=fused_sel)
+                kf=kf, exact=ix._exact, fused_sel=fused_sel,
+                i4_block=ix._i4_block)
         return emb, d, i, k_eff
 
     @staticmethod
@@ -110,21 +114,33 @@ class FusedQueryPath:
 
 def _quantize_rows(emb, qdtype: str):
     """In-program storage quantizer for the fused ingest paths: i8
-    (index/flat.py) or packed i4 (ops/quant.py dim-plane nibbles)."""
+    (index/flat.py) or i4 biased nibble VALUES (ops/quant.py — the
+    row-block packing is position-dependent and happens at the write,
+    write_rows_i4 / blend_rows_i4)."""
     if qdtype == "i4":
-        from dawnsearch_tpu.ops.quant import quantize_i4
-        return quantize_i4(emb)
+        from dawnsearch_tpu.ops.quant import quantize_i4_vals
+        return quantize_i4_vals(emb)
     from dawnsearch_tpu.index.flat import _quantize_rows_i8
     return _quantize_rows_i8(emb)
 
 
+def _write_codes(codes, qcodes, count, qdtype: str, i4_block):
+    """dynamic_update_slice for i8/bf16 codes; the row-block
+    read-modify-write for i4 (ops/quant.write_rows_i4, traced count)."""
+    if qdtype == "i4":
+        from dawnsearch_tpu.ops.quant import write_rows_i4
+        return write_rows_i4(codes, qcodes, count, i4_block)
+    return jax.lax.dynamic_update_slice(codes, qcodes, (count, 0))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mask_padding", "include_padding", "qdtype"),
+    static_argnames=("cfg", "mask_padding", "include_padding", "qdtype",
+                     "i4_block"),
     donate_argnums=(3, 4))
 def _fused_ingest_program(params, input_ids, mask, codes, scales, count, *,
                           cfg, mask_padding, include_padding,
-                          qdtype: str = "i8"):
+                          qdtype: str = "i8", i4_block: int | None = None):
     """encode -> i8/i4 quantize -> write into the (donated) index buffers
     at row offset `count`. Rows beyond the caller's valid n are scratch:
     they sit past `count + n`, are masked out of every search, and the
@@ -133,24 +149,26 @@ def _fused_ingest_program(params, input_ids, mask, codes, scales, count, *,
                        mask_padding=mask_padding,
                        include_padding=include_padding)
     qcodes, qscales = _quantize_rows(emb, qdtype)
-    codes = jax.lax.dynamic_update_slice(codes, qcodes, (count, 0))
+    codes = _write_codes(codes, qcodes, count, qdtype, i4_block)
     scales = jax.lax.dynamic_update_slice(scales, qscales, (count,))
     return codes, scales, emb
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mask_padding", "include_padding", "qdtype"),
+    static_argnames=("cfg", "mask_padding", "include_padding", "qdtype",
+                     "i4_block"),
     donate_argnums=(3, 4, 5))
 def _fused_ingest_program_exact(params, input_ids, mask, codes, scales,
                                 exact, count, *, cfg, mask_padding,
-                                include_padding, qdtype: str = "i8"):
+                                include_padding, qdtype: str = "i8",
+                                i4_block: int | None = None):
     """_fused_ingest_program + the f16 shadow write (device re-rank)."""
     emb = encode_batch(params, input_ids, mask, cfg=cfg,
                        mask_padding=mask_padding,
                        include_padding=include_padding)
     qcodes, qscales = _quantize_rows(emb, qdtype)
-    codes = jax.lax.dynamic_update_slice(codes, qcodes, (count, 0))
+    codes = _write_codes(codes, qcodes, count, qdtype, i4_block)
     scales = jax.lax.dynamic_update_slice(scales, qscales, (count,))
     exact = jax.lax.dynamic_update_slice(
         exact, emb.astype(jnp.float16), (count, 0))
@@ -174,13 +192,14 @@ def _chunk_by_bucket(ingest_fn, encoder, texts, token_ids):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cfg", "mask_padding", "include_padding",
-                     "has_exact", "qdtype"),
+                     "has_exact", "qdtype", "i4_block"),
     donate_argnums=(3, 4, 5, 6))
 def _sharded_fused_ingest_program(params, input_ids, mask, codes, scales,
                                   exact, idsbuf, sel, uids, nvalid, starts,
                                   *, mesh, cfg, mask_padding,
                                   include_padding, has_exact,
-                                  qdtype: str = "i8"):
+                                  qdtype: str = "i8",
+                                  i4_block: int | None = None):
     """encode -> i8 quantize -> every shard blend-writes its slice at
     its own offset, ONE program over the mesh. The per-shard row
     assignment (`sel`, from ShardedFlatIndex._plan_insert) is
@@ -202,14 +221,19 @@ def _sharded_fused_ingest_program(params, input_ids, mask, codes, scales,
 
     def local(codes_blk, scales_blk, exact_blk, ids_blk, sel_blk, uid_blk,
               nv, start, qc, qs, fx):
-        cap = codes_blk.shape[1]
+        cap = ids_blk.shape[1]   # LOGICAL rows (i4 codes pack 2/row)
         idx = sel_blk[0]                              # (maxb,)
         mr = idx.shape[0]
         s = jnp.minimum(start[0], cap - mr)
         shift = start[0] - s
         iota = jnp.arange(mr, dtype=jnp.int32)
         m = (iota >= shift) & (iota < shift + nv[0])
-        codes_out = _blend_write(codes_blk, qc[idx][None], shift, s, m)
+        if qdtype == "i4":
+            from dawnsearch_tpu.ops.quant import blend_rows_i4
+            codes_out = blend_rows_i4(codes_blk[0], qc[idx], shift, s, m,
+                                      i4_block)[None]
+        else:
+            codes_out = _blend_write(codes_blk, qc[idx][None], shift, s, m)
         scales_out = _blend_write(scales_blk, qs[idx][None], shift, s, m)
         ids_out = _blend_write(ids_blk, uid_blk, shift, s, m)
         if has_exact:
@@ -294,7 +318,8 @@ class ShardedFusedIngestPath:
                     mesh=ix.mesh, cfg=enc.cfg,
                     mask_padding=enc.mask_padding,
                     include_padding=enc.include_padding_in_pool,
-                    has_exact=ix.exact is not None, qdtype=ix.dtype)
+                    has_exact=ix.exact is not None, qdtype=ix.dtype,
+                    i4_block=getattr(ix, "_i4_block", None))
         for s in range(S):
             ix._counts[s] += len(per_shard[s])
         ix._next_id = int(uids[-1]) + 1
@@ -371,14 +396,14 @@ class FusedIngestPath:
                         ix._exact, jnp.int32(ix.count),
                         cfg=enc.cfg, mask_padding=enc.mask_padding,
                         include_padding=enc.include_padding_in_pool,
-                        qdtype=ix.dtype)
+                        qdtype=ix.dtype, i4_block=ix._i4_block)
             else:
                 ix._codes, ix._scales, emb = _fused_ingest_program(
                     enc.params, jnp.asarray(input_ids), jnp.asarray(mask),
                     ix._codes, ix._scales, jnp.int32(ix.count),
                     cfg=enc.cfg, mask_padding=enc.mask_padding,
                     include_padding=enc.include_padding_in_pool,
-                    qdtype=ix.dtype)
+                    qdtype=ix.dtype, i4_block=ix._i4_block)
         ix.count += n
         return emb
 

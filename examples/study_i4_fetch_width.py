@@ -21,7 +21,7 @@ import sys
 
 import numpy as np
 
-from dawnsearch_tpu.ops.quant import quantize_i4_np, unpack_i4_np
+from dawnsearch_tpu.ops.quant import quantize_i4_vals_np
 
 D, K = 384, 10
 WIDTHS = (40, 64, 128, 256, 512)
@@ -59,8 +59,8 @@ def main() -> None:
     c8 = np.clip(np.rint(X / s8[:, None]), -127, 127).astype(np.int8)
     recall_study(X, qs, exact, c8.astype(np.float32) * s8[:, None], "i8")
 
-    p4, s4 = quantize_i4_np(X)
-    u4 = unpack_i4_np(p4).astype(np.float32) * s4[:, None]
+    v4, s4 = quantize_i4_vals_np(X)
+    u4 = (v4.astype(np.float32) - 8.0) * s4[:, None]
     recall_study(X, qs, exact, u4, "i4")
 
 

@@ -1,6 +1,6 @@
 """i4 capacity tier: nibble packing, FlatIndex paths, fused kernel.
 
-The i4 tier halves storage vs i8 (0.5 byte/dim, dim-plane packed —
+The i4 tier halves storage vs i8 (0.5 byte/dim, row-block packed —
 ops/quant.py) to ~double the single-chip row envelope; recall is
 coarser than i8, so the serving contract is overfetch + exact re-rank
 (the provider's existing host f32 re-rank engages automatically:
@@ -16,7 +16,8 @@ import pytest
 
 from dawnsearch_tpu.index.flat import FlatIndex
 from dawnsearch_tpu.ops.quant import (
-    quantize_i4, quantize_i4_np, unpack_i4, unpack_i4_np)
+    blend_rows_i4, pack_i4_np, quantize_i4_vals, quantize_i4_vals_np,
+    unpack_i4, unpack_i4_np, write_rows_i4)
 
 
 def brute_force(q, x, k):
@@ -30,11 +31,15 @@ def brute_force(q, x, k):
 
 def test_i4_pack_roundtrip(unit_vectors):
     x = unit_vectors(64)
-    packed, scales = quantize_i4_np(x)
-    assert packed.shape == (64, 192) and packed.dtype == np.uint8
-    codes = unpack_i4_np(packed)
+    vals, scales = quantize_i4_vals_np(x)
+    assert vals.shape == (64, 384) and vals.dtype == np.uint8
+    assert vals.min() >= 1 and vals.max() <= 15
+    packed = pack_i4_np(vals, block=64)
+    assert packed.shape == (32, 384) and packed.dtype == np.uint8
+    codes = unpack_i4_np(packed, block=64)
     assert codes.shape == (64, 384) and codes.dtype == np.int8
     assert codes.min() >= -7 and codes.max() <= 7
+    np.testing.assert_array_equal(codes, vals.astype(np.int8) - 8)
     # reconstruction error bounded by half a step per element
     recon = codes.astype(np.float32) * scales[:, None]
     step = scales[:, None]
@@ -43,32 +48,81 @@ def test_i4_pack_roundtrip(unit_vectors):
     assert np.all(np.abs(codes).max(axis=1) == 7)
 
 
-def test_i4_plane_layout(unit_vectors):
-    """Byte j holds dim j (low nibble) and dim D/2+j (high nibble) —
-    the layout the fused kernel's two-matmul split depends on."""
-    x = unit_vectors(8)
-    packed, scales = quantize_i4_np(x)
-    codes = unpack_i4_np(packed)
-    lo = (packed & 0xF).astype(np.int8) - 8
-    hi = (packed >> 4).astype(np.int8) - 8
-    np.testing.assert_array_equal(codes[:, :192], lo)
-    np.testing.assert_array_equal(codes[:, 192:], hi)
+def test_i4_row_block_layout(unit_vectors):
+    """Within a packing block of T logical rows, packed row p holds row
+    p in the LOW nibble and row p + T/2 in the HIGH nibble — the layout
+    whose lane dim stays D (a 128-multiple), so XLA never pads/copies
+    the codes (ops/quant.py header; the round-4 redesign)."""
+    x = unit_vectors(32)
+    vals, _ = quantize_i4_vals_np(x)
+    packed = pack_i4_np(vals, block=16)  # 2 blocks of 16 rows
+    for b in range(2):
+        for p in range(8):
+            np.testing.assert_array_equal(
+                packed[b * 8 + p] & 0xF, vals[b * 16 + p])
+            np.testing.assert_array_equal(
+                packed[b * 8 + p] >> 4, vals[b * 16 + 8 + p])
 
 
 def test_i4_device_matches_host(unit_vectors):
     x = unit_vectors(32)
-    hp, hs = quantize_i4_np(x)
-    dp, ds = quantize_i4(x)
-    np.testing.assert_array_equal(hp, np.asarray(dp))
+    hv, hs = quantize_i4_vals_np(x)
+    dv, ds = quantize_i4_vals(x)
+    np.testing.assert_array_equal(hv, np.asarray(dv))
     np.testing.assert_allclose(hs, np.asarray(ds), rtol=1e-6)
-    np.testing.assert_array_equal(unpack_i4_np(hp), np.asarray(unpack_i4(dp)))
+    # jnp unpack agrees with the numpy twin on the same packed buffer
+    import jax.numpy as jnp
+    packed = pack_i4_np(hv, block=32)
+    np.testing.assert_array_equal(
+        unpack_i4_np(packed, block=32),
+        np.asarray(unpack_i4(jnp.asarray(packed), block=32)))
 
 
 def test_i4_odd_dim_rejected():
     with pytest.raises(ValueError, match="even dim"):
-        quantize_i4_np(np.ones((2, 383), np.float32))
+        quantize_i4_vals_np(np.ones((2, 383), np.float32))
     with pytest.raises(ValueError, match="even dim"):
         FlatIndex(dim=383, dtype="i4")
+
+
+def test_i4_write_rows_partial_blocks(unit_vectors):
+    """write_rows_i4: appends at arbitrary (unaligned) offsets land the
+    right nibbles without disturbing earlier rows — the read-modify-
+    write shared by FlatIndex.add and the fused ingest programs."""
+    import jax.numpy as jnp
+    block = 16
+    cap = 64
+    buf = jnp.zeros((cap // 2, 384), jnp.uint8)
+    x = unit_vectors(cap)
+    vals, _ = quantize_i4_vals_np(x)
+    # append in awkward run lengths crossing half-block boundaries
+    start = 0
+    for n in (3, 9, 17, 5, 30):
+        buf = write_rows_i4(buf, jnp.asarray(vals[start:start + n]),
+                            start, block)
+        start += n
+    got = unpack_i4_np(np.asarray(buf), block=block)
+    np.testing.assert_array_equal(got, vals.astype(np.int16) - 8)
+
+
+def test_i4_blend_rows_matches_write(unit_vectors):
+    """blend_rows_i4 with a full-true mask and zero shift == a plain
+    write; masked-off rows keep old contents (the sharded no-op-shard
+    contract)."""
+    import jax.numpy as jnp
+    block = 16
+    buf = jnp.zeros((32, 384), jnp.uint8)  # 64 logical rows
+    x = unit_vectors(24)
+    vals, _ = quantize_i4_vals_np(x)
+    mask = jnp.ones((24,), bool)
+    buf = blend_rows_i4(buf, jnp.asarray(vals), 0, 5, mask, block)
+    got = unpack_i4_np(np.asarray(buf), block=block)
+    np.testing.assert_array_equal(got[5:29], vals.astype(np.int16) - 8)
+    # all-false mask: a no-op write leaves the buffer untouched
+    other, _ = quantize_i4_vals_np(unit_vectors(24))
+    buf2 = blend_rows_i4(buf, jnp.asarray(other), 0, 5,
+                         jnp.zeros((24,), bool), block)
+    np.testing.assert_array_equal(np.asarray(buf2), np.asarray(buf))
 
 
 # -- FlatIndex XLA path ---------------------------------------------------
@@ -81,7 +135,7 @@ def test_i4_index_recall_small(unit_vectors):
     q = x[:16]  # self-queries: exact match must dominate
     idx = FlatIndex(dtype="i4", capacity=2048)
     idx.add(x)
-    assert idx._codes.shape == (idx.capacity, 192)  # packed width D/2
+    assert idx._codes.shape == (idx.capacity // 2, 384)  # 2 rows/byte-row
     d, i = idx.search(q, 10)
     assert (i[:, 0] == np.arange(16)).mean() >= 0.9
     fresh = unit_vectors(8)
@@ -286,7 +340,8 @@ def test_i4_fused_ingest_flat(mini_encoder):
         ids = svc.insert_pages(pages)
         assert all(i is not None for i in ids)
         assert provider.index.dtype == "i4"
-        assert provider.index._codes.shape[1] == 32  # packed 64/2
+        # 2 logical rows per stored byte-row, lane dim = full D
+        assert provider.index._codes.shape[1] == 64
         res = svc.text_search("t\n" + pages[3][2], search_remote=False)
         assert res.pages[0].page_id == ids[3]
     finally:
@@ -330,7 +385,7 @@ def test_sharded_i4_end_to_end(unit_vectors):
     q = unit_vectors(6)
     ix = ShardedFlatIndex(mesh=mesh, dtype="i4", capacity_per_shard=256,
                           segment=256, exact="f16", rerank_extra=50)
-    assert ix._codes.shape == (8, 256, 192)
+    assert ix._codes.shape == (8, 128, 384)
     ids = ix.add(x)
     np.testing.assert_array_equal(ids, np.arange(1000))
     d, u = ix.search(q, 10)
@@ -404,6 +459,43 @@ def test_sharded_i4_no_shadow_restripe(unit_vectors):
 
 
 # -- provider integration --------------------------------------------------
+
+
+def test_i4_legacy_dimplane_snapshot_migrates(tmp_path, unit_vectors):
+    """Pre-round-4 snapshots stored per-row dim-plane nibbles
+    ((cap, D/2), no i4_block key); load migrates them into the
+    row-block layout and searches still self-hit."""
+    x = unit_vectors(300)
+    vals, scales = quantize_i4_vals_np(x)
+    # old layout: byte j = dims j | D/2+j << 4, one packed row per row
+    old = (vals[:, :192] | (vals[:, 192:] << 4)).astype(np.uint8)
+    cap = 512
+    old = np.pad(old, ((0, cap - 300), (0, 0)))
+    p = os.path.join(tmp_path, "legacy.npz")
+    np.savez(p, codes=old,
+             scales=np.pad(scales, (0, cap - 300), constant_values=1.0),
+             exact=np.empty(0), count=300, dtype="i4", dim=384)
+    idx = FlatIndex.load(p)
+    assert idx.dtype == "i4" and len(idx) == 300
+    assert idx._codes.shape == (idx.capacity // 2, 384)
+    d, i = idx.search(x[:8], 5)
+    assert (i[:, 0] == np.arange(8)).all()
+    # saving again writes the new layout (i4_block key present)
+    p2 = os.path.join(tmp_path, "new.npz")
+    idx.save(p2)
+    with np.load(p2) as z:
+        assert int(z["i4_block"]) == idx._i4_block
+    idx2 = FlatIndex.load(p2)
+    d2, i2 = idx2.search(x[:8], 5)
+    np.testing.assert_array_equal(i, i2)
+
+
+def test_i4_misaligned_chunk_rejected():
+    """An i4 segment that neither aligns to the fused tile nor divides
+    the scan chunk would break whole-block chunking — refused at
+    construction with an actionable message."""
+    with pytest.raises(ValueError, match="chunk % block"):
+        FlatIndex(dtype="i4", capacity=192, segment=96, chunk=65536)
 
 
 def test_i4_fetch_width_ladder():
