@@ -94,8 +94,10 @@ def build_1m_index(n_rows: int = 1_000_000):
     index = FlatIndex(dtype="i8", capacity=cap, max_capacity=n_rows,
                       segment=cap)
     t0 = time.perf_counter()
-    for _, v in corpus_blocks(n_rows):
-        index.add(v)
+    # pipelined bulk add: corpus synthesis + host quantization overlap
+    # the device transfers/writes (FlatIndex.add_stream — round-3
+    # VERDICT item 8: the 1M build was transfer-bound at 24.6 s)
+    index.add_stream(v for _, v in corpus_blocks(n_rows))
     return index, time.perf_counter() - t0
 
 

@@ -410,30 +410,26 @@ class FlatIndex:
             self._exact = jnp.pad(self._exact, ((0, pad), (0, 0)))
         self.capacity = new_cap
 
-    def add(self, vectors: np.ndarray | jax.Array) -> np.ndarray:
-        """Append rows; returns their assigned row ids.
-
-        numpy i8 inputs quantize on the HOST so only int8 codes cross
-        the host->device link (4x less transfer — index build is
-        transfer-bound); device-resident inputs quantize on device."""
+    def _prepare(self, vectors: np.ndarray | jax.Array):
+        """Stage 1 of add(): dtype-specific quantization + host->device
+        transfer. Touches NO index state, so it is safe to run on a
+        prefetch thread while the main thread commits earlier blocks
+        (add_stream). numpy i8/i4 inputs quantize on the HOST so only
+        packed codes cross the host->device link (4x/8x less transfer —
+        index build is transfer-bound); device inputs quantize on device.
+        Returns (n, codes, scales|None, f16|None)."""
         n = np.shape(vectors)[0] if np.ndim(vectors) > 1 else 1
         if n == 0:
-            return np.empty((0,), np.int64)
-        if self.count + n > self.capacity:
-            self._grow_to(self.count + n)
-        start = jnp.int32(self.count)
+            return 0, None, None, None
         if self.dtype == "i4":
             from dawnsearch_tpu.ops.quant import (quantize_i4_vals,
                                                   quantize_i4_vals_np)
             if isinstance(vectors, np.ndarray):
                 vals, scales = quantize_i4_vals_np(vectors)
-                vals, scales = jnp.asarray(vals), jnp.asarray(scales)
+                codes, scales = jnp.asarray(vals), jnp.asarray(scales)
             else:
                 rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
-                vals, scales = quantize_i4_vals(rows)
-            self._codes = _write_rows_i4(self._codes, vals, start,
-                                         block=self._i4_block)
-            self._scales = _write_scales(self._scales, scales, start)
+                codes, scales = quantize_i4_vals(rows)
         elif self.dtype == "i8":
             if isinstance(vectors, np.ndarray):
                 rows = np.atleast_2d(np.asarray(vectors, np.float32))
@@ -446,12 +442,11 @@ class FlatIndex:
             else:
                 rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
                 codes, scales = _quantize_rows_i8(rows)
-            self._codes = _write_rows(self._codes, codes, start)
-            self._scales = _write_scales(self._scales, scales, start)
         else:
             rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
             jdt = jnp.float32 if self.dtype == "f32" else jnp.bfloat16
-            self._codes = _write_rows(self._codes, rows.astype(jdt), start)
+            codes, scales = rows.astype(jdt), None
+        f16 = None
         if self._exact is not None:
             # host inputs convert on host (f16 halves the extra transfer
             # vs f32); device inputs cast on device.
@@ -461,10 +456,78 @@ class FlatIndex:
             else:
                 f16 = jnp.atleast_2d(
                     jnp.asarray(vectors)).astype(jnp.float16)
+        return n, codes, scales, f16
+
+    def _commit(self, prepared) -> np.ndarray:
+        """Stage 2 of add(): grow + donating device writes + count
+        bookkeeping. Mutates index state — main/owner thread only."""
+        n, codes, scales, f16 = prepared
+        if n == 0:
+            return np.empty((0,), np.int64)
+        if self.count + n > self.capacity:
+            self._grow_to(self.count + n)
+        start = jnp.int32(self.count)
+        if self.dtype == "i4":
+            self._codes = _write_rows_i4(self._codes, codes, start,
+                                         block=self._i4_block)
+        else:
+            self._codes = _write_rows(self._codes, codes, start)
+        if scales is not None:
+            self._scales = _write_scales(self._scales, scales, start)
+        if f16 is not None:
             self._exact = _write_rows(self._exact, f16, start)
         ids = np.arange(self.count, self.count + n, dtype=np.int64)
         self.count += n
         return ids
+
+    def add(self, vectors: np.ndarray | jax.Array) -> np.ndarray:
+        """Append rows; returns their assigned row ids."""
+        return self._commit(self._prepare(vectors))
+
+    def add_stream(self, blocks, prefetch: int = 2) -> np.ndarray:
+        """Pipelined bulk append: quantize + host->device transfer of
+        block k+1 (a prefetch thread) overlaps the donating device
+        writes of block k (this thread). Bulk index build is
+        transfer-bound (doc/performance.md "index build"), so hiding
+        host quantization + corpus generation behind the link roughly
+        halves build wall-clock — the reference's equivalent pain point
+        is the startup fill progress bar (search_provider.rs:127-153).
+
+        `blocks` is an iterable of (n, dim) arrays; consumed on the
+        prefetch thread, so generator-side host work (corpus synthesis,
+        ground-truth accumulation in benches) overlaps too. Returns the
+        concatenated row ids, identical to sequential add() calls."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        _END = object()
+
+        def produce() -> None:
+            try:
+                for v in blocks:
+                    q.put(self._prepare(v))
+            except BaseException as e:  # surface on the consumer side
+                q.put(e)
+                return
+            q.put(_END)
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="flatindex-add-prefetch")
+        t.start()
+        out = []
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                out.append(self._commit(item))
+        finally:
+            t.join(timeout=60)
+        return (np.concatenate(out) if out
+                else np.empty((0,), np.int64))
 
     def search(self, queries: np.ndarray | jax.Array, k: int
                ) -> tuple[np.ndarray, np.ndarray]:

@@ -101,15 +101,22 @@ def main() -> None:
     best_i = np.full((NQ, K), -1, np.int64)
     ix = FlatIndex(dtype=DTYPE, capacity=N, max_capacity=N, segment=N)
     t0 = time.perf_counter()
-    for s0, v in corpus_blocks(N, block=BLOCK):
-        ix.add(v)
-        dd = 1.0 - qs[:NQ] @ v.T
-        idx = np.argpartition(dd, K, axis=1)[:, :K]
-        cd = np.concatenate([best_d, np.take_along_axis(dd, idx, 1)], 1)
-        ci = np.concatenate([best_i, idx + s0], 1)
-        sel = np.argsort(cd, axis=1)[:, :K]
-        best_d = np.take_along_axis(cd, sel, 1)
-        best_i = np.take_along_axis(ci, sel, 1)
+
+    def blocks_with_truth():
+        # runs on add_stream's prefetch thread: corpus synthesis +
+        # exact-truth accumulation overlap the device transfers/writes
+        nonlocal best_d, best_i
+        for s0, v in corpus_blocks(N, block=BLOCK):
+            dd = 1.0 - qs[:NQ] @ v.T
+            idx = np.argpartition(dd, K, axis=1)[:, :K]
+            cd = np.concatenate([best_d, np.take_along_axis(dd, idx, 1)], 1)
+            ci = np.concatenate([best_i, idx + s0], 1)
+            sel = np.argsort(cd, axis=1)[:, :K]
+            best_d = np.take_along_axis(cd, sel, 1)
+            best_i = np.take_along_axis(ci, sel, 1)
+            yield v
+
+    ix.add_stream(blocks_with_truth())
     log({"step": "build", "rows": len(ix), "gb": round(ix.nbytes / 1e9, 2),
          "seconds": round(time.perf_counter() - t0, 1)})
 

@@ -414,3 +414,52 @@ def test_load_explicit_exact_none_drops_shadow(unit_vectors, tmp_path):
     assert not idx3.device_rerank and idx3._exact is None
     d, i = idx3.search(x[:4], 5)
     assert (i[:, 0] == np.arange(4)).all()
+
+
+@pytest.mark.parametrize("dtype,exact", [("i8", None), ("i8", "f16"),
+                                         ("i4", None), ("f32", None)])
+def test_add_stream_matches_sequential_add(unit_vectors, dtype, exact):
+    """add_stream (pipelined bulk path) must be bit-identical to a loop
+    of add() calls: same ids, same buffers, same search results —
+    including across a capacity growth boundary."""
+    if dtype == "f32" and exact:
+        pytest.skip("redundant combo")
+    x = unit_vectors(700)
+    blocks = [x[0:200], x[200:200], x[200:450], x[450:700]]  # incl. empty
+    a = FlatIndex(dtype=dtype, capacity=256, exact=exact)
+    b = FlatIndex(dtype=dtype, capacity=256, exact=exact)
+    ids_a = [a.add(blk) for blk in blocks]
+    ids_b = b.add_stream(iter(blocks))
+    np.testing.assert_array_equal(np.concatenate(ids_a), ids_b)
+    assert a.count == b.count == 700
+    np.testing.assert_array_equal(np.asarray(a._codes), np.asarray(b._codes))
+    if a._scales is not None:
+        np.testing.assert_array_equal(np.asarray(a._scales),
+                                      np.asarray(b._scales))
+    if a._exact is not None:
+        np.testing.assert_array_equal(np.asarray(a._exact),
+                                      np.asarray(b._exact))
+    q = unit_vectors(3)
+    da, ia = a.search(q, 5)
+    db, ib = b.search(q, 5)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db)
+
+
+def test_add_stream_propagates_generator_error(unit_vectors):
+    idx = FlatIndex(dtype="i8", capacity=256)
+
+    def gen():
+        yield unit_vectors(10)
+        raise RuntimeError("corpus source died")
+
+    with pytest.raises(RuntimeError, match="corpus source died"):
+        idx.add_stream(gen())
+    assert idx.count == 10  # the committed prefix is kept
+
+
+def test_add_stream_empty_iterable():
+    idx = FlatIndex(dtype="i8", capacity=256)
+    ids = idx.add_stream(iter([]))
+    assert ids.shape == (0,)
+    assert idx.count == 0
