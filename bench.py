@@ -258,6 +258,103 @@ def bench_e2e(index=None, n_rows: int = 1_000_000, batch: int = 256,
     return qps
 
 
+def bench_i4(n_rows: int = 2_097_152, batch: int = 1024, k: int = 10,
+             reps: int = 8) -> float:
+    """i4 capacity-tier point (0.5 byte/dim nibble-packed codes) for the
+    driver artifact: QPS at the serving fetch width + re-ranked recall
+    at 2M rows. The 32M/64M capacity-envelope acceptance runs live in
+    examples/bench_16m.py + doc/performance.md ("i4 capacity tier") —
+    too slow for the round-end bench; this point pins the tier's engine,
+    ladder width, and re-rank contract in BENCH_r*.json."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from dawnsearch_tpu.index.flat import FlatIndex, search_kernel
+    from dawnsearch_tpu.ops import scan_select
+    from dawnsearch_tpu.ops.quant import i4_fetch_width
+
+    nq = min(64, batch)
+    rng = np.random.default_rng(7)
+    qs = rng.standard_normal((batch, 384)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    cap = -(-n_rows // 16384) * 16384
+    index = FlatIndex(dtype="i4", capacity=cap, max_capacity=n_rows,
+                      segment=cap)
+    best_d = np.full((nq, k), np.inf)
+    best_i = np.full((nq, k), -1, np.int64)
+    corpus: dict[int, np.ndarray] = {}
+
+    def blocks_with_truth():
+        nonlocal best_d, best_i
+        for s0, v in corpus_blocks(n_rows):
+            corpus[s0] = v
+            dd = 1.0 - qs[:nq] @ v.T
+            kk = min(k, dd.shape[1])
+            idx = np.argpartition(dd, kk - 1, axis=1)[:, :kk]
+            cd = np.concatenate([best_d, np.take_along_axis(dd, idx, 1)], 1)
+            ci = np.concatenate([best_i, idx + s0], 1)
+            sel = np.argsort(cd, axis=1)[:, :k]
+            best_d = np.take_along_axis(cd, sel, 1)
+            best_i = np.take_along_axis(ci, sel, 1)
+            yield v
+
+    t0 = time.perf_counter()
+    index.add_stream(blocks_with_truth())
+    build_s = time.perf_counter() - t0
+
+    q = jnp.asarray(qs)
+    fused_sel = scan_select.eligible(index.count, index.capacity,
+                                     index.dim, index.dtype)
+    kf = min(i4_fetch_width(index.count, k), index.capacity)
+
+    @functools.partial(jax.jit, static_argnames=("k", "chunk", "reps",
+                                                 "fused_sel", "i4_block"))
+    def many(codes, scales, count, q, k, chunk, reps, fused_sel, i4_block):
+        def body(carry, _):
+            qq = q + carry * 1e-12  # data dependency, value-neutral
+            if fused_sel:
+                d, i = scan_select.search_select(codes, scales, qq, count, k)
+            else:
+                d, i = search_kernel(codes, scales, qq, count, k, chunk,
+                                     approx=True, i4_block=i4_block)
+            return d[:, :1], (d, i)
+        _, (d, i) = jax.lax.scan(
+            body, jnp.zeros((q.shape[0], 1), jnp.float32), None, length=reps)
+        return d[-1], i[-1]
+
+    args = (index._codes, index._scales, jnp.int32(index.count), q)
+    kw = dict(k=kf, chunk=index.chunk, reps=reps, fused_sel=fused_sel,
+              i4_block=index._i4_block)
+    np.asarray(many(*args, **kw)[0])  # compile + sync
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many(*args, **kw)[0][0, 0])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    qps = batch / best
+
+    # host f32 re-rank at the ladder width — the provider's serving path
+    ids = np.asarray(many(*args, **kw)[1])[:nq]
+    hits = []
+    for b in range(nq):
+        cand = ids[b][ids[b] >= 0]
+        vecs = np.stack(
+            [corpus[(c // CORPUS_BLOCK) * CORPUS_BLOCK][c % CORPUS_BLOCK]
+             for c in cand])
+        exact = 1.0 - qs[b] @ vecs.T
+        top = cand[np.argsort(exact, kind="stable")[:k]]
+        hits.append(len(set(top.tolist()) & set(best_i[b].tolist())) / k)
+    log({"metric": "i4_qps_2m", "value": round(qps, 1), "unit": "qps",
+         "rows": n_rows, "batch": batch, "k_fetch": kf,
+         "build_s": round(build_s, 1),
+         "index_mb": round(index.nbytes / 1e6, 1),
+         "per_batch_ms": round(1000 * best, 2),
+         "recall_rerank_at_10": round(float(np.mean(hits)), 4)})
+    return qps
+
+
 def bench_ingest(n_pages: int = 8192) -> float:
     """Full ingestion stack: WARC -> C++ extraction -> language filter ->
     C++ tokenization -> TPU batch embed -> index add (BASELINE.json
@@ -378,6 +475,10 @@ def main() -> None:
     except Exception as e:
         log({"metric": "e2e_query_qps_1m", "error": repr(e)})
     del index
+    try:
+        bench_i4()
+    except Exception as e:
+        log({"metric": "i4_qps_2m", "error": repr(e)})
     try:
         bench_ingest()
     except Exception as e:

@@ -27,3 +27,13 @@ def test_headline_json_contract(capsys):
     line = capsys.readouterr().err.strip()
     parsed = json.loads(line)
     assert parsed["metric"] == "x"
+
+
+def test_bench_i4_smoke(capsys):
+    qps = bench.bench_i4(n_rows=4096, batch=8, k=5, reps=2)
+    assert qps > 0
+    err = capsys.readouterr().err
+    metrics = [json.loads(l) for l in err.splitlines() if '"metric"' in l]
+    m = next(m for m in metrics if m["metric"] == "i4_qps_2m")
+    assert m["recall_rerank_at_10"] >= 0.9  # tiny corpus: re-rank ~exact
+    assert m["k_fetch"] >= 5
