@@ -302,3 +302,68 @@ def test_sharded_load_backfills_exact(mesh, unit_vectors, tmp_path):
     d, u = ix2.search(x[:8], 5)
     assert (u[:, 0] == np.arange(8)).all()
     assert np.all(d[:, 0] < 1e-2)  # NOT the all-zero shadow's 1.0
+
+
+def test_sharded_legacy_i4_snapshot_migrates(mesh, unit_vectors, tmp_path):
+    """Pre-round-4 sharded snapshots stored per-row dim-plane nibbles
+    ((S, cap, D/2), no i4_block key); load migrates every shard into
+    the row-block layout (the inline twin of FlatIndex's
+    migrate_i4_dimplane_np path) and searches still self-hit."""
+    import os
+
+    from dawnsearch_tpu.ops.quant import quantize_i4_vals_np
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    S, cap, n_per = 8, 64, 32
+    x = unit_vectors(S * n_per)
+    vals, scales = quantize_i4_vals_np(x)
+    codes = np.zeros((S, cap, 192), np.uint8)
+    sc = np.ones((S, cap), np.float32)
+    ids = np.full((S, cap), -1, np.int64)
+    for s in range(S):
+        v = vals[s * n_per:(s + 1) * n_per]
+        # old layout: byte j = dims j | D/2+j << 4, one packed row/row
+        codes[s, :n_per] = v[:, :192] | (v[:, 192:] << 4)
+        sc[s, :n_per] = scales[s * n_per:(s + 1) * n_per]
+        ids[s, :n_per] = np.arange(s * n_per, (s + 1) * n_per)
+    p = os.path.join(str(tmp_path), "legacy_sharded.npz")
+    np.savez(p, kind="sharded", codes=codes, scales=sc,
+             exact=np.empty(0), ids=ids,
+             counts=np.full(S, n_per, np.int64), next_id=S * n_per,
+             dtype="i4", dim=384)
+
+    idx = ShardedFlatIndex.load(p, mesh=mesh)
+    assert idx.dtype == "i4" and len(idx) == S * n_per
+    assert idx._codes.shape == (S, idx.cap_per_shard // 2, 384)
+    d, u = idx.search(x[:16], 5)
+    assert (u[:, 0] == np.arange(16)).all()
+    # re-saving writes the new layout; reload reproduces the search
+    p2 = os.path.join(str(tmp_path), "new_sharded.npz")
+    idx.save(p2)
+    with np.load(p2) as z:
+        assert int(z["i4_block"]) == idx._i4_block
+    idx2 = ShardedFlatIndex.load(p2, mesh=mesh)
+    d2, u2 = idx2.search(x[:16], 5)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u2))
+
+
+def test_sharded_i4_snapshot_block_repack(mesh, unit_vectors, tmp_path):
+    """A snapshot written with one i4 packing block reloads under a
+    DIFFERENT segment (hence block) via the repack branch, with
+    identical search results."""
+    import os
+
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    x = unit_vectors(256)
+    ix = ShardedFlatIndex(mesh=mesh, dtype="i4", capacity_per_shard=64,
+                          segment=64)
+    ix.add(x)
+    d1, u1 = ix.search(x[:8], 5)
+    p = os.path.join(str(tmp_path), "b64.npz")
+    ix.save(p)
+    ix2 = ShardedFlatIndex.load(p, mesh=mesh, segment=32)
+    assert ix2._i4_block == 32 and ix._i4_block == 64
+    d2, u2 = ix2.search(x[:8], 5)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
