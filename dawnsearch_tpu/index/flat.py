@@ -571,7 +571,22 @@ class FlatIndex:
                  and (self.dtype != "i4"
                       or self._i4_block == scan_select.DEFAULT_TN))
         if fused:
-            d, i = self._search_fused(q, k_eff)
+            # HBM guard: the fused selector's candidate temps scale as
+            # ~13 B x B x capacity/128 (measured from the round-4 64M
+            # acceptance OOM dump: 3.5 GiB of HLO temp at B=512 over
+            # 64M rows, 3 MiB past the chip). A batch that would not
+            # fit next to the codes is dispatched in chunks — slower
+            # than one program, but it replaces an opaque XLA
+            # compile-time OOM at exactly the capacity tiers the i4
+            # format exists for.
+            bm = self._max_fused_batch()
+            if q.shape[0] > bm:
+                parts = [self._search_fused(q[s:s + bm], k_eff)
+                         for s in range(0, q.shape[0], bm)]
+                d = [p[0] for p in parts]
+                i = [p[1] for p in parts]
+            else:
+                d, i = self._search_fused(q, k_eff)
         elif self._exact is not None:
             kf = self.device_fetch_width(k_eff)
             d, i = _search_rerank(self._codes, self._scales, self._exact,
@@ -584,10 +599,30 @@ class FlatIndex:
                            approx=approx, i4_block=self._i4_block)
         return d, i, k_eff, single
 
+    def _max_fused_batch(self) -> int:
+        """Largest query batch the fused selector can serve in ONE
+        program without its candidate temps overflowing HBM next to
+        the codes (see search_dispatch). Only the real chip has the
+        fixed envelope; CPU tests/interpret mode are uncapped. The
+        budget leaves ~0.75 GiB for the reserved segment + an encoder
+        sharing the chip."""
+        if jax.default_backend() != "tpu":
+            return 1 << 30
+        free = 15 * 2**30 - self.nbytes
+        per_row = 13 * (self.capacity // 128)
+        b = min(1 << 30, max(8, free // max(per_row, 1)))
+        return 1 << (int(b).bit_length() - 1)  # power-of-two floor:
+        # chunk shapes then reuse the bucketed compile cache
+
     @staticmethod
     def search_finalize(d, i, k: int, k_eff: int, single: bool
                         ) -> tuple[np.ndarray, np.ndarray]:
-        """Block on the dispatched search and shape the host results."""
+        """Block on the dispatched search and shape the host results.
+        d/i arrive as lists when search_dispatch chunked an over-HBM
+        batch (fused path); concatenate in dispatch order."""
+        if isinstance(d, list):
+            d = np.concatenate([np.asarray(x) for x in d])
+            i = np.concatenate([np.asarray(x) for x in i])
         d, i = np.asarray(d), np.asarray(i)
         if k_eff < k:  # pad to requested k
             d = np.pad(d, ((0, 0), (0, k - k_eff)), constant_values=np.inf)

@@ -398,15 +398,20 @@ def search_select(codes: jax.Array, scales: jax.Array | None,
     # effective window, so stop at 1024 effective rows per candidate —
     # the recall floor (shadowing odds ~k^2*W_eff/2N: 0.13%/query at
     # 1M rows / W_eff 256; 0.3% at 16M / W_eff 1024, measured recall
-    # 0.981 raw).
+    # 0.981 raw). Pairs are (column j, column j+C/2) — contiguous HALF
+    # slices, not a (B, C/2, 2) reshape: any partition into pairs is an
+    # equally valid window merge on this windowed candidate set, and
+    # the reshape's pair-minor layout made XLA materialize a full
+    # relayout copy of the ids array (1 GB HLO temp per fold at 64M
+    # rows, batch 512 — the allocation that pushed the 64M tier 3 MB
+    # over HBM in the round-4 acceptance run).
     eff_w = W
     while vals.shape[1] > 4096 and eff_w < 1024:
         eff_w *= 2
-        v = vals.reshape(vals.shape[0], -1, 2)
-        i2 = ids.reshape(ids.shape[0], -1, 2)
-        left = v[:, :, 0] <= v[:, :, 1]
-        vals = jnp.where(left, v[:, :, 0], v[:, :, 1])
-        ids = jnp.where(left, i2[:, :, 0], i2[:, :, 1])
+        half = vals.shape[1] // 2
+        left = vals[:, :half] <= vals[:, half:]
+        vals = jnp.where(left, vals[:, :half], vals[:, half:])
+        ids = jnp.where(left, ids[:, :half], ids[:, half:])
     k_eff = min(k, vals.shape[1])
     neg, sel = jax.lax.top_k(-vals, k_eff)
     d = -neg

@@ -463,3 +463,25 @@ def test_add_stream_empty_iterable():
     ids = idx.add_stream(iter([]))
     assert ids.shape == (0,)
     assert idx.count == 0
+
+
+def test_fused_hbm_guard_chunks_oversize_batches(unit_vectors):
+    """The fused path's candidate temps scale with B x capacity; a
+    batch past _max_fused_batch() must dispatch in chunks and return
+    results identical to the single-program path (round-4: the 64M i4
+    acceptance run OOM'd at compile time at batch 512 — the guard
+    turns that into sequential chunks instead of an XLA error)."""
+    x = unit_vectors(16384)
+    q = unit_vectors(16)
+    idx = FlatIndex(dtype="i8", capacity=16384, segment=16384,
+                    selector="fused")
+    idx.fused_min_rows = 0
+    idx.add(x)
+    d_full, i_full = idx.search(q, 10)
+    idx._max_fused_batch = lambda: 8  # force 2 chunks
+    d_chunk, i_chunk = idx.search(q, 10)
+    np.testing.assert_array_equal(i_full, i_chunk)
+    np.testing.assert_allclose(d_full, d_chunk)
+    # on non-TPU backends the real guard is inert (no fixed HBM)
+    del idx._max_fused_batch
+    assert idx._max_fused_batch() >= q.shape[0]
