@@ -13,10 +13,22 @@ page_source.rs:178-193), and pre-filter:
 
 For `response` records the HTTP envelope is stripped before the body is
 yielded. Works on plain or .gz files and on any binary file object.
+
+The filtered path (apply_filters=True — every production caller) runs
+on the C++ twin when built (native/warc.cpp: zlib inflate + header scan
++ filters under ctypes, GIL released): the parser was the last
+pure-Python stage of the ingest pipeline's stage 1. Measured (8k-page
+gz fixture, this host): parse 79.3k -> 157.2k rec/s (2.0x), full
+stage-1 iter_pages 9.55k -> 11.5k pages/s (+20%); the GIL release also
+stops stage 1 contending with the tokenizer/store threads under the
+concurrent pipeline. Exact parity — records, bytes, AND errors — is
+fuzz-tested in tests/test_warc_native.py; the pure-Python parser below
+stays as the fallback AND the semantics oracle.
 """
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
 import gzip
 import io
@@ -25,6 +37,8 @@ from typing import BinaryIO, Iterator
 MIN_BODY = 500  # page_source.rs:79-81
 MAX_BODY = 250_000  # page_source.rs:87
 _ACCEPT_TYPES = ("response", "conversion")
+
+USE_NATIVE = True  # test hook: False forces the pure-Python parser
 
 
 @dataclasses.dataclass
@@ -65,12 +79,67 @@ def _strip_http_envelope(body: bytes) -> bytes:
     return body
 
 
+def _iter_warc_native(lib, raw) -> Iterator[WarcRecord]:
+    """Drive the C++ parser (native/warc.cpp): feed 1 MiB chunks from
+    any binary stream, take filtered records out of a shared arena.
+    Strings decode latin-1 — byte-for-byte what the Python parser's
+    header decode does."""
+    ARENA = 4 << 20  # >= MAX_BODY + headers, so one record always fits
+    MAXR = 256
+    h = lib.dawn_warc_new()
+    arena = ctypes.create_string_buffer(ARENA)
+    meta = (ctypes.c_long * (8 * MAXR))()
+    try:
+        eof = False
+        while True:
+            if not eof:
+                chunk = raw.read(1 << 20)
+                if chunk:
+                    if lib.dawn_warc_feed(h, chunk, len(chunk)) < 0:
+                        raise ValueError("invalid WARC/gzip stream")
+                else:
+                    eof = True
+                    lib.dawn_warc_eof(h)
+            while True:
+                n = lib.dawn_warc_take(h, arena, ARENA, meta, MAXR)
+                if n < 0:
+                    raise ValueError(
+                        "not a WARC record boundary (native parser)"
+                        if n == -1 else "native WARC arena too small")
+                if n == 0:
+                    break  # drained (or stopped); feed more / finish
+                # one copy of the used prefix (body is the last field
+                # appended per record, so the last body's end == used)
+                used = meta[8 * (n - 1) + 6] + meta[8 * (n - 1) + 7]
+                buf = ctypes.string_at(arena, used)
+                for r in range(n):
+                    m = meta[8 * r: 8 * r + 8]
+                    yield WarcRecord(
+                        url=buf[m[0]:m[0] + m[1]].decode("latin-1"),
+                        warc_type=buf[m[2]:m[2] + m[3]].decode("latin-1"),
+                        payload_type=buf[m[4]:m[4] + m[5]].decode("latin-1"),
+                        body=buf[m[6]:m[6] + m[7]],
+                    )
+                # n < MAXR does NOT mean drained — the arena may have
+                # filled with records still pending; loop until n == 0.
+            if eof:
+                return
+    finally:
+        lib.dawn_warc_free(h)
+
+
 def iter_warc_records(source: str | BinaryIO,
                       apply_filters: bool = True) -> Iterator[WarcRecord]:
     """Yield filtered records from a WARC path or binary stream."""
     own = isinstance(source, str)
     raw = open(source, "rb") if own else source
     try:
+        if apply_filters and USE_NATIVE:
+            from dawnsearch_tpu.utils import nativelib
+            lib = nativelib.get()
+            if lib is not None and hasattr(lib, "dawn_warc_new"):
+                yield from _iter_warc_native(lib, raw)
+                return
         head = raw.peek(2) if hasattr(raw, "peek") else b""
         if (own and source.endswith(".gz")) or head[:2] == b"\x1f\x8b":
             stream = io.BufferedReader(gzip.GzipFile(fileobj=raw), 1 << 24)

@@ -99,6 +99,18 @@ def get() -> ctypes.CDLL | None:
             lib.dawn_latin_ratio.restype = ctypes.c_double
             lib.dawn_latin_ratio.argtypes = [
                 ctypes.c_char_p, ctypes.c_long]
+            # WARC record parser (warc.cpp)
+            lib.dawn_warc_new.restype = ctypes.c_void_p
+            lib.dawn_warc_new.argtypes = []
+            lib.dawn_warc_feed.restype = ctypes.c_long
+            lib.dawn_warc_feed.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+            lib.dawn_warc_eof.argtypes = [ctypes.c_void_p]
+            lib.dawn_warc_take.restype = ctypes.c_long
+            lib.dawn_warc_take.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long), ctypes.c_long]
+            lib.dawn_warc_free.argtypes = [ctypes.c_void_p]
             _lib = lib
             log.info("native library loaded (%s)", SO)
         except OSError as e:
