@@ -295,14 +295,27 @@ class MultihostShardedIndex:
             ids = np.arange(self.inner._next_id, self.inner._next_id + n,
                             dtype=np.int64)
         ids = np.asarray(ids, np.int64)
+        # ADD wire: rows and ids ride ONE packed payload broadcast.
+        # Measured on the gloo crew (examples/bench_multihost.py): the
+        # per-broadcast fixed dispatch cost made the 3-bcast wire
+        # (header+rows+ids) the tier's one expensive op — 6.5k rows/s
+        # (0.16x single-process) at 256-row batches; packing ids into
+        # the rows payload measures 7.9k rows/s (0.20x), +21%.
+        # REJECTED: also rounding the rows to f16 (half the bytes). The
+        # stored exact shadow then holds f16-rounded rows, and the bare
+        # i8-scan recall gate in tests/test_multihost.py measured the
+        # nick (0.975 vs >=0.98 at 700 rows): the wire stays f32 so a
+        # crew-ingested index is bit-identical to a single-process one.
+        dim = rows.shape[1]
         np_ = _bucket(n)
-        rows_p = np.zeros((np_, rows.shape[1]), np.float32)
-        rows_p[:n] = rows
+        ids_off = np_ * 4 * dim
+        packed = np.zeros(ids_off + np_ * 8, np.uint8)
+        packed[:n * 4 * dim] = np.frombuffer(rows.tobytes(), np.uint8)
         ids_p = np.full((np_,), -1, np.int64)
         ids_p[:n] = ids
+        packed[ids_off:] = np.frombuffer(ids_p.tobytes(), np.uint8)
         with self.crew.lock:  # broadcast + dispatch = one ordered op
-            self.crew.send(OP_ADD, (np_, n, rows.shape[1]),
-                           (rows_p, ids_p))
+            self.crew.send(OP_ADD, (np_, n, dim), (packed,))
             return self.inner.add(rows, ids)
 
     def search(self, queries, k: int):
@@ -465,8 +478,13 @@ def run_follower(crew: MultihostCrew, cfg, index_path: str) -> None:
                 log.exception("follower search refused (leader too)")
         elif op == OP_ADD:
             np_, n, dim = int(h[1]), int(h[2]), int(h[3])
-            rows = crew.recv((np_, dim), np.float32)
-            ids = crew.recv((np_,), np.int64)
+            # one packed payload: f32 rows then i64 ids (see
+            # MultihostShardedIndex.add for the wire rationale).
+            # offsets stay 8-byte aligned for the views: np_ is a
+            # power of two >= 8, so np_*4*dim is a multiple of 32.
+            buf = crew.recv((np_ * (4 * dim + 8),), np.uint8)
+            rows = buf[:np_ * 4 * dim].view(np.float32).reshape(np_, dim)
+            ids = buf[np_ * 4 * dim:].view(np.int64)
             if inner is None:
                 raise RuntimeError(
                     "follower got ADD with no index (INIT failed "
