@@ -502,15 +502,30 @@ class FlatIndex:
 
         q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
         _END = object()
+        stop = threading.Event()  # consumer died: unblock the producer
+
+        def _put(item) -> bool:
+            # bounded put that yields to `stop` — a plain q.put would
+            # block forever if the consumer raised (IndexFull mid
+            # stream) with the queue full, leaking the thread and its
+            # prepared device buffers
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce() -> None:
             try:
                 for v in blocks:
-                    q.put(self._prepare(v))
+                    if not _put(self._prepare(v)):
+                        return
             except BaseException as e:  # surface on the consumer side
-                q.put(e)
+                _put(e)
                 return
-            q.put(_END)
+            _put(_END)
 
         t = threading.Thread(target=produce, daemon=True,
                              name="flatindex-add-prefetch")
@@ -525,6 +540,7 @@ class FlatIndex:
                     raise item
                 out.append(self._commit(item))
         finally:
+            stop.set()
             t.join(timeout=60)
         return (np.concatenate(out) if out
                 else np.empty((0,), np.int64))

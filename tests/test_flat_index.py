@@ -458,6 +458,36 @@ def test_add_stream_propagates_generator_error(unit_vectors):
     assert idx.count == 10  # the committed prefix is kept
 
 
+def test_add_stream_consumer_error_unblocks_producer(unit_vectors):
+    """A _commit failure mid-stream (IndexFull at max_capacity) must
+    surface promptly AND release the prefetch thread: before the
+    stop-event fix the producer sat blocked on a full queue and the
+    error path hung 60 s in t.join before leaking the thread."""
+    import time
+
+    from dawnsearch_tpu.index.flat import IndexFull
+
+    idx = FlatIndex(dtype="i8", capacity=64, segment=64, max_capacity=64)
+
+    def gen():  # far more blocks than capacity: queue stays full
+        for _ in range(50):
+            yield unit_vectors(64)
+
+    t0 = time.monotonic()
+    with pytest.raises(IndexFull):
+        idx.add_stream(gen())
+    assert time.monotonic() - t0 < 10  # no 60 s join hang
+    assert idx.count == 64  # the committed prefix is kept
+    import threading
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline and any(
+            th.name == "flatindex-add-prefetch" and th.is_alive()
+            for th in threading.enumerate()):
+        time.sleep(0.05)
+    assert not any(th.name == "flatindex-add-prefetch" and th.is_alive()
+                   for th in threading.enumerate())
+
+
 def test_add_stream_empty_iterable():
     idx = FlatIndex(dtype="i8", capacity=256)
     ids = idx.add_stream(iter([]))
