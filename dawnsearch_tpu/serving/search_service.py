@@ -320,22 +320,39 @@ class SearchService:
                     for i, sid in zip(sub, stored):
                         ids[i] = sid
 
-                inflight = None
-                for s in range(0, len(kept), maxb):
-                    sub = kept[s: s + maxb]
-                    tk = ([token_ids[i] for i in sub]
-                          if token_ids is not None else None)
-                    with self._lock:
-                        base = len(self.provider.index)
-                        emb_dev = fi.dispatch(
-                            [combined[i] for i in sub], token_ids=tk)
-                    if hasattr(emb_dev, "copy_to_host_async"):
-                        emb_dev.copy_to_host_async()
-                    if inflight is not None:
-                        finish(*inflight)
-                    inflight = (sub, emb_dev, base)
-                if inflight is not None:
-                    finish(*inflight)
+                from collections import deque
+                pending: deque = deque()  # dispatched, not yet stored
+                try:
+                    for s in range(0, len(kept), maxb):
+                        sub = kept[s: s + maxb]
+                        tk = ([token_ids[i] for i in sub]
+                              if token_ids is not None else None)
+                        with self._lock:
+                            base = len(self.provider.index)
+                            emb_dev = fi.dispatch(
+                                [combined[i] for i in sub], token_ids=tk)
+                        if hasattr(emb_dev, "copy_to_host_async"):
+                            emb_dev.copy_to_host_async()
+                        pending.append((sub, emb_dev, base))
+                        if len(pending) > 1:
+                            finish(*pending.popleft())
+                    while pending:
+                        finish(*pending.popleft())
+                except BaseException:
+                    # a failure mid-pipeline must not strand dispatched
+                    # batches: their device rows HAVE landed, so store
+                    # them — otherwise store and index silently diverge
+                    # and the next insert pays a full rebuild-from-store
+                    while pending:
+                        batch = pending.popleft()
+                        try:
+                            finish(*batch)
+                        except Exception:
+                            log.exception(
+                                "in-flight sub-batch store failed during"
+                                " ingest error unwind (store/index may"
+                                " diverge; next insert will reconcile)")
+                    raise
         else:
             embs = self.batcher.embed_many(combined)
             # LOCK ORDER: ingest gate strictly OUTSIDE the device lock,

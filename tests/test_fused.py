@@ -167,6 +167,43 @@ def test_fused_ingest_chunks_past_max_bucket(encoder):
         svc.shutdown()
 
 
+def test_fused_ingest_dispatch_failure_stores_inflight(encoder):
+    """A dispatch failure mid-pipeline must not strand the already
+    dispatched sub-batches: their device rows HAVE landed, so the
+    unwind stores them (store == index afterwards) instead of leaving
+    a divergence the next insert pays a rebuild-from-store for."""
+    provider = SearchProvider(data_dir=None, dim=64, verify_on_load=False)
+    batcher = EmbeddingBatcher(encoder.encode, max_batch=8)
+    svc = SearchService(provider, batcher)
+    try:
+        fi = svc._fused_ingest
+        assert fi is not None
+        real = fi.dispatch
+        calls = {"n": 0}
+
+        def flaky(pages, token_ids=None):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("device fell over")
+            return real(pages, token_ids=token_ids)
+
+        fi.dispatch = flaky
+        pages = [(f"https://flaky/{i}", "t", CORPUS[i % 5] + f" {i}")
+                 for i in range(80)]  # 3 sub-batches of the 32 bucket
+        with pytest.raises(RuntimeError, match="device fell over"):
+            svc.insert_pages(pages, token_ids=svc.tokenize_pages(pages))
+        # the two dispatched sub-batches (32 + 32) were stored on the
+        # unwind; store and index agree, and normal service resumes
+        assert len(provider.store) == len(provider.index) == 64
+        fi.dispatch = real
+        ids = svc.insert_pages([("https://after/0", "t", CORPUS[0])])
+        assert ids[0] is not None
+        assert len(provider.store) == len(provider.index) == 65
+    finally:
+        batcher.stop()
+        svc.shutdown()
+
+
 def test_fused_ingest_capacity_cap(encoder):
     provider = SearchProvider(data_dir=None, dim=64, max_pages=2,
                               verify_on_load=False)
