@@ -80,7 +80,10 @@ def corpus_blocks(n_rows: int, seed: int = CORPUS_SEED,
     rng = np.random.default_rng(seed)
     for s0 in range(0, n_rows, block):
         n = min(block, n_rows - s0)
-        v = rng.standard_normal((n, 384)).astype(np.float32)
+        # f32 generation directly: 2.4x faster than f64+cast (1.1 vs
+        # 2.7 s/block) — corpus synthesis was the 1M/2M build-bench
+        # bottleneck once add_stream stopped contending on the tunnel
+        v = rng.standard_normal((n, 384), dtype=np.float32)
         v /= np.linalg.norm(v, axis=-1, keepdims=True)
         yield s0, v
 
@@ -419,11 +422,40 @@ def bench_ingest(n_pages: int = 8192) -> float:
         # amortization without giving up the soak's latency trade
         ex = ExtractionService(service, source=LocalWarcSource(warc),
                                batch_size=512)
+        from dawnsearch_tpu.utils.logging import METRICS
+        METRICS.reset()  # per-stage breakdown excludes warmup one-offs
         t0 = time.perf_counter()
         ex.start()
         ex.join(timeout=600)
         dt = time.perf_counter() - t0
         n = len(provider.store)
+        # Per-stage diagnosability (round-4 VERDICT: the driver artifact
+        # recorded 1,344 pages/s against a 5,051 claim and nothing said
+        # which stage moved): busy seconds per pipeline stage — extract
+        # and tokenize run on their own threads and overlap insert, so
+        # stage_s ~= dt for a stage means THAT stage is the wall; the
+        # insert thread further splits into device dispatch, embedding
+        # readback (where execution wait lands), and SQLite store.
+        snap = METRICS.snapshot()
+        stages = {
+            "extract": "ingest_extract", "tokenize": "ingest_tokenize",
+            "insert": "ingest_insert", "dispatch": "fused_ingest_dispatch",
+            "readback": "fused_ingest", "store": "ingest_store",
+        }
+        breakdown: dict = {"metric": "ingest_stage_breakdown",
+                           "wall_s": round(dt, 2)}
+        for label, key in stages.items():
+            vals = METRICS.values(key)
+            if vals:
+                breakdown[f"{label}_s"] = round(sum(vals), 2)
+                breakdown[f"{label}_p50_ms"] = round(
+                    snap.get(f"{key}_p50_ms", 0.0), 1)
+                breakdown[f"{label}_n"] = len(vals)
+        sizes = METRICS.values("ingest_insert_batch")
+        if sizes:
+            breakdown["insert_batch_pages"] = sorted(
+                {int(s) for s in sizes})
+        log(breakdown)
     pps = n / dt
     log({"metric": "ingest_pages_per_sec", "value": round(pps, 1),
          "unit": "pages/s", "pages": n, "seconds": round(dt, 1)})

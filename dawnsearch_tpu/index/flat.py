@@ -411,12 +411,18 @@ class FlatIndex:
         self.capacity = new_cap
 
     def _prepare(self, vectors: np.ndarray | jax.Array):
-        """Stage 1 of add(): dtype-specific quantization + host->device
-        transfer. Touches NO index state, so it is safe to run on a
-        prefetch thread while the main thread commits earlier blocks
-        (add_stream). numpy i8/i4 inputs quantize on the HOST so only
-        packed codes cross the host->device link (4x/8x less transfer —
-        index build is transfer-bound); device inputs quantize on device.
+        """Stage 1 of add(): dtype-specific quantization. Touches NO
+        index state, so numpy inputs are safe to prepare on a prefetch
+        thread while the main thread commits earlier blocks
+        (add_stream). numpy inputs quantize on the HOST and stay numpy —
+        the host->device transfer happens implicitly at the commit
+        dispatch, keeping the prefetch thread JAX-FREE: two threads
+        issuing device RPCs concurrently serialize pathologically
+        through the tunneled dispatch path (measured 73-91 s vs 24 s
+        sequential for the 1M i8 build, round-5 root-cause of the
+        BENCH_r04 regression). i8/i4 host quantization also means only
+        packed codes cross the link (4x/8x less transfer). Device
+        inputs quantize on device — main/owner thread only.
         Returns (n, codes, scales|None, f16|None)."""
         n = np.shape(vectors)[0] if np.ndim(vectors) > 1 else 1
         if n == 0:
@@ -425,8 +431,7 @@ class FlatIndex:
             from dawnsearch_tpu.ops.quant import (quantize_i4_vals,
                                                   quantize_i4_vals_np)
             if isinstance(vectors, np.ndarray):
-                vals, scales = quantize_i4_vals_np(vectors)
-                codes, scales = jnp.asarray(vals), jnp.asarray(scales)
+                codes, scales = quantize_i4_vals_np(vectors)
             else:
                 rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
                 codes, scales = quantize_i4_vals(rows)
@@ -434,25 +439,28 @@ class FlatIndex:
             if isinstance(vectors, np.ndarray):
                 rows = np.atleast_2d(np.asarray(vectors, np.float32))
                 absmax = np.abs(rows).max(axis=1)
-                np_scales = (np.maximum(absmax, 1e-12) / 127.0
-                             ).astype(np.float32)
-                np_codes = np.clip(np.rint(rows / np_scales[:, None]),
-                                   -127, 127).astype(np.int8)
-                codes, scales = jnp.asarray(np_codes), jnp.asarray(np_scales)
+                scales = (np.maximum(absmax, 1e-12) / 127.0
+                          ).astype(np.float32)
+                codes = np.clip(np.rint(rows / scales[:, None]),
+                                -127, 127).astype(np.int8)
             else:
                 rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
                 codes, scales = _quantize_rows_i8(rows)
         else:
-            rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
-            jdt = jnp.float32 if self.dtype == "f32" else jnp.bfloat16
-            codes, scales = rows.astype(jdt), None
+            if isinstance(vectors, np.ndarray):
+                rows = np.atleast_2d(np.asarray(vectors, np.float32))
+                ndt = np.float32 if self.dtype == "f32" else jnp.bfloat16
+                codes, scales = rows.astype(ndt), None
+            else:
+                rows = jnp.atleast_2d(jnp.asarray(vectors, jnp.float32))
+                jdt = jnp.float32 if self.dtype == "f32" else jnp.bfloat16
+                codes, scales = rows.astype(jdt), None
         f16 = None
         if self._exact is not None:
             # host inputs convert on host (f16 halves the extra transfer
             # vs f32); device inputs cast on device.
             if isinstance(vectors, np.ndarray):
-                f16 = jnp.asarray(
-                    np.atleast_2d(vectors).astype(np.float16))
+                f16 = np.atleast_2d(vectors).astype(np.float16)
             else:
                 f16 = jnp.atleast_2d(
                     jnp.asarray(vectors)).astype(jnp.float16)

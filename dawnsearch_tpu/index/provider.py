@@ -288,7 +288,8 @@ class SearchProvider:
         # ingest_gate: the recovery paths mutate the index (rollback /
         # rebuild-from-db), which must not interleave with a snapshot
         # readback; reentrant under the service's outer hold
-        with self.ingest_gate, self.store.transaction():
+        with METRICS.timer("ingest_store"), \
+                self.ingest_gate, self.store.transaction():
             ids = self._store_pages_verified(rows, base, n)
         METRICS.inc("pages_inserted", sum(1 for i in ids if i is not None))
         return ids

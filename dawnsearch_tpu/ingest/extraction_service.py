@@ -320,7 +320,8 @@ class ExtractionService:
             token_ids = None
             if callable(tokenize):
                 try:
-                    token_ids = tokenize(triples)
+                    with METRICS.timer("ingest_tokenize"):
+                        token_ids = tokenize(triples)
                 except Exception:
                     log.exception("tokenize batch failed; inserting raw")
             # put BEFORE task_done so _batches.join() implies everything
@@ -404,6 +405,8 @@ class ExtractionService:
         kw = {"token_ids": token_ids} if token_ids is not None else {}
         self.service.insert_pages(triples, **kw)
         dt = time.perf_counter() - t0
+        METRICS.observe("ingest_insert", dt)
+        METRICS.observe("ingest_insert_batch", float(len(triples)))
         self.pages_ingested += len(triples)
         METRICS.inc("pages_extracted", len(triples))
         # throughput meter like the reference's (warc.rs:107-114)
@@ -564,6 +567,7 @@ class ExtractionService:
                     progressed = True
                     batch: list[ExtractedPage] = []
                     drained = True  # stayed true -> whole file consumed
+                    t_batch = time.perf_counter()
                     for page in iter_pages(f):
                         if self._stop.is_set():
                             return
@@ -573,10 +577,16 @@ class ExtractionService:
                             drained = False  # budget reached mid-file
                             break
                         if len(batch) >= self.batch_size:
+                            # extraction-stage time per batch (excludes
+                            # any stall inside _put_batch) — the ingest
+                            # per-stage breakdown (bench.py)
+                            METRICS.observe("ingest_extract",
+                                            time.perf_counter() - t_batch)
                             total += len(batch)
                             if not self._put_batch(("batch", name, batch)):
                                 return
                             batch = []
+                            t_batch = time.perf_counter()
                     if self.max_pages is not None:
                         batch = batch[: self.max_pages - total]
                     if batch:

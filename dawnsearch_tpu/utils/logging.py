@@ -60,6 +60,13 @@ class Metrics:
         finally:
             self.observe(name, time.perf_counter() - t0)
 
+    def values(self, name: str) -> list[float]:
+        """Raw observation buffer (most recent <=1000) — for benchmark
+        breakdowns that need sums/means, not just the p50/p99 the
+        snapshot exposes."""
+        with self._lock:
+            return list(self._timings.get(name, ()))
+
     def reset(self) -> None:
         """Zero counters and timings (benchmarks call this after
         warmup so percentiles exclude compile-time one-offs)."""
