@@ -60,9 +60,11 @@ def main(argv=None) -> int:
                      help="defaults to the config's data_dir")
     mig.add_argument("--config", dest="sub_config", default=None)
     evalq = sub.add_parser(
-        "eval-quality",
-        help="weights-drop quality gate: HF parity + retrieval gates "
-             "against model_dir (examples/eval_quality.py)")
+        "eval-quality", aliases=["evalq"],
+        help="weights-drop quality gate: HF parity + separation + "
+             "retrieval gates against model_dir, any of the three "
+             "model families (examples/eval_quality.py); exits nonzero "
+             "on a FAIL")
     evalq.add_argument("model_dir")
     evalq.add_argument("--allow-random", action="store_true")
     args = parser.parse_args(argv)
@@ -79,7 +81,7 @@ def main(argv=None) -> int:
                 jax.config.update("jax_num_cpu_devices",
                                   cfg.jax_cpu_devices)
 
-    if args.command == "eval-quality":
+    if args.command in ("eval-quality", "evalq"):
         import importlib.util
         import os as _os
         spec = importlib.util.spec_from_file_location(

@@ -97,21 +97,26 @@ class Config:
     # "dawn" (versionable msgpack) | "reference" (rmp-serde byte-compat,
     # joins a reference swarm; decode always accepts both)
     wire_format: str = "dawn"
-    # "i24" (3 B/dim, reference-parity) | "i8" (1 B/dim + scale: Search/
-    # Embedding packets drop ~1180 B -> ~420 B at a cosine perturbation
-    # ~4e-5, far below the selector's re-rank floor). Dawn format only —
-    # the reference layout is fixed i24; every dawn decoder accepts
-    # both, so i8 and i24 nodes interoperate per-frame.
-    wire_embedding: str = "i24"
+    # "auto" (the default: i8 on the dawn wire, i24 on the reference
+    # wire) | "i24" (3 B/dim, reference-parity) | "i8" (1 B/dim + scale:
+    # Search/Embedding packets drop ~1180 B -> ~420 B at a cosine
+    # perturbation ~4e-5, far below the selector's re-rank floor —
+    # measured 2.8x query bytes at equal results, tests/test_two_phase).
+    # i8 is dawn-format only — the reference layout is fixed i24; every
+    # dawn decoder accepts both, so i8 and i24 nodes interoperate
+    # per-frame and "auto" never changes what a node can DECODE.
+    wire_embedding: str = "auto"
     search_deadline_ms: float = 200.0  # P2P collection deadline (udp_service.rs:301)
     # Two-phase remote search (the reference's own sketched evolution,
     # udp_packets.rs:40-43 commented-out SearchSummary/PageRequest):
     # responders reply with tiny distance summaries, the searcher merges
-    # globally and requests only the winning pages — cuts reply bytes
-    # ~k*fanout/k at wide fan-out for one extra round-trip. Dawn wire
-    # format only; legacy/reference peers still answer with full pages
-    # and merge fine (doc/networking.md).
-    two_phase_search: bool = False
+    # globally and requests only the winning pages — measured ~3x fewer
+    # reply bytes at equal results (tests/test_two_phase.py) for one
+    # extra round-trip, so it defaults ON. Dawn wire format only
+    # (auto-disabled under wire_format="reference"); legacy/reference
+    # peers still answer with full pages and merge fine
+    # (doc/networking.md "mixed swarms").
+    two_phase_search: bool = True
     announce_interval_s: float = 60.0  # tracker heartbeat (dawnsearch.rs:122-128)
     jax_platform: str = ""  # "" = default; "cpu" forces host platform
     jax_cpu_devices: int = 0  # >0: virtual host device count (testing)

@@ -273,6 +273,32 @@ def _fused_select_rerank(codes, scales, exact, q, count, k, kf):
     return rerank_kernel(exact, q.astype(jnp.float32), d, i, k)
 
 
+_HBM_BUDGET: int | None = None  # resolved once per process
+
+
+def _hbm_budget() -> int:
+    """Usable HBM bytes for the fused-path batch guard
+    (FlatIndex._max_fused_batch): the runtime's reported bytes_limit
+    minus a 0.75 GiB working margin (reserved segment + an encoder
+    sharing the chip) where the backend exposes memory_stats; else a
+    TPU v5e fallback constant (16 GB HBM chip; the 15 GiB figure was
+    measured from the round-4 64M acceptance OOM dump on v5e — other
+    chip generations MUST come through memory_stats or the guard is
+    wrong for them, which is why the runtime path is first)."""
+    global _HBM_BUDGET
+    if _HBM_BUDGET is None:
+        budget = 15 * 2**30  # v5e fallback
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = int((stats or {}).get("bytes_limit", 0))
+            if limit > 2**30:
+                budget = limit - (3 * 2**30) // 4
+        except Exception:
+            pass  # backends without memory_stats keep the v5e constant
+        _HBM_BUDGET = budget
+    return _HBM_BUDGET
+
+
 def _check_unit_queries(queries, count: int, capacity: int, dim: int,
                         dtype: str, selector: str, min_rows: int) -> None:
     """Raise on non-unit host queries when the fused selector would
@@ -632,7 +658,7 @@ class FlatIndex:
         sharing the chip."""
         if jax.default_backend() != "tpu":
             return 1 << 30
-        free = 15 * 2**30 - self.nbytes
+        free = _hbm_budget() - self.nbytes
         per_row = 13 * (self.capacity // 128)
         b = min(1 << 30, max(8, free // max(per_row, 1)))
         return 1 << (int(b).bit_length() - 1)  # power-of-two floor:

@@ -109,10 +109,16 @@ class UdpService:
         self.instance_id = instance_id
         self.deadline_s = cfg.search_deadline_ms / 1000.0
         self.wire = getattr(cfg, "wire_format", packets.WIRE_DAWN)
-        self.wire_emb = getattr(cfg, "wire_embedding", "i24")
-        if self.wire_emb not in ("i24", "i8"):
+        self.wire_emb = getattr(cfg, "wire_embedding", "auto")
+        if self.wire_emb not in ("auto", "i24", "i8"):
             raise ValueError(
-                f"wire_embedding={self.wire_emb!r}: must be 'i24' or 'i8'")
+                f"wire_embedding={self.wire_emb!r}: must be 'auto', "
+                "'i24' or 'i8'")
+        if self.wire_emb == "auto":
+            # the measured win (2.8x query bytes at equal results) where
+            # the format supports it; reference wire is fixed i24
+            self.wire_emb = ("i8" if self.wire == packets.WIRE_DAWN
+                             else "i24")
         if self.wire_emb == "i8" and self.wire == packets.WIRE_REFERENCE:
             # refuse silently-ignored config: the reference layout is
             # fixed i24 (vector.rs:48-87), there is nothing to honor

@@ -98,9 +98,47 @@ def init_distributed(coordinator: str, num_processes: int,
              process_id, num_processes, coordinator)
 
 
+_BC: dict = {"mesh": None, "fn": None}  # per-process broadcast program cache
+
+
+def _bcast_dispatch(x: np.ndarray, is_source: bool):
+    """DISPATCH the one-to-all broadcast collective and return the async
+    jax.Array without materializing it. Same program shape as
+    jax.experimental.multihost_utils.broadcast_one_to_all (sum over a
+    processes-sharded leading axis, replicated output), rebuilt here so
+    the SENDER can skip the result readback: the leader already knows
+    the payload, and measured on the 2-process gloo crew that readback
+    was the ADD wire's dominant fixed cost (every op paid a full
+    collective round-trip before the next could dispatch). Async sends
+    pipeline instead — the follower's recv still materializes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.multihost_utils import (
+        host_local_array_to_global_array)
+    from jax.sharding import PartitionSpec as P
+
+    if _BC["mesh"] is None:
+        devices = np.array(jax.devices()).reshape(
+            jax.process_count(), jax.local_device_count())
+        _BC["mesh"] = jax.sharding.Mesh(devices,
+                                        ("processes", "local_devices"))
+        _BC["fn"] = jax.jit(lambda t: jnp.sum(t, dtype=t.dtype, axis=0),
+                            out_shardings=P())
+    inp = x if is_source else np.zeros_like(x)
+    garr = host_local_array_to_global_array(
+        np.expand_dims(inp, 0), _BC["mesh"], P("processes"))
+    with jax.set_mesh(_BC["mesh"]):
+        return _BC["fn"](garr)
+
+
 def _bcast(x: np.ndarray) -> np.ndarray:
-    from jax.experimental import multihost_utils as mhu
-    return np.asarray(mhu.broadcast_one_to_all(x))
+    """Blocking broadcast (the follower/recv path): dispatch +
+    materialize."""
+    import jax
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    out = _bcast_dispatch(x, jax.process_index() == 0)
+    return np.asarray(jax.device_get(out.addressable_data(0)))
 
 
 def _bucket(n: int, lo: int = 8) -> int:
@@ -114,7 +152,15 @@ class MultihostCrew:
     follower loop. All sends happen under `lock`; the leader holds it
     across the subsequent device dispatch too (see module docstring)."""
 
+    # Leader-side send pipeline depth: dispatched-but-unmaterialized
+    # broadcasts in flight. Bounds the host/device copies a leader
+    # streaming bulk adds can queue ahead of slow followers; past the
+    # cap the oldest send is drained before the next dispatches.
+    MAX_INFLIGHT = 16
+
     def __init__(self, ping_interval: float = 60.0):
+        import collections
+
         import jax
         self.is_leader = jax.process_index() == 0
         self.lock = threading.RLock()
@@ -122,6 +168,7 @@ class MultihostCrew:
         self._timer: threading.Timer | None = None
         self._timer_lock = threading.Lock()
         self._stopped = False
+        self._inflight: "collections.deque" = collections.deque()
         if self.is_leader and ping_interval > 0:
             self._schedule_ping()
 
@@ -145,9 +192,18 @@ class MultihostCrew:
                 raise RuntimeError(
                     "multihost crew stopped; op rejected (followers "
                     "already released by OP_STOP)")
-            _bcast(header)
+            # ASYNC sends: dispatch the collectives and move on — the
+            # leader never needs its own payload back (see
+            # _bcast_dispatch). OP_STOP stays blocking: shutdown must
+            # not return while releases are still in flight.
+            self._inflight.append(_bcast_dispatch(header, True))
             for p in payloads:
-                _bcast(p)
+                self._inflight.append(_bcast_dispatch(p, True))
+            while len(self._inflight) > self.MAX_INFLIGHT:
+                self._inflight.popleft().block_until_ready()
+            if op == OP_STOP:
+                while self._inflight:
+                    self._inflight.popleft().block_until_ready()
 
     def _schedule_ping(self) -> None:
         with self._timer_lock:

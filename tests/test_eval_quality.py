@@ -59,3 +59,21 @@ def test_strict_mode_fails_random_weights(model_dir, capsys):  # noqa: F811
     rc, stages = run_eval(model_dir, capsys)
     assert rc == 1
     assert stages["summary"]["status"] == "FAIL"
+
+
+def test_cli_evalq_subcommand(model_dir):  # noqa: F811
+    """`python -m dawnsearch_tpu evalq <model_dir>` is the one-command
+    weights-drop gate (round-4 VERDICT item 8): the CLI path must run
+    the same harness and exit 0 in --allow-random mode."""
+    import subprocess
+    env = dict(os.environ, DAWNSEARCH_JAX_PLATFORM="cpu",
+               PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "dawnsearch_tpu", "evalq", model_dir,
+         "--allow-random"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(s) for s in out.stdout.splitlines()
+             if s.startswith("{")]
+    stages = {o["stage"]: o for o in lines}
+    assert stages["summary"]["status"] == "ok"

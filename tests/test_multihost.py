@@ -130,8 +130,14 @@ def test_send_after_shutdown_is_dropped(monkeypatch):
     from dawnsearch_tpu.parallel import multihost as mh
 
     sent = []
-    monkeypatch.setattr(mh, "_bcast",
-                        lambda x: (sent.append(np.array(x)), x)[1])
+
+    class _Done:  # stands in for the async jax.Array a dispatch returns
+        def block_until_ready(self):
+            return self
+
+    monkeypatch.setattr(
+        mh, "_bcast_dispatch",
+        lambda x, is_source: (sent.append(np.array(x)), _Done())[1])
     crew = mh.MultihostCrew(ping_interval=0)
     crew.shutdown()
     assert [int(h[0]) for h in sent] == [mh.OP_STOP]
