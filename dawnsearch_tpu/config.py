@@ -63,6 +63,11 @@ class Config:
     # (e.g. 2200 held query p99 ~246 ms on one v5e; unlimited reached
     # ~4.2k pages/s at p99 ~330 ms).
     ingest_rate_limit: float = 0.0
+    # how recently a query must have dispatched (seconds) to suppress
+    # ingest batch coalescing — the knob between bulk-backfill dispatch
+    # amortization and query tail latency. Sweep measured in
+    # doc/performance.md "Concurrent-load soak" (round-5).
+    ingest_query_idle_s: float = 2.0
     embed_max_wait_ms: float = 5.0  # batcher flush deadline
     # 512 matches the reference's full BERT window (model.rs:123,147);
     # a 2048-char page (page_source.rs:113) is ~400-500 tokens.

@@ -198,7 +198,8 @@ class ExtractionService:
                  between_files_s: float | None = None,
                  workers: int = 0,
                  rate_limit: float = 0.0,
-                 coalesce_max: int | None = None):
+                 coalesce_max: int | None = None,
+                 query_idle_s: float | None = None):
         self.service = service
         self.source = source if source is not None else CommonCrawlSource()
         self.batch_size = batch_size
@@ -235,6 +236,11 @@ class ExtractionService:
             coalesce_max = 2 * (getattr(service, "max_ingest_batch", None)
                                 or 0)
         self.coalesce_max = max(int(coalesce_max), 0)
+        # recency window for the coalescing gate (config
+        # ingest_query_idle_s; sweep measured in doc/performance.md
+        # "Concurrent-load soak" — round-4 VERDICT item 4)
+        self.query_idle_s = (QUERY_IDLE_S if query_idle_s is None
+                             else float(query_idle_s))
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._tokenize_thread: threading.Thread | None = None
@@ -331,7 +337,7 @@ class ExtractionService:
 
     def _queries_recent(self) -> bool:
         t = getattr(self.service, "last_query_monotonic", None)
-        return t is not None and (time.monotonic() - t) < QUERY_IDLE_S
+        return t is not None and (time.monotonic() - t) < self.query_idle_s
 
     def _insert_loop(self) -> None:
         failed: set[str] = set()  # files with a dropped insert batch

@@ -275,7 +275,8 @@ class DawnNode:
                 self.service, source=source,
                 batch_size=self.cfg.ingest_batch_size, ledger=ledger,
                 workers=self.cfg.ingest_workers,
-                rate_limit=self.cfg.ingest_rate_limit)
+                rate_limit=self.cfg.ingest_rate_limit,
+                query_idle_s=self.cfg.ingest_query_idle_s)
             self.extractor.start()
         self._schedule_save()
         log.info("node %s up (web=%s udp=%s index_cc=%s, %d pages)",

@@ -129,6 +129,9 @@ def main() -> None:
                     help="ingest_batch_size (the round-2 tail's knob)")
     ap.add_argument("--rate", type=float, default=0.0,
                     help="ingest rate limit, pages/s (0 = unlimited)")
+    ap.add_argument("--query-idle", type=float, default=None,
+                    help="coalescing recency gate, seconds "
+                         "(config ingest_query_idle_s; default 2.0)")
     ap.add_argument("--port", type=int, default=8931)
     ap.add_argument("--device-rerank", action="store_true",
                     help="f16-shadow on-device re-rank tier "
@@ -216,7 +219,8 @@ def main() -> None:
 
     n_before = len(provider.store)
     ex = ExtractionService(service, source=LocalWarcSource(warc),
-                           batch_size=args.batch, rate_limit=args.rate)
+                           batch_size=args.batch, rate_limit=args.rate,
+                           query_idle_s=args.query_idle)
     threads = [threading.Thread(target=query_loop, args=(t,))
                for t in range(args.threads)]
     t0 = time.perf_counter()
@@ -248,6 +252,9 @@ def main() -> None:
         "prefill_rows": args.prefill,
         "ingest_batch": args.batch,
         "ingest_rate_limit": args.rate,
+        "query_idle_s": ex.query_idle_s,
+        "insert_batches": sorted({int(s) for s in
+                                  METRICS.values("ingest_insert_batch")}),
         "threads": args.threads,
         "rerank": "device_f16" if args.device_rerank else "host_f32",
     }
