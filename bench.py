@@ -490,6 +490,19 @@ def main() -> None:
 
     threading.Thread(target=watchdog, daemon=True,
                      name="bench-watchdog").start()
+    # Ingest FIRST: the host is 1 core (nproc=1), and the ingest
+    # pipeline's 3 overlapped host threads are exactly what loses when
+    # the process has been through the 1M/2M builds (heap pressure, GC
+    # of multi-GB build buffers, a warm-but-fragmented device client).
+    # Measured: 3,656 pages/s fresh-process vs 1,344 after the builds in
+    # the SAME process (BENCH_r04.json; round-4 VERDICT item 1). Running
+    # it before any other bench gives the driver artifact fresh-process
+    # conditions without a second device client (two concurrent claims
+    # through the axon tunnel is the wedge failure mode — CLAUDE.md).
+    try:
+        bench_ingest()
+    except Exception as e:
+        log({"metric": "ingest_pages_per_sec", "error": repr(e)})
     sps = bench_embed()
     index = None
     try:
@@ -511,10 +524,6 @@ def main() -> None:
         bench_i4()
     except Exception as e:
         log({"metric": "i4_qps_2m", "error": repr(e)})
-    try:
-        bench_ingest()
-    except Exception as e:
-        log({"metric": "ingest_pages_per_sec", "error": repr(e)})
     print(json.dumps({
         "metric": "embed_sentences_per_sec",
         "value": round(sps, 1),

@@ -135,7 +135,9 @@ class Config:
     dist_coordinator: str = ""  # jax.distributed coordinator host:port
     dist_num_processes: int = 1
     dist_process_id: int = 0
-    dist_ping_interval: float = 60.0  # follower keepalive broadcast
+    dist_ping_interval: float = 60.0  # follower keepalive frame
+    dist_control_port: int = 0  # leader control-stream TCP port
+    #                             (0 = coordinator port + 1)
 
     @classmethod
     def load(cls, path: str | None = "DawnSearch.toml", env: dict | None = None) -> "Config":

@@ -223,7 +223,9 @@ class DawnNode:
                                        cfg.dist_num_processes,
                                        cfg.dist_process_id)
             self.crew = multihost.MultihostCrew(
-                ping_interval=cfg.dist_ping_interval)
+                ping_interval=cfg.dist_ping_interval,
+                coordinator=cfg.dist_coordinator,
+                control_port=cfg.dist_control_port)
         self.encoder = encoder if encoder is not None else make_encoder(cfg)
         self.batcher = EmbeddingBatcher(
             self.encoder.encode, max_batch=cfg.embed_batch_size,

@@ -372,23 +372,40 @@ class ShardedFlatIndex:
             return np.empty((0,), np.int64)
         if ids is None:
             ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
-        self._next_id = max(self._next_id, int(ids.max()) + 1)
+        plan = self._prepare_add(rows, np.asarray(ids, np.int64))
+        self._commit_add(plan)
+        return plan["ids"]
 
+    def _prepare_add(self, rows: np.ndarray, ids: np.ndarray) -> dict:
+        """Host half of an insert: quantization, balance-stripe
+        planning, per-shard block building (plus any capacity growth,
+        recorded as grown_cap so another process can replay it). Split
+        from _commit_add so the multihost leader runs this ONCE and
+        ships the finished blocks — followers skip straight to the
+        device writes (parallel/multihost.py ADD wire). Deterministic
+        refusals (IndexFull) raise here, before any device dispatch.
+        Blocks are built in the wire dtype (i8/u8 codes, not f32), so
+        the multihost payload carries 1 byte/dim for quantized tiers."""
+        n = rows.shape[0]
         per_shard, max_rows = self._plan_insert(n)
 
         S, D = self.n_shards, self.dim
+        row_np = {"f32": np.float32, "bf16": np.float32, "i8": np.int8,
+                  "i4": np.uint8}[self.dtype]
         if self.dtype == "i8":
             absmax = np.abs(rows).max(axis=1)
             scs = np.maximum(absmax, 1e-12) / 127.0
-            data = np.clip(np.round(rows / scs[:, None]), -127, 127)
+            data = np.clip(np.round(rows / scs[:, None]),
+                           -127, 127).astype(np.int8)
         elif self.dtype == "i4":
             from dawnsearch_tpu.ops.quant import quantize_i4_vals_np
             # biased nibble VALUES (n, D); the row-block packing is
             # position-dependent and happens device-side in the blend
             # write (ops/quant.blend_rows_i4)
             data, scs = quantize_i4_vals_np(rows)
-        row_blocks = np.zeros((S, max_rows, D), np.float32)
-        scale_blocks = np.ones((S, max_rows), np.float32)
+        row_blocks = np.zeros((S, max_rows, D), row_np)
+        scale_blocks = (np.ones((S, max_rows), np.float32)
+                        if self.dtype in ("i8", "i4") else None)
         exact_blocks = (np.zeros((S, max_rows, D), np.float16)
                         if self.exact else None)
         id_blocks = np.full((S, max_rows), -1, np.int32)
@@ -400,32 +417,47 @@ class ShardedFlatIndex:
                 row_blocks[s, : len(sel)] = (
                     data[sel] if self.dtype in ("i8", "i4") else rows[sel])
                 id_blocks[s, : len(sel)] = ids[sel]
-                if self.dtype in ("i8", "i4"):
+                if scale_blocks is not None:
                     scale_blocks[s, : len(sel)] = scs[sel]
                 if exact_blocks is not None:
                     exact_blocks[s, : len(sel)] = rows[sel].astype(np.float16)
+        return dict(
+            row_blocks=row_blocks, scale_blocks=scale_blocks,
+            exact_blocks=exact_blocks, id_blocks=id_blocks,
+            lens=np.asarray([len(p) for p in per_shard], np.int32),
+            starts=starts, ids=ids, grown_cap=self.cap_per_shard)
 
+    def _commit_add(self, plan: dict) -> None:
+        """Device half of an insert: replay any growth the plan
+        recorded, transfer the blocks, run the donating sharded write,
+        advance the host-side counts. Every process of a multihost crew
+        executes this with the same plan bytes, so the device programs
+        (and any growth pads) pair up across hosts by construction."""
+        if plan["grown_cap"] > self.cap_per_shard:
+            self._grow(plan["grown_cap"])
         jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8,
                "i4": jnp.uint8}[self.dtype]
         has_scales = self.dtype in ("i8", "i4")
         self._codes, self._scales, self._exact, self._ids = _sharded_write(
             self._codes, self._scales, self._exact, self._ids,
-            jax.device_put(jnp.asarray(row_blocks, jdt), self._shard3),
-            jax.device_put(jnp.asarray(scale_blocks), self._shard2)
+            jax.device_put(jnp.asarray(plan["row_blocks"], jdt),
+                           self._shard3),
+            jax.device_put(jnp.asarray(plan["scale_blocks"]), self._shard2)
             if has_scales else jnp.zeros((), jnp.float32),
-            jax.device_put(jnp.asarray(exact_blocks), self._shard3)
-            if exact_blocks is not None else jnp.zeros((), jnp.float16),
-            jax.device_put(jnp.asarray(id_blocks), self._shard2),
-            jax.device_put(jnp.asarray(
-                [len(p) for p in per_shard], dtype=jnp.int32), self._shard1),
-            jax.device_put(jnp.asarray(starts), self._shard1),
+            jax.device_put(jnp.asarray(plan["exact_blocks"]), self._shard3)
+            if plan["exact_blocks"] is not None else jnp.zeros((), jnp.float16),
+            jax.device_put(jnp.asarray(plan["id_blocks"]), self._shard2),
+            jax.device_put(jnp.asarray(plan["lens"], dtype=jnp.int32),
+                           self._shard1),
+            jax.device_put(jnp.asarray(plan["starts"]), self._shard1),
             mesh=self.mesh, has_scales=has_scales,
             has_exact=self.exact is not None,
             i4_block=self._i4_block,
         )
-        for s in range(S):
-            self._counts[s] += len(per_shard[s])
-        return ids
+        self._counts += plan["lens"].astype(np.int64)
+        ids = plan["ids"]
+        if len(ids):
+            self._next_id = max(self._next_id, int(ids.max()) + 1)
 
     def search(self, queries: np.ndarray | jax.Array, k: int
                ) -> tuple[np.ndarray, np.ndarray]:

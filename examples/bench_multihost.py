@@ -7,10 +7,12 @@ This harness measures it the only way this single-chip machine allows
 jax.distributed crew with gloo collectives, 2 virtual CPU devices per
 process, versus a single-process ShardedFlatIndex over the SAME total
 4-device mesh. Absolute CPU numbers are not TPU numbers; the measured
-quantity is the RELATIVE overhead the crew adds per op — the broadcast
-of the op header + payload (f32 rows for add, queries for search) and
-the cross-process collective inside the jitted program — which is the
-tier's real price on any transport.
+quantity is the RELATIVE overhead the crew adds per op — the control
+stream's header + payload (the leader's prepared insert blocks for
+add, queries for search) and the cross-process collective inside the
+jitted program — which is the tier's real price on any transport.
+Caveat on this box: nproc=1, so the crew's two processes timeshare
+one core (doc/multihost.md discusses the resulting add ceiling).
 
 Workload (both sides identical): dim 384, add 65,536 unit rows in
 256-row batches (the ingest contract's scale), then 50 x batch-64
@@ -127,7 +129,8 @@ def run_crew(proc: int, port: str, data_dir: str) -> int:
         return 0
 
     from dawnsearch_tpu.node import make_index_factory
-    crew = multihost.MultihostCrew(ping_interval=cfg.dist_ping_interval)
+    crew = multihost.MultihostCrew(ping_interval=cfg.dist_ping_interval,
+                                   coordinator=cfg.dist_coordinator)
     index = make_index_factory(cfg, dim=DIM, crew=crew)()
     m = _measure(index, data_dir)
     print("RESULT " + json.dumps({"role": "crew", **m}), flush=True)

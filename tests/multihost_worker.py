@@ -52,7 +52,9 @@ def main() -> int:
             def boom(self, *a, **k):
                 raise RuntimeError("injected follower-local failure")
 
-            ShardedFlatIndex.add = boom
+            # the follower's half of an ADD is _commit_add (the leader
+            # ships its finished _prepare_add plan over the wire)
+            ShardedFlatIndex._commit_add = boom
             try:
                 multihost.follower_main(cfg)
             except RuntimeError as e:
@@ -84,7 +86,8 @@ def leader_index(cfg) -> int:
     from dawnsearch_tpu.node import make_index_factory
     from dawnsearch_tpu.parallel import multihost
 
-    crew = multihost.MultihostCrew(ping_interval=cfg.dist_ping_interval)
+    crew = multihost.MultihostCrew(ping_interval=cfg.dist_ping_interval,
+                                   coordinator=cfg.dist_coordinator)
     index = make_index_factory(cfg, dim=384, crew=crew)()
 
     rng = np.random.default_rng(3)
@@ -136,7 +139,8 @@ def leader_failadd(cfg) -> int:
     from dawnsearch_tpu.node import make_index_factory
     from dawnsearch_tpu.parallel import multihost
 
-    crew = multihost.MultihostCrew(ping_interval=0)  # deterministic stream
+    crew = multihost.MultihostCrew(  # ping 0: deterministic stream
+        ping_interval=0, coordinator=cfg.dist_coordinator)
     index = make_index_factory(cfg, dim=384, crew=crew)()
 
     rows = np.random.default_rng(0).standard_normal((16, 384))

@@ -121,27 +121,22 @@ def test_crew_dies_visibly_on_follower_local_failure(tmp_path):
 
 def test_send_after_shutdown_is_dropped(monkeypatch):
     """A keepalive ping that loses the lock race to shutdown() must NOT
-    broadcast into a crew whose followers already exited on OP_STOP —
-    that wedges the leader in a peerless collective (round-3 review
-    finding). send() re-checks _stopped under the lock: PING drops
-    silently (benign timer race), but real ops FAIL FAST — their device
-    half would otherwise still dispatch as a peerless global-mesh
-    collective and hang (round-3 advisor finding)."""
+    write into a control stream whose followers already exited on
+    OP_STOP (round-3 review finding). send() re-checks _stopped under
+    the lock: PING drops silently (benign timer race), but real ops
+    FAIL FAST — their device half would otherwise still dispatch as a
+    peerless global-mesh collective and hang (round-3 advisor
+    finding)."""
     from dawnsearch_tpu.parallel import multihost as mh
 
     sent = []
-
-    class _Done:  # stands in for the async jax.Array a dispatch returns
-        def block_until_ready(self):
-            return self
-
     monkeypatch.setattr(
-        mh, "_bcast_dispatch",
-        lambda x, is_source: (sent.append(np.array(x)), _Done())[1])
+        mh.MultihostCrew, "_send_frames",
+        lambda self, header, payloads: sent.append(np.array(header)))
     crew = mh.MultihostCrew(ping_interval=0)
     crew.shutdown()
     assert [int(h[0]) for h in sent] == [mh.OP_STOP]
-    crew.send(mh.OP_PING)  # the late timer thread's broadcast: dropped
+    crew.send(mh.OP_PING)  # the late timer thread's frame: dropped
     with pytest.raises(RuntimeError, match="crew stopped"):
         crew.send(mh.OP_ADD, (1, 1, 3), (np.zeros((1, 3), np.float32),))
     with pytest.raises(RuntimeError, match="crew stopped"):
@@ -207,10 +202,10 @@ def test_follower_fail_stop_on_local_device_failure(tmp_path, monkeypatch):
     def boom(self, *a, **k):
         raise RuntimeError("injected follower-local device failure")
 
-    monkeypatch.setattr(ShardedFlatIndex, "add", boom)
+    monkeypatch.setattr(ShardedFlatIndex, "_commit_add", boom)
     crew = _scripted_crew(mh, [
-        [mh.OP_INIT, 0, 384],             # fresh build
-        [mh.OP_ADD, 8, 4, 384],           # leader dispatched its half...
+        [mh.OP_INIT, 0, 384],              # fresh build
+        [mh.OP_ADD, 8, 4, 4, 384, 0],      # leader dispatched its half...
     ])
     with pytest.raises(RuntimeError, match="injected follower-local"):
         mh.run_follower(crew, _follower_cfg(tmp_path),
@@ -218,23 +213,42 @@ def test_follower_fail_stop_on_local_device_failure(tmp_path, monkeypatch):
 
 
 def test_follower_co_skips_deterministic_refusals(tmp_path, monkeypatch):
-    """IndexFull / ValueError raise identically on the leader BEFORE any
-    dispatch — the follower skips in lockstep and keeps serving."""
+    """Deterministic host-side refusals stay lockstep: a SEARCH that the
+    leader refused (ValueError validation — raised identically on the
+    follower's twin call) is skipped on both sides and the loop keeps
+    serving. ADD refusals never even reach the wire: the leader's
+    _prepare_add raises BEFORE send (asserted below)."""
     from dawnsearch_tpu.index.flat import IndexFull
     from dawnsearch_tpu.parallel import multihost as mh
     from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
 
-    def full(self, *a, **k):
-        raise IndexFull("sharded index full")
+    def refuse(self, *a, **k):
+        raise ValueError("queries must be unit-normalized")
 
-    monkeypatch.setattr(ShardedFlatIndex, "add", full)
+    monkeypatch.setattr(ShardedFlatIndex, "search", refuse)
     crew = _scripted_crew(mh, [
         [mh.OP_INIT, 0, 384],
-        [mh.OP_ADD, 8, 4, 384],           # refused on both sides
-        [mh.OP_STOP],                     # ...and the loop kept going
+        [mh.OP_SEARCH, 8, 8, 10, 384],     # refused on both sides
+        [mh.OP_STOP],                      # ...and the loop kept going
     ])
     mh.run_follower(crew, _follower_cfg(tmp_path),
                     str(tmp_path / "index.npz"))  # returns cleanly
+
+    # ADD refusal (IndexFull) raises in the leader's _prepare_add,
+    # BEFORE anything is sent — followers never see a refused ADD
+    class _FullInner:
+        _next_id = 0
+
+        def _prepare_add(self, rows, ids):
+            raise IndexFull("sharded index full")
+
+    sent = []
+    leader_crew = mh.MultihostCrew(ping_interval=0)
+    leader_crew.send = lambda *a, **k: sent.append(a)
+    wrapped = mh.MultihostShardedIndex(_FullInner(), leader_crew)
+    with pytest.raises(IndexFull):
+        wrapped.add(np.zeros((4, 384), np.float32))
+    assert sent == []  # nothing hit the wire
 
 
 def test_multihost_config_validation(tmp_path):
