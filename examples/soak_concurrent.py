@@ -132,6 +132,12 @@ def main() -> None:
     ap.add_argument("--query-idle", type=float, default=None,
                     help="coalescing recency gate, seconds "
                          "(config ingest_query_idle_s; default 2.0)")
+    ap.add_argument("--query-duty", type=str, default="",
+                    help="bursty query load: 'ON,OFF' seconds (e.g. "
+                         "'2,4'). Continuous load never opens the "
+                         "query-idle gate, so this is how the sweep "
+                         "measures the tail a query pays when it "
+                         "arrives right after a coalesced dispatch")
     ap.add_argument("--port", type=int, default=8931)
     ap.add_argument("--device-rerank", action="store_true",
                     help="f16-shadow on-device re-rank tier "
@@ -200,9 +206,29 @@ def main() -> None:
         "winding stairs every morning", "the harbor at dawn",
     ]
 
+    duty_on = duty_off = 0.0
+    if args.query_duty:
+        duty_on, duty_off = (float(x) for x in args.query_duty.split(","))
+
+    duty_epoch = time.perf_counter()  # shared: phases align across threads
+
     def query_loop(tid: int) -> None:
         i = tid
+        cycle_t0 = duty_epoch
         while not stop.is_set():
+            if duty_off > 0.0:
+                # bursty load: all threads share one wall-clock phase so
+                # the OFF window is genuinely query-free (the idle gate
+                # sees no queries and coalescing engages); the first
+                # query of each ON window is the one that can land right
+                # behind a coalesced 2048-page dispatch — the tail this
+                # mode exists to measure
+                phase = (time.perf_counter() - cycle_t0) % (duty_on
+                                                            + duty_off)
+                if phase >= duty_on:
+                    if stop.wait(min(0.05, duty_on + duty_off - phase)):
+                        return
+                    continue
             q = urllib.parse.quote(queries[i % len(queries)])
             t0 = time.perf_counter()
             try:
@@ -253,6 +279,7 @@ def main() -> None:
         "ingest_batch": args.batch,
         "ingest_rate_limit": args.rate,
         "query_idle_s": ex.query_idle_s,
+        "query_duty": args.query_duty or "continuous",
         "insert_batches": sorted({int(s) for s in
                                   METRICS.values("ingest_insert_batch")}),
         "threads": args.threads,
