@@ -466,6 +466,17 @@ def main() -> None:
     import os
     import threading
 
+    # Persistent compile cache, same as DawnNode/soak_concurrent: a
+    # fresh process otherwise pays every cold compile through the
+    # tunnel (measured 5-20 min across the bench's program set), which
+    # is pure constant overhead for a throughput artifact — the timed
+    # sections all warm up first, but the wall-clock (and the watchdog
+    # margin) should not hinge on compile luck.
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DAWNSEARCH_JAX_CACHE",
+                                     "/tmp/dawnsearch_jax_cache"))
+
     # Watchdog: a wedged device claim (the axon-tunnel failure mode —
     # CLAUDE.md) makes the first device op hang FOREVER, so without a
     # bound this script would record nothing for the round. A healthy

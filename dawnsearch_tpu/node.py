@@ -172,7 +172,9 @@ def make_index_factory(cfg: Config, dim: int = 384, crew=None):
                                     exact=_exact())
         if crew is not None:
             from dawnsearch_tpu.parallel import multihost
-            return multihost.build_fresh(crew, make_inner, dim)
+            return multihost.build_fresh(
+                crew, make_inner, dim,
+                flush_rows=cfg.dist_add_flush_rows)
         return make_inner()
 
     def load_kwargs():
@@ -183,7 +185,8 @@ def make_index_factory(cfg: Config, dim: int = 384, crew=None):
             kw["mesh"] = _sharded_mesh(cfg)
         if crew is not None:
             from dawnsearch_tpu.parallel import multihost
-            kw["_sharded_loader"] = multihost.crew_sharded_loader(crew)
+            kw["_sharded_loader"] = multihost.crew_sharded_loader(
+                crew, flush_rows=cfg.dist_add_flush_rows)
         return kw
 
     factory.load_kwargs = load_kwargs

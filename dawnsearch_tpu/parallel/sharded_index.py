@@ -310,6 +310,18 @@ class ShardedFlatIndex:
             self._shard2)
         self.cap_per_shard = new_cap
 
+    def free_slots(self) -> int | None:
+        """Total rows still insertable after all permitted growth, or
+        None when growth is unbounded (max_capacity=None). Mirrors
+        _plan_insert's refusal condition, so a caller that pre-checks
+        occupancy against this (the multihost ADD coalescer) refuses
+        exactly when a direct add() would."""
+        if self.max_capacity is None:
+            return None
+        limit = max(_round_up(-(-self.max_capacity // self.n_shards),
+                              self.segment), self.cap_per_shard)
+        return int((limit - self._counts).sum())
+
     def _stripe_plan(self, n: int, room: np.ndarray | None = None
                      ) -> tuple[list[np.ndarray], int]:
         """Balance-stripe: water-fill n new rows onto the least-full

@@ -151,6 +151,8 @@ def leader_failadd(cfg) -> int:
     def do_add():
         try:
             index.add(rows)
+            index.flush()  # broadcast NOW (16 rows sit below the
+            #                dist_add_flush_rows coalescing threshold)
             state["outcome"] = "completed"
         except Exception as e:  # distributed runtime error = visible
             state["outcome"] = "raised"

@@ -234,13 +234,20 @@ def test_follower_co_skips_deterministic_refusals(tmp_path, monkeypatch):
     mh.run_follower(crew, _follower_cfg(tmp_path),
                     str(tmp_path / "index.npz"))  # returns cleanly
 
-    # ADD refusal (IndexFull) raises in the leader's _prepare_add,
-    # BEFORE anything is sent — followers never see a refused ADD
+    # ADD refusal (IndexFull) raises in the leader's add() occupancy
+    # pre-check (against committed + pending rows, via free_slots),
+    # BEFORE anything is queued or sent — followers never see a
+    # refused ADD and the deferred flush can never refuse
     class _FullInner:
         _next_id = 0
+        dim = 384
+        max_capacity = 4
 
-        def _prepare_add(self, rows, ids):
-            raise IndexFull("sharded index full")
+        def __len__(self):
+            return 4
+
+        def free_slots(self):
+            return 0
 
     sent = []
     leader_crew = mh.MultihostCrew(ping_interval=0)
@@ -249,6 +256,7 @@ def test_follower_co_skips_deterministic_refusals(tmp_path, monkeypatch):
     with pytest.raises(IndexFull):
         wrapped.add(np.zeros((4, 384), np.float32))
     assert sent == []  # nothing hit the wire
+    assert wrapped._pending_n == 0  # ...and nothing was queued
 
 
 def test_multihost_config_validation(tmp_path):
@@ -280,3 +288,55 @@ def test_multihost_config_validation(tmp_path):
     make_index_factory(cfg(index_kind="sharded", mesh_shards=0))
     make_index_factory(cfg(index_kind="sharded",
                            mesh_shards=len(jax.devices())))
+
+
+def test_add_coalescing_semantics():
+    """Leader-side ADD coalescing (round-5: batch N adds per broadcast):
+    small adds queue host-side; a search/save flushes them as ONE
+    prepared plan; the size threshold flushes automatically; ids and
+    search results are identical to immediate commits. Exercised on a
+    single-process crew (n_processes == 1 -> no sockets), where the
+    wrapper logic is identical and the wire is a no-op."""
+    import jax
+
+    from dawnsearch_tpu.parallel import multihost as mh
+    from dawnsearch_tpu.parallel.mesh import make_mesh
+    from dawnsearch_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    mesh = make_mesh({"shard": 4}, devices=jax.devices()[:4])
+    crew = mh.MultihostCrew(ping_interval=0)
+    index = mh.MultihostShardedIndex(
+        ShardedFlatIndex(mesh=mesh, dim=64, dtype="i8"), crew,
+        flush_rows=64)
+
+    rng = np.random.default_rng(0)
+    rows = rng.standard_normal((160, 64)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+
+    ids = [index.add(rows[i:i + 16]) for i in range(0, 48, 16)]
+    assert np.concatenate(ids).tolist() == list(range(48))
+    assert len(index) == 48                 # pending rows count
+    assert len(index.inner) == 0            # ...but are not committed
+    d, u = index.search(rows[:8], 5)        # search flushes first
+    assert len(index.inner) == 48
+    assert (u[:, 0] == np.arange(8)).all()  # and observes every add
+
+    # threshold flush: 48 committed + 64 pending >= flush_rows
+    got = index.add(rows[48:112])
+    assert got.tolist() == list(range(48, 112))
+    assert len(index.inner) == 112 and index._pending_n == 0
+
+    # save flushes too; explicit ids thread through the pending queue
+    index.add(rows[112:], ids=np.arange(500, 548, dtype=np.int64))
+    assert len(index) == 160 and len(index.inner) == 112
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "snap.npz")
+        index.save(path)
+        assert len(index.inner) == 160
+        from dawnsearch_tpu.index import load_index
+        re = load_index(path, mesh=mesh)
+        assert len(re) == 160
+    # auto ids continue past the explicit block (the wire pins them)
+    nxt = index.add(rows[:1])
+    assert nxt[0] == 548
