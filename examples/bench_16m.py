@@ -31,6 +31,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("DAWNSEARCH_JAX_CACHE",
+                                 "/tmp/dawnsearch_jax_cache"))
+
 sys.path.insert(0, "/root/repo")
 from bench import corpus_blocks  # noqa: E402
 from dawnsearch_tpu.index.flat import FlatIndex  # noqa: E402

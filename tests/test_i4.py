@@ -576,3 +576,37 @@ def test_provider_i4_end_to_end(tmp_path, unit_vectors):
     assert len(sp2.index) == 200 and sp2.index.dtype == "i4"
     res2 = sp2.search_embeddings(vecs[:3], k=5)
     assert [r.pages[0].url for r in res2] == [f"http://x/{j}" for j in range(3)]
+
+
+def test_i4_prepacked_stream_matches_rmw_adds(unit_vectors):
+    """Host pre-packed block-aligned appends (round 5: the i4 bulk
+    build ships 0.5 byte/dim and writes with a plain
+    dynamic_update_slice) are BIT-IDENTICAL to the read-modify-write
+    path taken by unaligned adds, including a misaligned commit of a
+    block-multiple batch (pre-packed in _prepare, unpacked back in
+    _commit) and the final search results."""
+    rows = unit_vectors(160)
+    # block = segment = 32 here, so 32/64-row batches pre-pack
+    a = FlatIndex(dtype="i4", capacity=160, segment=32, chunk=32)
+    a.add(rows[:64])          # aligned: direct packed write
+    a.add(rows[64:80])        # 16 rows: RMW path (not a block multiple)
+    a.add(rows[80:112])       # 32 rows at count=80: pre-packed but
+    #                           MISALIGNED commit -> unpack fallback
+    a.add(rows[112:160])      # 48 rows at count=112
+    b = FlatIndex(dtype="i4", capacity=160, segment=32, chunk=32)
+    for i in range(0, 160, 16):  # every commit misaligned-or-RMW-sized
+        b.add(rows[i:i + 16])
+    np.testing.assert_array_equal(np.asarray(a._codes),
+                                  np.asarray(b._codes))
+    np.testing.assert_array_equal(np.asarray(a._scales),
+                                  np.asarray(b._scales))
+    q = unit_vectors(8)
+    da, ia = a.search(q, 5)
+    db, ib = b.search(q, 5)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db, rtol=1e-6)
+    # and add_stream (the bulk-build path) agrees too
+    c = FlatIndex(dtype="i4", capacity=160, segment=32, chunk=32)
+    c.add_stream(iter([rows[:96], rows[96:160]]))
+    np.testing.assert_array_equal(np.asarray(a._codes),
+                                  np.asarray(c._codes))
