@@ -137,12 +137,12 @@ class Config:
     dist_process_id: int = 0
     dist_ping_interval: float = 60.0  # follower keepalive frame
     dist_control_port: int = 0  # leader control-stream TCP port
+    #                             (0 = coordinator port + 1)
     # ADD coalescing: queue leader-side adds and broadcast one combined
     # plan at this many rows (or before any search/save). 1 disables.
     # Measured: per-op control-plane cost amortizes ~linearly
     # (doc/multihost.md "Measured control-plane cost").
     dist_add_flush_rows: int = 8192
-    #                             (0 = coordinator port + 1)
 
     @classmethod
     def load(cls, path: str | None = "DawnSearch.toml", env: dict | None = None) -> "Config":

@@ -412,7 +412,7 @@ class ExtractionService:
         self.service.insert_pages(triples, **kw)
         dt = time.perf_counter() - t0
         METRICS.observe("ingest_insert", dt)
-        METRICS.observe("ingest_insert_batch", float(len(triples)))
+        METRICS.record("ingest_insert_batch", float(len(triples)))
         self.pages_ingested += len(triples)
         METRICS.inc("pages_extracted", len(triples))
         # throughput meter like the reference's (warc.rs:107-114)

@@ -56,8 +56,10 @@ ADD wire: the leader runs the host half of the insert ONCE
 (quantization, stripe planning, block building —
 ShardedFlatIndex._prepare_add) and ships the finished per-shard blocks;
 followers go straight to the device writes (_commit_add). That both
-halves the wire bytes for i8/i4 storage (codes travel quantized, 1 or
-0.5 byte/dim instead of 4) and removes the follower's duplicated host
+cuts the wire bytes for quantized storage 4x (codes travel as 1
+byte/dim — i8 codes, or i4 biased nibble VALUES, whose 0.5 byte/dim
+packing is position-dependent and happens inside the device write,
+ops/quant.blend_rows_i4) and removes the follower's duplicated host
 work — the round-4 measurement had every process receiving every f32
 row and re-quantizing it (round-4 VERDICT item 5). Block content is
 bit-identical on every process by construction (same plan object).
@@ -159,7 +161,13 @@ def _recv_exact(sock: socket.socket, n: int) -> bytearray:
     view = memoryview(buf)
     got = 0
     while got < n:
-        r = sock.recv_into(view[got:], n - got)
+        try:
+            r = sock.recv_into(view[got:], n - got)
+        except socket.timeout:
+            raise RuntimeError(
+                "multihost control stream silent past the liveness "
+                "bound (no frame or keepalive ping) — leader host "
+                "presumed dead; fail-stop") from None
         if r == 0:
             raise RuntimeError(
                 "multihost control stream closed by the leader "
@@ -230,7 +238,19 @@ class MultihostCrew:
                 if time.monotonic() >= deadline:
                     raise
                 time.sleep(0.1)  # leader binds in ITS crew constructor
-        s.settimeout(None)
+        # Liveness bound: a leader HOST that dies without FIN/RST (power
+        # loss, partition) must not leave this follower in recv_into
+        # forever holding its device claim. The keepalive PING frames
+        # (ping_interval) satisfy a recv timeout of many intervals; the
+        # generous multiple tolerates leader-side stalls where no ping
+        # can be sent for a while (e.g. a multi-GB INIT snapshot load
+        # holds the crew lock). SO_KEEPALIVE catches the same at the
+        # TCP layer for crews that disable pings.
+        if self._ping_interval > 0:
+            s.settimeout(max(10.0 * self._ping_interval, 300.0))
+        else:
+            s.settimeout(None)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_KEEPALIVE, 1)
         s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, _SOCK_BUF)
         s.sendall(np.int64(jax.process_index()).tobytes())
@@ -297,10 +317,26 @@ class MultihostCrew:
             if self._timer is not None:
                 self._timer.cancel()
         if self.is_leader:
-            self.send(OP_STOP)
-            for s in self._socks:  # close flushes queued frames first
+            self._send_stop()
+
+    def _send_stop(self) -> None:
+        """Release the followers: per-socket OP_STOP sends, so one
+        follower that died earlier cannot keep the release from
+        reaching the healthy ones (they would otherwise die later on
+        EOF fail-stop with a scary 'crew is down' error) nor abort the
+        caller's shutdown mid-way with a BrokenPipeError."""
+        header = np.zeros(_HEADER_LEN, np.int64)
+        header[0] = OP_STOP
+        hb = header.tobytes()
+        with self.lock:
+            for s in self._socks:
                 try:
-                    s.close()
+                    s.sendall(hb)
+                except OSError:
+                    log.warning("OP_STOP skipped a dead follower "
+                                "socket (it already failed stop)")
+                try:
+                    s.close()  # close flushes queued frames first
                 except OSError:
                     pass
 
@@ -390,8 +426,10 @@ def _pack_plan(plan: dict) -> tuple[np.ndarray, tuple]:
     buf = np.zeros(sum(sizes), np.uint8)
     off = 0
     for p, sz in zip(parts, sizes):
-        buf[off:off + p.nbytes] = np.frombuffer(
-            np.ascontiguousarray(p).tobytes(), np.uint8)
+        # one copy per part (the slice-assign); tobytes() would
+        # materialize a second full intermediate on the hot ingest path
+        buf[off:off + p.nbytes] = np.ascontiguousarray(p).reshape(-1) \
+            .view(np.uint8)
         off += sz
     S, max_rows = plan["id_blocks"].shape
     n = plan["ids"].shape[0]

@@ -47,6 +47,12 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _pow2(n: int, lo: int = 8) -> int:
+    """Next power of two >= n (>= lo): bounds jit'd block shapes to
+    O(log max_batch) distinct compiles (see _prepare_add)."""
+    return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "kf", "chunk", "mesh", "has_scales", "has_exact",
@@ -400,6 +406,14 @@ class ShardedFlatIndex:
         the multihost payload carries 1 byte/dim for quantized tiers."""
         n = rows.shape[0]
         per_shard, max_rows = self._plan_insert(n)
+        # Bucket the block's row dim to a power of two (capped at the
+        # shard capacity _blend_write's clamp+roll+mask contract needs):
+        # _sharded_write is jit'd on (S, max_rows, D), and coalesced
+        # multihost flushes arrive with arbitrary timing-dependent sizes
+        # — without bucketing every distinct flush size compiles a fresh
+        # cross-process program (and the jit cache grows unboundedly).
+        # Padding rows are masked by lens, so this is shape-only.
+        max_rows = min(_pow2(max_rows), self.cap_per_shard)
 
         S, D = self.n_shards, self.dim
         row_np = {"f32": np.float32, "bf16": np.float32, "i8": np.int8,

@@ -40,6 +40,7 @@ class Metrics:
         self._lock = threading.Lock()
         self._counters: dict[str, int] = defaultdict(int)
         self._timings: dict[str, list[float]] = defaultdict(list)
+        self._samples: dict[str, list[float]] = defaultdict(list)
 
     def inc(self, name: str, amount: int = 1) -> None:
         with self._lock:
@@ -49,6 +50,17 @@ class Metrics:
         with self._lock:
             buf = self._timings[name]
             buf.append(seconds)
+            if len(buf) > 1000:
+                del buf[: len(buf) - 1000]
+
+    def record(self, name: str, value: float) -> None:
+        """Raw sample series (batch sizes, counts — NOT durations).
+        Surfaced by values() for benchmark breakdowns; snapshot() does
+        not render it, so a 512-page batch never shows up as a bogus
+        512000-ms latency percentile."""
+        with self._lock:
+            buf = self._samples[name]
+            buf.append(value)
             if len(buf) > 1000:
                 del buf[: len(buf) - 1000]
 
@@ -65,6 +77,8 @@ class Metrics:
         breakdowns that need sums/means, not just the p50/p99 the
         snapshot exposes."""
         with self._lock:
+            if name in self._samples:
+                return list(self._samples[name])
             return list(self._timings.get(name, ()))
 
     def reset(self) -> None:
@@ -73,6 +87,7 @@ class Metrics:
         with self._lock:
             self._counters.clear()
             self._timings.clear()
+            self._samples.clear()
 
     def snapshot(self) -> dict:
         with self._lock:

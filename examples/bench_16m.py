@@ -121,8 +121,9 @@ def main() -> None:
         ix = FlatIndex.load(snap, max_capacity=N, segment=N)
         with np.load(truth_path) as z:
             best_d, best_i = z["best_d"], z["best_i"]
-        assert len(ix) == N and best_i.shape == (NQ, K), \
-            "snapshot does not match BENCH_16M_ROWS/NQ"
+        assert len(ix) == N and ix.dtype == DTYPE \
+            and best_i.shape == (NQ, K), \
+            "snapshot does not match BENCH_16M_ROWS/DTYPE/NQ"
         log({"step": "load", "rows": len(ix),
              "gb": round(ix.nbytes / 1e9, 2),
              "seconds": round(time.perf_counter() - t0, 1)})

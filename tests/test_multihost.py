@@ -133,16 +133,71 @@ def test_send_after_shutdown_is_dropped(monkeypatch):
     monkeypatch.setattr(
         mh.MultihostCrew, "_send_frames",
         lambda self, header, payloads: sent.append(np.array(header)))
+    stops = []
+    monkeypatch.setattr(
+        mh.MultihostCrew, "_send_stop",
+        lambda self: stops.append(mh.OP_STOP))
     crew = mh.MultihostCrew(ping_interval=0)
     crew.shutdown()
-    assert [int(h[0]) for h in sent] == [mh.OP_STOP]
+    assert stops == [mh.OP_STOP]
     crew.send(mh.OP_PING)  # the late timer thread's frame: dropped
     with pytest.raises(RuntimeError, match="crew stopped"):
         crew.send(mh.OP_ADD, (1, 1, 3), (np.zeros((1, 3), np.float32),))
     with pytest.raises(RuntimeError, match="crew stopped"):
         crew.send(mh.OP_SEARCH, (8, 8, 10, 3),
                   (np.zeros((8, 3), np.float32),))
-    assert [int(h[0]) for h in sent] == [mh.OP_STOP]  # nothing leaked
+    assert sent == [] and stops == [mh.OP_STOP]  # nothing leaked
+
+
+def test_stop_reaches_healthy_followers_past_a_dead_socket():
+    """One follower that died earlier (dead socket) must not keep
+    OP_STOP from reaching the healthy ones, nor abort the caller's
+    shutdown with a BrokenPipeError (round-5 review finding)."""
+    from dawnsearch_tpu.parallel import multihost as mh
+
+    crew = mh.MultihostCrew(ping_interval=0)
+
+    class DeadSock:
+        def sendall(self, b):
+            raise BrokenPipeError("peer died")
+
+        def close(self):
+            pass
+
+    class LiveSock:
+        def __init__(self):
+            self.got = b""
+            self.closed = False
+
+        def sendall(self, b):
+            self.got += b
+
+        def close(self):
+            self.closed = True
+
+    live = LiveSock()
+    crew.is_leader = True
+    crew._socks = [DeadSock(), live]
+    crew.shutdown()  # must not raise
+    header = np.frombuffer(live.got, np.int64)
+    assert int(header[0]) == mh.OP_STOP and live.closed
+
+
+def test_recv_exact_fail_stops_on_liveness_timeout():
+    """A leader host that dies without FIN/RST leaves the follower's
+    recv waiting on a socket that will never speak; the liveness
+    timeout must surface as the crew's fail-stop error, not an
+    anonymous socket.timeout (round-5 review finding)."""
+    import socket as pysocket
+
+    from dawnsearch_tpu.parallel import multihost as mh
+
+    class SilentSock:
+        def recv_into(self, view, n):
+            raise pysocket.timeout()
+
+    with pytest.raises(RuntimeError, match="liveness bound"):
+        mh._recv_exact(SilentSock(), 8)
 
 
 def test_follower_fail_stop_on_op_before_init(tmp_path):
