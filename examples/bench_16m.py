@@ -101,6 +101,51 @@ def log(o):
     print(json.dumps(o), flush=True)
 
 
+def host_build_snapshot(snap: str, truth_path: str, qs: np.ndarray) -> None:
+    """Build the i4 snapshot + exact truth ENTIRELY on the host (pure
+    numpy — no device, no tunnel). The index contents are deterministic
+    from the seeded corpus: codes = pack_i4_np(quantize_i4_vals_np(v))
+    in the same row-block layout FlatIndex's device build produces
+    (bit-identity covered by tests), so a later BENCH_16M_SNAPSHOT run
+    loads this file and goes straight to the QPS/recall phases. Exists
+    because the 13 GB device readback of FlatIndex.save proved to be
+    the fragile step through a flaky tunnel — this path has zero
+    device exposure."""
+    from dawnsearch_tpu.index.flat import _atomic_savez
+    from dawnsearch_tpu.ops.quant import (i4_block_for, pack_i4_np,
+                                          quantize_i4_vals_np)
+    assert DTYPE == "i4", "hostbuild currently supports the i4 tier"
+    blk = i4_block_for(N)
+    if BLOCK % blk or N % blk:
+        raise ValueError(f"hostbuild needs BLOCK ({BLOCK}) and N ({N}) "
+                         f"to be multiples of the i4 block ({blk})")
+    packed = np.zeros((N // 2, 384), np.uint8)
+    scales = np.empty((N,), np.float32)
+    best_d = np.full((NQ, K), np.inf)
+    best_i = np.full((NQ, K), -1, np.int64)
+    t0 = time.perf_counter()
+    for s0, v in corpus_blocks(N, block=BLOCK):
+        dd = 1.0 - qs[:NQ] @ v.T
+        idx = np.argpartition(dd, K, axis=1)[:, :K]
+        cd = np.concatenate([best_d, np.take_along_axis(dd, idx, 1)], 1)
+        ci = np.concatenate([best_i, idx + s0], 1)
+        sel = np.argsort(cd, axis=1)[:, :K]
+        best_d = np.take_along_axis(cd, sel, 1)
+        best_i = np.take_along_axis(ci, sel, 1)
+        vals, scs = quantize_i4_vals_np(v)
+        scales[s0:s0 + len(v)] = scs
+        for b0 in range(0, len(v), blk):
+            g0 = s0 + b0
+            packed[g0 // 2:g0 // 2 + blk // 2] = pack_i4_np(
+                vals[b0:b0 + blk], blk)
+    _atomic_savez(snap, codes=packed, scales=scales, exact=np.empty(0),
+                  count=N, dtype="i4", dim=384, i4_block=blk)
+    np.savez(truth_path, best_d=best_d, best_i=best_i)
+    log({"step": "hostbuild", "rows": N,
+         "gb": round(packed.nbytes / 1e9, 2),
+         "seconds": round(time.perf_counter() - t0, 1)})
+
+
 def main() -> None:
     rng = np.random.default_rng(7)
     qs = rng.standard_normal((BATCH, 384)).astype(np.float32)
@@ -116,6 +161,12 @@ def main() -> None:
     # host->device transfer.
     snap = os.environ.get("BENCH_16M_SNAPSHOT", "")
     truth_path = snap + ".truth.npz" if snap else ""
+    if os.environ.get("BENCH_16M_HOSTBUILD") == "1":
+        # host-only snapshot synthesis (no device use); run the QPS
+        # phases in a second invocation with BENCH_16M_SNAPSHOT set
+        assert snap, "BENCH_16M_HOSTBUILD needs BENCH_16M_SNAPSHOT"
+        host_build_snapshot(snap, truth_path, qs)
+        return
     if snap and os.path.exists(snap) and os.path.exists(truth_path):
         t0 = time.perf_counter()
         ix = FlatIndex.load(snap, max_capacity=N, segment=N)
