@@ -350,6 +350,7 @@ class FlatIndex:
         selector: str = "auto",
         exact: str | None = None,
         rerank_extra: int = 30,
+        _alloc: bool = True,
     ):
         if dtype not in ("f32", "bf16", "i8", "i4"):
             raise ValueError(f"unsupported dtype {dtype}")
@@ -391,10 +392,22 @@ class FlatIndex:
                     f"chunk={chunk} block={self._i4_block} (pick a "
                     f"segment dividing the chunk, or align segment to "
                     f"{chunk})")
-            self._codes = jnp.zeros((self.capacity // 2, dim), jdt)
+            if _alloc:
+                self._codes = jnp.zeros((self.capacity // 2, dim), jdt)
         else:
             self._i4_block = None
-            self._codes = jnp.zeros((self.capacity, dim), jdt)
+            if _alloc:
+                self._codes = jnp.zeros((self.capacity, dim), jdt)
+        if not _alloc:
+            # load() binds snapshot buffers right after construction;
+            # allocating capacity-sized zeros here just to drop them
+            # would transiently DOUBLE device memory — at the 64M i4
+            # envelope that is 2 x 12.9 GB against 16 GB HBM, an OOM
+            # at the first kernel execution (measured; round 5)
+            self._codes = None
+            self._scales = None
+            self._exact = None
+            return
         self._scales = (jnp.ones((self.capacity,), jnp.float32)
                         if dtype in ("i8", "i4") else None)
         self._exact = (jnp.zeros((self.capacity, dim), jnp.float16)
@@ -807,7 +820,8 @@ class FlatIndex:
             from dawnsearch_tpu.ops.quant import pack_i4_np, unpack_i4_np
             capacity = (codes.shape[0] if snap_block == 0
                         else codes.shape[0] * 2)
-            idx = cls(dim=dim, dtype=dtype, capacity=capacity, **kwargs)
+            idx = cls(dim=dim, dtype=dtype, capacity=capacity,
+                      _alloc=False, **kwargs)
             if snap_block == 0:
                 # pre-round-4 snapshot: per-row dim-plane nibbles
                 # ((cap, D/2), byte j = dims j | D/2+j << 4) ->
@@ -835,7 +849,7 @@ class FlatIndex:
                                 constant_values=1.0)
         else:
             idx = cls(dim=dim, dtype=dtype, capacity=codes.shape[0],
-                      **kwargs)
+                      _alloc=False, **kwargs)
         jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "i8": jnp.int8,
                "i4": jnp.uint8}[dtype]
         idx._codes = jnp.asarray(codes, jdt)
